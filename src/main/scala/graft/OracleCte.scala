@@ -1,0 +1,87 @@
+package graft
+
+/** DuckDB-SQL twins of [[graft.sources.Transcripts.fromEvents]] and the
+  * serverlog parse/route stages, used as WITH-prefixes for oracle queries.
+  * Every expression here is the integer/string arithmetic mirror of the
+  * Column expressions in Transcripts.scala / ServerlogKernel — keep the two
+  * in lockstep.
+  */
+object OracleCte {
+
+  /** `WITH ev AS (...), transcripts AS (...)` — the derived transcripts table. */
+  val transcripts: String =
+    """WITH ev AS (
+      |  SELECT *,
+      |    '2024-01-01 ' || lpad(CAST((event_id % 86400) // 3600 AS VARCHAR), 2, '0') || ':' ||
+      |    lpad(CAST((event_id % 3600) // 60 AS VARCHAR), 2, '0') || ':' ||
+      |    lpad(CAST(event_id % 60 AS VARCHAR), 2, '0') || '.' ||
+      |    lpad(CAST((event_id * 7) % 1000 AS VARCHAR), 3, '0') AS tstr,
+      |    CASE event_type WHEN 'error' THEN 'error' WHEN 'purchase' THEN 'info' WHEN 'click' THEN 'debug' WHEN 'view' THEN 'verbose' ELSE 'warn' END AS lvl,
+      |    CASE WHEN event_id % 17 = 0 THEN 'Svc-' || event_type
+      |         WHEN event_id % 10 = 3 THEN 'svc-' || event_type || ','
+      |         ELSE 'svc-' || event_type END AS svc,
+      |    CASE WHEN event_id % 37 = 0 THEN '[000000001a' || lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0') || ']'
+      |         ELSE '[t' || lpad(CAST((event_id * 31) % 100000 AS VARCHAR), 8, '0') || ']' END AS trace,
+      |    CASE WHEN event_id % 5 = 0 THEN ' ##JIDU##{"extra_k": "v' || CAST(event_id % 100 AS VARCHAR) || '"}##JIDU##' ELSE '' END AS jidu
+      |  FROM events
+      |), transcripts AS (
+      |  SELECT
+      |    'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INTEGER) AS turn_idx,
+      |    CASE event_type WHEN 'click' THEN 'user' WHEN 'view' THEN 'user' WHEN 'signup' THEN 'system' WHEN 'purchase' THEN 'assistant' ELSE 'tool' END AS role,
+      |    CASE WHEN event_id % 13 = 0 THEN tstr || ' short line only'
+      |         ELSE tstr || ' ' || svc || ' host-' || CAST(user_id % 5 AS VARCHAR) || ' ' || lvl ||
+      |              ' [t-' || CAST(event_id % 8 AS VARCHAR) || '] com.example.Cls' || CAST(event_id % 20 AS VARCHAR) ||
+      |              ' run' || CAST(event_id % 7 AS VARCHAR) || ' [' || CAST(event_id % 1000 AS VARCHAR) || '] ' ||
+      |              trace || ' [s' || CAST(event_id % 9999 AS VARCHAR) || '] evt=' || event_type || ' id=' || CAST(event_id AS VARCHAR) || jidu
+      |         END AS text,
+      |    CASE event_type WHEN 'purchase' THEN 'bash' WHEN 'error' THEN 'search' WHEN 'click' THEN 'editor' WHEN 'view' THEN 'browser' ELSE '' END AS tool,
+      |    ts
+      |  FROM ev
+      |)""".stripMargin
+
+  /** `parsed` CTE: the SQL mirror of ServerlogKernel.parse + routing sink. */
+  val parsed: String = transcripts +
+    """, items AS (
+      |  SELECT *,
+      |    (length(text) - length(replace(text, ' ', '')) + 1) AS n_items,
+      |    replace(split_part(text, ' ', 3), ',', '') AS service_c,
+      |    split_part(text, ' ', 10) AS trace_raw
+      |  FROM transcripts
+      |), statused AS (
+      |  SELECT *,
+      |    CASE WHEN n_items < 11 THEN 'short'
+      |         WHEN NOT regexp_matches(service_c, '^[a-z]+[a-z0-9\-_.]+$') THEN 'bad_service'
+      |         WHEN trace_raw <> '' AND regexp_matches(substr(trace_raw, 2, length(trace_raw) - 2), '^00000000[1-9a-f]') THEN 'benchmark'
+      |         ELSE 'ok' END AS status
+      |  FROM items
+      |), parsed AS (
+      |  SELECT conv_id, turn_idx, role, tool, ts, text, status,
+      |    substr(text, 1, 23) AS logtime,
+      |    CASE WHEN status IN ('ok','benchmark') THEN service_c END AS service,
+      |    CASE WHEN status = 'ok' THEN split_part(text, ' ', 4) END AS hostname,
+      |    CASE WHEN status = 'ok' THEN upper(split_part(text, ' ', 5)) END AS level,
+      |    CASE WHEN status = 'ok' THEN substr(split_part(text, ' ', 6), 2, length(split_part(text, ' ', 6)) - 2) END AS thread,
+      |    CASE WHEN status = 'ok' THEN split_part(text, ' ', 7) END AS class,
+      |    CASE WHEN status = 'ok' THEN split_part(text, ' ', 8) END AS method,
+      |    CASE WHEN status = 'ok' THEN TRY_CAST(substr(split_part(text, ' ', 9), 2, length(split_part(text, ' ', 9)) - 2) AS BIGINT) END AS line,
+      |    CASE WHEN status = 'ok' THEN substr(trace_raw, 2, length(trace_raw) - 2) END AS trace_id,
+      |    CASE WHEN status = 'ok' THEN substr(split_part(text, ' ', 11), 2, length(split_part(text, ' ', 11)) - 2) END AS span_id,
+      |    CASE WHEN status = 'ok' AND strpos(text, '##JIDU##') > 0 THEN substr(text, strpos(text, '##JIDU##')) END AS message,
+      |    CASE WHEN status = 'bad_service' THEN 'dropped'
+      |         WHEN status = 'benchmark' THEN 'filtered'
+      |         WHEN tool <> '' THEN 'sink_es'
+      |         ELSE 'sink_ls' END AS sink
+      |  FROM statused
+      |)""".stripMargin
+
+  /** inline lookup dims as VALUES, mirroring graft.model.Lookups. */
+  val lookups: String =
+    """ tool_meta(tool, tool_kind, tool_team) AS (
+      |  SELECT * FROM (VALUES ('search','retrieval','infra'), ('bash','execution','runtime'),
+      |                        ('editor','mutation','runtime'), ('browser','retrieval','web')) v
+      |), role_meta(role, role_class, role_priority) AS (
+      |  SELECT * FROM (VALUES ('user','human',1), ('assistant','model',2),
+      |                        ('system','control',0), ('tool','machine',3)) v
+      |)""".stripMargin
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{interop => ExpressionUtils}
+
+/** Public column API for graft's custom Catalyst expressions, plus small
+  * composition helpers mirroring reference operators that map to built-ins.
+  */
+package object functions {
+
+  /** serverlog parse (fork parse_serverlog semantics) → struct column. */
+  def serverlog_parse(text: Column): Column =
+    ExpressionUtils.column(ServerlogParse(ExpressionUtils.expression(text)))
+
+  /** one-pass compiled-regex extraction of all groups → struct column. */
+  def grok_struct(text: Column, pattern: String, fields: Seq[String]): Column =
+    ExpressionUtils.column(GrokStruct(ExpressionUtils.expression(text), pattern, fields))
+
+  /** dissect positional tokenizer → struct column (null struct on miss). */
+  def dissect(text: Column, pattern: String): Column =
+    ExpressionUtils.column(DissectExpr(ExpressionUtils.expression(text), pattern))
+
+  /** level-letter → long-name translation via a map literal
+    * (libbeat/processors/parse_common/parser.go:34-42); unknown letters pass
+    * through, like the reference's `else` branch (parse_vehicle_trace2trace
+    * parser.go:140-144). */
+  def level_translate(level: Column): Column = {
+    val entries = graft.model.Lookups.LevelMap.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    coalesce(element_at(map(entries: _*), level), level)
+  }
+
+  /** fingerprint of selected columns (≈ processors/fingerprint: sha256 of
+    * key=value joined fields, hex-encoded — fingerprint/fingerprint.go:70-120). */
+  def fingerprint_cols(cols: Seq[Column]): Column =
+    sha2(concat_ws("|", cols: _*), 256)
+
+  /** deterministic document id (≈ add_id, but replay-idempotent by design:
+    * derived from identity columns, not random — add_id/add_id.go:64-90). */
+  def deterministic_id(convId: Column, turnIdx: Column): Column =
+    sha2(concat_ws("#", convId, turnIdx.cast("string")), 256)
+}
