@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+import graft.checkpoint.Registry
+import graft.model.Sinks
+import graft.pipeline.{PipelineRunner, TranscriptPipeline}
+import graft.sources.Transcripts
+
+/** E2E checkpoint/resume gates, mirroring the reference's registrar system
+  * tests (filebeat/tests/system/test_registrar.py: offset equality after
+  * restart, no duplicate publication). */
+class PipelineRunnerSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-runner").toString
+
+  private lazy val input = Transcripts.fromEvents(spark, "/root/testdata/sf0.001").cache()
+
+  test("full run: sink fan-out + atomic commits + observer metrics parity") {
+    val root = tmpDir()
+    val results = PipelineRunner.run(input, root, groups = 4)
+    assert(results.map(_.group) == Seq(0, 1, 2, 3))
+
+    val m = PipelineRunner.observedMetrics(root, spark)
+    assert(m("events.total") == 1000)
+    assert(m("events.published") + m("events.filtered") + m("events.dropped") == 1000)
+
+    // parity with the declarative route counts (the north-rule gate)
+    val expected = TranscriptPipeline.transform(input)
+      .groupBy("sink").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val reg = new Registry(root, spark)
+    assert(reg.readSink(Sinks.Es).get.count() == expected(Sinks.Es))
+    assert(reg.readSink(Sinks.Ls).get.count() == expected(Sinks.Ls))
+    assert(reg.readSink(Sinks.Dropped).map(_.count()).getOrElse(0L) ==
+      expected.getOrElse(Sinks.Dropped, 0L))
+  }
+
+  test("kill between group commits → resume is exactly-once (no dupes, no loss)") {
+    val rootCrash = tmpDir()
+    // crash after the first group commits
+    intercept[RuntimeException] {
+      PipelineRunner.run(input, rootCrash, groups = 4, failAfterGroup = 0)
+    }
+    val reg = new Registry(rootCrash, spark)
+    val committedBefore = reg.committedGroups()
+    assert(committedBefore.nonEmpty && committedBefore.size < 4)
+
+    // resume: same command; previously committed groups must be skipped
+    val resumed = PipelineRunner.run(input, rootCrash, groups = 4)
+    assert(resumed.map(_.group).toSet == (0 until 4).toSet.diff(committedBefore.toSet))
+
+    // compare against an uninterrupted reference run
+    val rootClean = tmpDir()
+    PipelineRunner.run(input, rootClean, groups = 4)
+    val a = PipelineRunner.observedMetrics(rootCrash, spark)
+    val b = PipelineRunner.observedMetrics(rootClean, spark)
+    assert(a == b)
+
+    // no duplicate doc_ids across the resumed sinks
+    val es = reg.readSink(Sinks.Es).get
+    assert(es.select("doc_id").distinct().count() == es.count())
+
+    // per-turn text equality under stable (conv_id, turn_idx) order vs input
+    val back = reg.readSink(Sinks.Es).get.unionByName(reg.readSink(Sinks.Ls).get)
+    val diff = back.alias("s")
+      .join(input.alias("i"), Seq("conv_id", "turn_idx"))
+      .filter(col("s.text") =!= col("i.text"))
+    assert(diff.count() == 0)
+  }
+
+  test("registry offsets record per-conversation high-water marks") {
+    val root = tmpDir()
+    PipelineRunner.run(input, root, groups = 2)
+    val reg = new Registry(root, spark).registry()
+    val expected = input.groupBy("conv_id").agg(max("turn_idx")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val actual = reg.collect().map(r =>
+      r.getAs[String]("partition_key") -> r.getAs[Int]("max_turn_idx")).toMap
+    assert(actual == expected)
+  }
+
+  test("commit marker is the atomicity point: uncommitted output is invisible") {
+    val root = tmpDir()
+    intercept[RuntimeException] {
+      PipelineRunner.run(input, root, groups = 4, failAfterGroup = 0)
+    }
+    val reg = new Registry(root, spark)
+    // snapshot-isolated readers see only committed groups
+    val visible = reg.readSink(Sinks.Ls).get
+      .withColumn("g", pmod(abs(crc32(col("conv_id"))), lit(4L)).cast("int"))
+    assert(visible.select("g").distinct().collect().map(_.getInt(0)).toSet
+      .subsetOf(reg.committedGroups().toSet))
+  }
+}
