@@ -1,24 +1,101 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main. Prints ONE JSON line:
+  *   {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...,
+  *    "throughput":{...},"scaling":{...}}
+  *
+  * Two parts:
+  *  1. per-query wall time for every SparkEntry query at `SPARK_GRAFT_CPUS`
+  *     (default 32) over `SPARK_GRAFT_SF_DIR`.
+  *  2. the north-rule scaling evidence: the full read→parse→enrich→route→
+  *     aggregate pipeline over a materialized `SPARK_GRAFT_BENCH_ROWS`-turn
+  *     transcript parquet table (default 32M, written once from the
+  *     deterministic generator) at local[8] and local[32] on identical input,
+  *     reporting turns/sec at both and the scaling efficiency
+  *     eff = thr(4N) / (4 · thr(N)), target ≥ 0.8.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Materialize the synthesized transcript table once (parquet, snappy) so
+    * the measured job is read → parse → enrich → route → aggregate — the
+    * north-rule shape — and generator cost/codegen never pollutes it. */
+  private def inputPath(rows: Long): String = {
+    val path = s"/tmp/graft_bench_input_$rows"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val s = session(32)
+      sources.Transcripts.synthesize(s, rows, nConvs = rows / 50,
+        hotFraction = 0.2, partitions = 256)
+        .write.mode("overwrite").parquet(path)
+      s.stop()
+    }
+    path
+  }
+
+  /** one full pipeline pass over the materialized input: parse → enrich →
+    * route → per-sink counts. Returns (seconds, turns processed). */
+  private def pipelinePass(spark: SparkSession, path: String): (Double, Long) = {
+    val input = spark.read.parquet(path)
+    val t0 = System.nanoTime()
+    val counts = pipeline.TranscriptPipeline.metrics(input).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    (sec, counts.map(_.getLong(1)).sum)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "32000000").toLong
+
+    // --- part 1: per-query timings over the sf dir ---
+    var spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
     spark.stop()
+
+    // --- part 2: N vs 4N scaling over identical materialized input ---
+    // one warm-up pass per parallelism level (codegen + C2 JIT steady
+    // state), then best-of-2 measured passes.
+    val path = inputPath(benchRows)
+    def measured(cpus: Int): (Double, Long) = {
+      val s = session(cpus)
+      pipelinePass(s, path) // warm-up
+      val a = pipelinePass(s, path)
+      val b = pipelinePass(s, path)
+      s.stop()
+      (math.min(a._1, b._1), a._2)
+    }
+    val (sec32, turns) = measured(32)
+    val (sec8, _) = measured(8)
+
+    val thr8 = turns / sec8
+    val thr32 = turns / sec32
+    val eff = thr32 / (4.0 * thr8)
+    val scaling = f"""{"rows":$benchRows,"turns_per_sec_8":$thr8%.0f,""" +
+      f""""turns_per_sec_32":$thr32%.0f,"sec_8":$sec8%.3f,"sec_32":$sec32%.3f,""" +
+      f""""efficiency_8_to_32":$eff%.3f}"""
+
+    println(
+      f"""{"metric":"parse_enrich_route_throughput","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
   }
 }

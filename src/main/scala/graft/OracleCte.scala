@@ -75,6 +75,56 @@ object OracleCte {
       |  FROM statused
       |)""".stripMargin
 
+  /** DuckDB mirror of [[graft.textops.TextOps]] token/normalize primitives
+    * over the `documents` table. Kept in lockstep with TextOps.scala: tokens
+    * = regex-split of trimmed text; normalized = lower+trim+collapse-ws;
+    * shingles = distinct trigram windows of normalized tokens (whole text
+    * when shorter than w). */
+  val docTokens: String =
+    """WITH tok AS (
+      |  SELECT doc_id, text,
+      |    string_split_regex(trim(text), '\s+') AS toks,
+      |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, text, toks, norm,
+      |    CASE WHEN len(string_split(norm, ' ')) < 3 THEN [norm]
+      |         ELSE list_distinct(list_transform(
+      |           generate_series(1, len(string_split(norm, ' ')) - 2),
+      |           i -> array_to_string((string_split(norm, ' '))[i:i+2], ' ')))
+      |    END AS sh,
+      |    CAST(len(toks) AS INTEGER) AS n_tok
+      |  FROM tok
+      |)""".stripMargin
+
+  /** brute-force verified near-dup pairs (integer intersection/union math —
+    * the SQL twin of Dedup.jaccardPairs AND of Dedup.minhashPairs, whose
+    * banded-LSH candidate generation has effectively-1.0 recall at τ=0.8
+    * with bands=16/r=2; DedupSpec pins the set equality). */
+  val jaccardPairs: String = docTokens +
+    """, pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_inter,
+      |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_union
+      |  FROM sh a JOIN sh b
+      |    ON a.doc_id < b.doc_id AND abs(a.n_tok - b.n_tok) <= 40
+      |), jpairs AS (
+      |  SELECT a_id, b_id, n_inter, n_union FROM pairs
+      |  WHERE n_inter * 100 >= n_union * 80
+      |)""".stripMargin
+
+  /** embeddings with double-precision cosine (mirror of VectorTextKernel
+    * .cosine: float→double promotion, sequential accumulate, dot/(√na·√nb)). */
+  val cosinePairs: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), cpairs AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |)""".stripMargin
+
   /** inline lookup dims as VALUES, mirroring graft.model.Lookups. */
   val lookups: String =
     """ tool_meta(tool, tool_kind, tool_team) AS (

@@ -46,8 +46,91 @@ object SparkEntry {
     "q_bucket_metrics" -> ((s, dir) =>
       TranscriptPipeline.transform(t(s, dir))
         .withColumn("bucket", substring(col("conv_id"), 6, 8).cast("int") % 8)
-        .groupBy("bucket", "sink").agg(count(lit(1)).as("events")))
+        .groupBy("bucket", "sink").agg(count(lit(1)).as("events"))),
+
+    // --- text analysis over the documents table ---
+    "q_text_stats" -> ((s, dir) =>
+      graft.textops.TextOps.stats(docs(s, dir))),
+
+    // --- dedup family ---
+    "q_dedup_exact" -> ((s, dir) =>
+      graft.textops.TextOps.dedupExact(docs(s, dir))),
+
+    "q_dedup_jaccard" -> ((s, dir) =>
+      graft.dedup.Dedup.jaccardPairs(docs(s, dir), 80)),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      graft.dedup.Dedup.minhashPairs(docs(s, dir), 80)),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      graft.dedup.Dedup.simhashPairs(docs(s, dir), maxHamming = 3)),
+
+    "q_dedup_embedding" -> ((s, dir) =>
+      graft.dedup.Dedup.embeddingPairs(embeds(s, dir), 0.4)),
+
+    // --- similarity search over embeddings ---
+    "q_ann_topk" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      graft.similarity.Ann.bruteTopK(e, e.filter(col("vec_id") < 8), 5)
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      graft.similarity.Ann.lshNeighbors(e, e.filter(col("vec_id") < 8), 5)
+    }),
+
+    // --- multiline/session assembly (reader/multiline as groupBy-fold) ---
+    "q_sessions" -> ((s, dir) =>
+      graft.operators.Actions.sessionize(t(s, dir))),
+
+    // --- the actions processor family as one representative chain ---
+    "q_actions_chain" -> ((s, dir) => {
+      import graft.operators.Actions
+      t(s, dir).select(
+        col("conv_id"), col("turn_idx"),
+        Actions.truncateField(col("text"), 40).as("text_trunc"),
+        Actions.replaceField(col("text"), "evt=", "event=").as("text_replaced"),
+        upper(col("role")).as("role_upper"),
+        Actions.convertField(col("turn_idx"), "long").as("turn_long"),
+        date_format(col("ts"), "yyyy-MM-dd").as("ts_day"),
+        Actions.fingerprint(Seq(col("conv_id"), col("turn_idx"), col("role"))).as("fp"),
+        array_join(Actions.addTags(array(col("role")), Seq("graft", "beats")), ",").as("tags_str"),
+        base64(col("role").cast("binary")).as("role_b64"))
+    }),
+
+    // --- ratelimit (token-bucket batch analogue: first-N per key) ---
+    "q_ratelimit" -> ((s, dir) =>
+      graft.operators.Actions.rateLimitCounts(t(s, dir), "conv_id", "turn_idx", 5)),
+
+    // --- kafka fields-hash partitioner (FNV-1a-32 % n) ---
+    "q_kafka_partition" -> ((s, dir) =>
+      t(s, dir)
+        .select(graft.operators.Actions.kafkaPartition(col("conv_id"), 16).as("part_id"))
+        .groupBy("part_id").agg(count(lit(1)).as("events"))),
+
+    // --- dissect tokenizer over the serverlog-shaped text ---
+    "q_dissect" -> ((s, dir) =>
+      t(s, dir)
+        .withColumn("_d", graft.functions.dissect(col("text"),
+          "%{date} %{time} %{service} %{host} %{level} [%{thread}] " +
+            "%{class} %{method} [%{line|int}] [%{trace}] [%{span}] %{body}"))
+        .filter(col("_d").isNotNull)
+        .select(col("conv_id"), col("turn_idx"), col("_d.service"), col("_d.host"),
+          col("_d.level"), col("_d.thread"), col("_d.class"), col("_d.method"),
+          col("_d.line"), col("_d.trace"), col("_d.span"))),
+
+    // --- decode_json_fields over the embedded ##JIDU## envelope ---
+    "q_decode_json" -> ((s, dir) =>
+      TranscriptPipeline.parse(t(s, dir))
+        .filter(col("extra").isNotNull)
+        .select(col("conv_id"), col("turn_idx"),
+          element_at(col("extra"), "extra_k").as("extra_k")))
   )
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embeds(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   def oracleSql: Map[String, String] = Map(
     "q_transcripts" ->
@@ -80,6 +163,131 @@ object SparkEntry {
     "q_bucket_metrics" ->
       (OracleCte.parsed +
         """ SELECT CAST(substr(conv_id, 6, 8) AS INTEGER) % 8 AS bucket,
-          | sink, count(*) AS events FROM parsed GROUP BY 1, 2""".stripMargin)
+          | sink, count(*) AS events FROM parsed GROUP BY 1, 2""".stripMargin),
+
+    "q_text_stats" ->
+      (OracleCte.docTokens +
+        """, hits AS (
+          |  SELECT doc_id, text, toks,
+          |    CAST(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is','it'], lower(t)))) AS INTEGER) AS en_h,
+          |    CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], lower(t)))) AS INTEGER) AS de_h,
+          |    CAST(len(list_filter(toks, t -> list_contains(['le','la','et','les','des','une','est'], lower(t)))) AS INTEGER) AS fr_h,
+          |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()]', '', 'g')) AS INTEGER) AS punct
+          |  FROM sh)
+          | SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+          |  en_h AS stop_hits, punct AS punct_chars,
+          |  CAST(floor(CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 10000.0 + 0.5) AS INTEGER) AS avg_token_len_e4,
+          |  CASE WHEN en_h + de_h + fr_h = 0 THEN 'und'
+          |       WHEN en_h >= de_h AND en_h >= fr_h THEN 'en'
+          |       WHEN de_h >= fr_h THEN 'de' ELSE 'fr' END AS lang,
+          |  CAST(floor((0.5 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+          |      + 0.3 * least(5.0 * (CAST(en_h AS DOUBLE) / CAST(len(toks) AS DOUBLE)), 1.0)
+          |      + 0.2 * (1.0 - CAST(punct AS DOUBLE) / CAST(length(text) AS DOUBLE))) * 10000.0 + 0.5) AS INTEGER) AS quality_e4
+          | FROM hits""".stripMargin),
+
+    "q_dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        | min(doc_id) AS keep_id, count(*) AS n_dupes
+        | FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      (OracleCte.jaccardPairs + " SELECT * FROM jpairs"),
+
+    // minhash LSH has effectively-perfect recall at τ=0.8 with bands=16/r=2
+    // (DedupSpec pins set-equality vs brute force), so its oracle is the same
+    // brute-force verified-pair SQL.
+    "q_dedup_minhash" ->
+      (OracleCte.jaccardPairs + " SELECT * FROM jpairs"),
+
+    "q_dedup_embedding" ->
+      (OracleCte.cosinePairs +
+        """ SELECT a_id, b_id, round(cos, 4) AS cos
+          | FROM cpairs WHERE cos >= 0.4""".stripMargin),
+
+    "q_ann_topk" ->
+      (OracleCte.cosinePairs.replace(", cpairs AS (", ", cpairs_unused AS (") +
+        """, q AS (SELECT * FROM e WHERE vec_id < 8),
+          | scored AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    list_dot_product(q.v, c.v) /
+          |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+          |  FROM e c JOIN q ON q.vec_id <> c.vec_id
+          | ), ranked AS (
+          |  SELECT query_id,
+          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+          |    neighbor_id, round(cos, 4) AS cos
+          |  FROM scored)
+          | SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5""".stripMargin),
+
+    "q_sessions" ->
+      (OracleCte.transcripts +
+        """ SELECT conv_id, count(*) AS n_turns,
+          | string_agg(text, chr(10) ORDER BY turn_idx) AS session_text
+          | FROM transcripts GROUP BY conv_id""".stripMargin),
+
+    "q_actions_chain" ->
+      (OracleCte.transcripts +
+        """ SELECT conv_id, turn_idx,
+          | substr(text, 1, 40) AS text_trunc,
+          | regexp_replace(text, 'evt=', 'event=', 'g') AS text_replaced,
+          | upper(role) AS role_upper,
+          | CAST(turn_idx AS BIGINT) AS turn_long,
+          | strftime(ts, '%Y-%m-%d') AS ts_day,
+          | sha256(conv_id || '|' || CAST(turn_idx AS VARCHAR) || '|' || role) AS fp,
+          | array_to_string(list_sort(list_distinct([role, 'graft', 'beats'])), ',') AS tags_str,
+          | to_base64(CAST(role AS BLOB)) AS role_b64
+          | FROM transcripts""".stripMargin),
+
+    "q_ratelimit" ->
+      (OracleCte.transcripts +
+        """, rn AS (
+          |  SELECT conv_id,
+          |    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS r
+          |  FROM transcripts)
+          | SELECT conv_id,
+          |  CAST(sum(CASE WHEN r <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+          |  CAST(sum(CASE WHEN r > 5 THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+          | FROM rn GROUP BY conv_id""".stripMargin),
+
+    "q_kafka_partition" ->
+      (OracleCte.transcripts +
+        """ SELECT CAST(list_reduce(
+          |    list_prepend(2166136261::BIGINT,
+          |      list_transform(string_split(conv_id, ''), c -> ord(c)::BIGINT)),
+          |    (h, c) -> (xor(h, c) * 16777619) % 4294967296) % 16 AS INTEGER) AS part_id,
+          |  count(*) AS events
+          | FROM transcripts GROUP BY 1""".stripMargin),
+
+    "q_dissect" ->
+      (OracleCte.transcripts +
+        """, d AS (
+          |  SELECT conv_id, turn_idx, text,
+          |    split_part(text, ' ', 3) AS service,
+          |    split_part(text, ' ', 4) AS host,
+          |    split_part(text, ' ', 5) AS level,
+          |    split_part(text, ' ', 6) AS f6,
+          |    split_part(text, ' ', 7) AS class,
+          |    split_part(text, ' ', 8) AS method,
+          |    split_part(text, ' ', 9) AS f9,
+          |    split_part(text, ' ', 10) AS f10,
+          |    split_part(text, ' ', 11) AS f11
+          |  FROM transcripts
+          |  WHERE (length(text) - length(replace(text, ' ', '')) + 1) >= 11)
+          | SELECT conv_id, turn_idx, service, host, level,
+          |  substr(f6, 2, length(f6) - 2) AS thread,
+          |  class, method,
+          |  CAST(substr(f9, 2, length(f9) - 2) AS INTEGER) AS line,
+          |  substr(f10, 2, length(f10) - 2) AS trace,
+          |  substr(f11, 2, length(f11) - 2) AS span
+          | FROM d""".stripMargin),
+
+    "q_decode_json" ->
+      (OracleCte.parsed +
+        """ SELECT conv_id, turn_idx,
+          | json_extract_string(substr(message, 9, length(message) - 16), '$.extra_k') AS extra_k
+          | FROM parsed WHERE message IS NOT NULL""".stripMargin)
+
+    // q_dedup_simhash / q_ann_lsh: custom-hash sketches with no ANSI-SQL
+    // mirror → rows-only driver check; semantics pinned by DedupSpec/AnnSpec.
   )
 }

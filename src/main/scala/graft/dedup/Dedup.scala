@@ -1,0 +1,153 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.textops.TextOps
+
+/** Near-duplicate detection for training-data corpora, in three families:
+  *
+  *  1. n-gram Jaccard (exact, pairwise)    — the verification oracle
+  *  2. MinHash + banded LSH                — the 10^12-doc scale path
+  *  3. SimHash + pigeonhole chunk blocking — bit-sketch alternative
+  *
+  * The scale architecture: every family reduces the O(n²) pair space to
+  * candidate generation by a SHUFFLE ON A SMALL KEY (band bucket / simhash
+  * chunk / length block), then verifies only candidates. Nothing in here ever
+  * broadcasts or collects the corpus; hot buckets (boilerplate shingles) are
+  * the known skew risk and are handled by AQE skew-join splitting plus the
+  * `maxBucket` guard that drops degenerate buckets (standard practice: a
+  * bucket with thousands of members is boilerplate, not near-dup signal).
+  */
+object Dedup {
+
+  /** distinct word w-shingles of the normalized text; a document shorter than
+    * `w` tokens contributes its whole text as one shingle. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = TextOps.tokens(TextOps.normalized(text))
+    array_distinct(
+      when(size(toks) < w, array(array_join(toks, " ")))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - w),
+          i => array_join(slice(toks, i + 1, lit(w)), " "))))
+  }
+
+  /** exact set Jaccard between two distinct-element arrays (both engines can
+    * mirror this: |a ∩ b| via filter+contains, |a ∪ b| = |a|+|b|-|a∩b|). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter).cast("double")
+  }
+
+  /** pair-level exact verification columns: |a∩b| and |a∪b| as INTEGERS, with
+    * the τ-threshold applied in integer arithmetic (`inter·100 ≥ τ%·union`).
+    * Oracle-robust by construction — no float rounding can diverge between
+    * engines. */
+  private def verifiedPairs(joined: DataFrame, tauPct: Int): DataFrame =
+    joined
+      .withColumn("n_inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("n_union", size(col("a_sh")) + size(col("b_sh")) - col("n_inter"))
+      .filter(col("n_inter") * 100 >= col("n_union") * tauPct)
+      .select(col("a_id"), col("b_id"), col("n_inter"), col("n_union"))
+
+  /** Family 1 — brute-force pairwise n-gram Jaccard with LENGTH BLOCKING:
+    * only pairs whose token counts differ by ≤ `lenBlock` are compared
+    * (a true near-dup at τ≥0.8 cannot differ much in length). Exact within
+    * its blocking contract; the oracle for the sketch families. Quadratic —
+    * reserved for verification scale. τ is a percentage (80 = 0.8) so the
+    * threshold stays in integer math. */
+  def jaccardPairs(docs: DataFrame, tauPct: Int, lenBlock: Int = 40): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"),
+      TextOps.tokenCount(col("text")).as("n_tok"))
+    val a = sh.toDF("a_id", "a_sh", "a_n")
+    val b = sh.toDF("b_id", "b_sh", "b_n")
+    verifiedPairs(
+      a.join(b, col("a_id") < col("b_id") &&
+        abs(col("a_n") - col("b_n")) <= lenBlock), tauPct)
+  }
+
+  /** Family 2 — MinHash signatures + banded LSH candidate join + exact
+    * Jaccard verification.
+    *
+    * k signature slots in `bands` bands of k/bands rows; two docs collide if
+    * any band matches entirely. Candidates are verified with true Jaccard so
+    * the output has NO false positives; recall is the standard banding
+    * S-curve (defaults k=32, bands=16, r=2 → collide-probability
+    * 1-(1-J²)^16 ≈ 1-1.5e-9 at J=0.85 — effectively perfect recall above the
+    * τ=0.8 gate; trade bands down for fewer candidates when τ is lower).
+    *
+    * Shuffle profile at scale: one narrow pass to sign, one explode (×bands),
+    * one shuffle on (band, bucket) — a 12-byte key — then verification joins
+    * that rehydrate only candidate shingle sets by doc_id.
+    */
+  def minhashPairs(docs: DataFrame, tauPct: Int, k: Int = 32, bands: Int = 16,
+                   maxBucket: Int = 64): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sig = sh.select(col("doc_id"), col("sh"), minhash_sig(col("sh"), k).as("sig"))
+
+    // explode into (doc_id, band, bucket-hash-of-band-slice)
+    val banded = sig.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(bnd, array_join(slice(col("sig"), bnd * lit(r) + 1, lit(r)), ","))))
+        .as(Seq("band", "bucket")))
+
+    // degenerate-bucket guard (boilerplate shingles → mega-buckets → skew)
+    val sized = banded.groupBy("band", "bucket")
+      .agg(collect_list("doc_id").as("ids"), count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= maxBucket)
+
+    val cands = sized
+      .select(explode(expr(
+        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"))
+        .as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .distinct()
+
+    // verify candidates with exact Jaccard (rehydrate shingles by id)
+    val aSh = sh.toDF("a_id", "a_sh")
+    val bSh = sh.toDF("b_id", "b_sh")
+    verifiedPairs(cands.join(aSh, "a_id").join(bSh, "b_id"), tauPct)
+  }
+
+  /** Family 3 — SimHash near-dup: 64-bit sketch per doc, candidates by
+    * pigeonhole (hamming ≤ maxHamming over 64 bits ⇒ at least one of
+    * (maxHamming+1) chunks is identical), verified by exact popcount.
+    * Output: candidate pairs with their hamming distance.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val sigs = docs.select(col("doc_id"),
+      simhash64(TextOps.tokens(TextOps.normalized(col("text")))).as("sig"))
+    val mask = (1L << bitsPer) - 1
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(expr(
+        s"transform(sequence(0, ${chunks - 1}), c -> shiftrightunsigned(sig, c * $bitsPer) & ${mask}L)"))
+        .as(Seq("chunk", "key")))
+    val a = banded.toDF("a_id", "a_sig", "chunk", "key")
+    val b = banded.toDF("b_id", "b_sig", "chunk", "key")
+    a.join(b, Seq("chunk", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Family 4 — embedding cosine near-dup (brute force with id ordering;
+    * the LSH-bucketed scale path is [[graft.similarity.Ann.lshNeighbors]]). */
+  def embeddingPairs(embeds: DataFrame, tau: Double): DataFrame = {
+    val a = embeds.select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+    val b = embeds.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", cosine_sim(col("a_v"), col("b_v")))
+      .filter(col("cos") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+  }
+}

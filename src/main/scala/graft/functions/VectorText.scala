@@ -1,0 +1,218 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels for the vector/text similarity expressions. Kept as plain
+  * static methods so whole-stage codegen emits a single call — the per-row
+  * hot path allocates nothing beyond its result.
+  */
+object VectorTextKernel {
+
+  /** FNV-1a 64-bit over UTF-8 bytes — self-contained, stable across JVMs. */
+  def fnv1a64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** FNV-1a 32-bit — the exact hash the reference kafka partitioner uses
+    * (libbeat/outputs/kafka/partition.go:216-238, Go hash/fnv New32a). */
+  def fnv1a32(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    var h = 0x811c9dc5
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xff)
+      h *= 0x01000193
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit SimHash over a token array: per-token FNV-1a 64 hash votes ±1 on
+    * each bit; the sign of each bit's tally forms the output. Null tokens are
+    * skipped. */
+  def simhash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = fnv1a64(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** k-permutation MinHash signature over a shingle array, ONE pass over the
+    * shingles for all k hash functions (vs k array_min(transform(...)) scans).
+    * h_j(x) = (A_j * x + B_j) mod P with x = fnv1a64(shingle) folded into
+    * [0, P), P = 2^31-1; A_j/B_j derived deterministically from j. */
+  def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
+    val P = 2147483647L
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val x = java.lang.Math.floorMod(fnv1a64(shingles.getUTF8String(i)), P)
+        var j = 0
+        while (j < k) {
+          val a = 2L * j + 1L        // odd, < 2^31
+          val b = 7919L * (j + 1L)
+          val h = java.lang.Math.floorMod(a * x + b, P)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (n == 0) java.util.Arrays.fill(mins, 0L)
+    new GenericArrayData(mins)
+  }
+
+  /** cosine similarity of two float/double arrays, accumulated in double in
+    * index order (bit-reproducible). Returns Double.NaN on length mismatch
+    * or zero norm — callers filter. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return Double.NaN
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) Double.NaN
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** sign-bit bucket for random-hyperplane LSH: bit j of the result is the
+    * sign of <v, p_j> where hyperplane component p_j[i] is a deterministic
+    * pseudo-random value in [-0.5, 0.5) derived from (seed, j, i). `seed`
+    * selects an independent hash table (multi-table LSH). */
+  def hyperplaneBucket(v: ArrayData, planes: Int, seed: Int): Int = {
+    val n = v.numElements()
+    var bucket = 0
+    var j = 0
+    while (j < planes) {
+      val row = seed.toLong * 1024L + j
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        // LCG-ish mix of (seed, j, i) → [-0.5, 0.5)
+        var h = (row * 0x9E3779B97F4A7C15L) ^ (i.toLong * 0xC2B2AE3D27D4EB4FL)
+        h = (h ^ (h >>> 31)) * 0x7FB5D329728EA185L
+        val comp = ((java.lang.Math.floorMod(h, 1000000L)).toDouble / 1000000.0) - 0.5
+        dot += v.getFloat(i).toDouble * comp
+        i += 1
+      }
+      if (dot >= 0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
+}
+
+/** `simhash64(tokens)` — 64-bit SimHash of an array<string> column. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    VectorTextKernel.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorTextKernel.simhash64($c);")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `minhash_sig(shingles, k)` — array<long> MinHash signature. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0 && k <= 512, s"minhash k out of range: $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    VectorTextKernel.minhashSig(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorTextKernel.minhashSig($c, $k);")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `cosine_sim(a, b)` over array<float> columns — one fused loop, no
+  * zip_with/aggregate intermediate arrays. NULL on NaN (mismatch/zero norm). */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val c = VectorTextKernel.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (java.lang.Double.isNaN(c)) null else c
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.VectorTextKernel.cosine($a, $b);
+      if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; ${ev.value} = 0.0; }
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** `hyperplane_bucket(vec, planes, seed)` — random-hyperplane LSH bucket id
+  * in hash table `seed`. */
+case class HyperplaneBucket(child: Expression, planes: Int, seed: Int = 0)
+    extends UnaryExpression {
+  require(planes > 0 && planes <= 30, s"planes out of range: $planes")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hyperplane_bucket"
+  override protected def nullSafeEval(input: Any): Any =
+    VectorTextKernel.hyperplaneBucket(input.asInstanceOf[ArrayData], planes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorTextKernel.hyperplaneBucket($c, $planes, $seed);")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
+/** `fnv1a32(s)` — the reference kafka fields-hash partitioner's hash
+  * (libbeat/outputs/kafka/partition.go:216-238). */
+case class Fnv1a32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "fnv1a32"
+  override protected def nullSafeEval(input: Any): Any =
+    VectorTextKernel.fnv1a32(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorTextKernel.fnv1a32($c);")
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a32 =
+    copy(child = newChild)
+}

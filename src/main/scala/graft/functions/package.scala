@@ -40,4 +40,25 @@ package object functions {
     * derived from identity columns, not random — add_id/add_id.go:64-90). */
   def deterministic_id(convId: Column, turnIdx: Column): Column =
     sha2(concat_ws("#", convId, turnIdx.cast("string")), 256)
+
+  /** 64-bit SimHash of a token array (near-dup sketching). */
+  def simhash64(tokens: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+
+  /** k-wide MinHash signature (array<long>) of a shingle array. */
+  def minhash_sig(shingles: Column, k: Int): Column =
+    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(shingles), k))
+
+  /** cosine similarity of two array<float> embedding columns (double). */
+  def cosine_sim(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** random-hyperplane LSH bucket id for an embedding column; `seed` selects
+    * one of L independent hash tables (multi-table LSH). */
+  def hyperplane_bucket(vec: Column, planes: Int, seed: Int = 0): Column =
+    ExpressionUtils.column(HyperplaneBucket(ExpressionUtils.expression(vec), planes, seed))
+
+  /** FNV-1a 32-bit hash (reference kafka partitioner hash). */
+  def fnv1a32(s: Column): Column =
+    ExpressionUtils.column(Fnv1a32(ExpressionUtils.expression(s)))
 }

@@ -44,9 +44,11 @@ object Transcripts {
     *  - e %  5 == 0  → `##JIDU##` embedded-JSON suffix
     */
   private def textCol(e: Column, u: Column, et: Column): Column = {
-    val lvlWord = expr(
-      "CASE event_type WHEN 'error' THEN 'error' WHEN 'purchase' THEN 'info' " +
-        "WHEN 'click' THEN 'debug' WHEN 'view' THEN 'verbose' ELSE 'warn' END")
+    val lvlWord = when(et === "error", lit("error"))
+      .when(et === "purchase", lit("info"))
+      .when(et === "click", lit("debug"))
+      .when(et === "view", lit("verbose"))
+      .otherwise(lit("warn"))
     val svcBase = concat(lit("svc-"), et)
     val svc = when(e % 17 === 0, concat(lit("Svc-"), et))
       .when(e % 10 === 3, concat(svcBase, lit(",")))

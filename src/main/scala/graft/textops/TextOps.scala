@@ -1,0 +1,110 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting, exact dedup.
+  *
+  * All of these are pure `Column` compositions over built-in (codegen'd)
+  * functions — per-row narrow transforms with NO shuffle, so they scale
+  * linearly with input size; the only wide operator in this file is the
+  * dedup `groupBy`, which shuffles a 32-char fingerprint (never the full
+  * document text) plus the ids it needs to keep.
+  *
+  * The reference engine's closest analogues are its per-event scalar
+  * processors (libbeat/processors/actions, fingerprint/fingerprint.go:70-120);
+  * the corpus-level operators (dedup, quality filtering) are the extensions a
+  * training-data pipeline needs on top.
+  */
+object TextOps {
+
+  /** tiny per-language stopword lists for the n-gram/stopword language
+    * heuristic. Deterministic and ANSI-SQL-mirrorable by design. */
+  val StopEn: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  val StopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "ein")
+  val StopFr: Seq[String] = Seq("le", "la", "et", "les", "des", "une", "est")
+
+  /** whitespace tokenizer (the BPE-ish regex split used for token budgeting). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** count of tokens found in `words` (exact, lowercased). */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(set, lower(t))))
+  }
+
+  /** punctuation characters removed by the fixed class (same class both in
+    * Spark and the DuckDB oracle — do NOT use \p{Punct}, engines disagree). */
+  def punctChars(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:'\"()]", ""))
+
+  /** quality score in [0,1]: token-volume, stopword density, punctuation
+    * sanity. Raw double — callers needing cross-engine equality use
+    * [[scaled4]] (engine round() implementations disagree on half-cases). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val stopRatio = stopwordHits(text, StopEn).cast("double") / nTok
+    val punctRatio = punctChars(text).cast("double") / length(text).cast("double")
+    lit(0.5) * least(nTok / lit(50.0), lit(1.0)) +
+      lit(0.3) * least(lit(5.0) * stopRatio, lit(1.0)) +
+      lit(0.2) * (lit(1.0) - punctRatio)
+  }
+
+  /** engine-independent 4-decimal fixed-point: floor(x·10⁴ + 0.5) as int.
+    * Both Spark and any ANSI engine execute the identical IEEE sequence, so
+    * results match bit-for-bit — unlike round(x, 4), whose half-case
+    * behavior is implementation-defined. */
+  def scaled4(x: Column): Column =
+    floor(x * lit(10000.0) + lit(0.5)).cast("int")
+
+  /** stopword-vote language ID: argmax of per-language stopword hits, with
+    * first-listed language winning ties (en > de > fr), 'und' when no list
+    * scores at all. */
+  def langId(text: Column): Column = {
+    val en = stopwordHits(text, StopEn)
+    val de = stopwordHits(text, StopDe)
+    val fr = stopwordHits(text, StopFr)
+    when(en + de + fr === 0, lit("und"))
+      .when(en >= de && en >= fr, lit("en"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** canonical form for near-identical-text matching: lowercase, trim,
+    * collapse whitespace runs. */
+  def normalized(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** 128-bit content fingerprint of the normalized text (hex). Shuffling /
+    * joining on this instead of raw text keeps wide stages narrow-byte. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** per-document feature frame over `documents(doc_id, text, ...)`. */
+  def stats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      stopwordHits(col("text"), StopEn).as("stop_hits"),
+      punctChars(col("text")).as("punct_chars"),
+      scaled4(length(col("text")).cast("double") / tokenCount(col("text")).cast("double"))
+        .as("avg_token_len_e4"),
+      langId(col("text")).as("lang"),
+      scaled4(qualityScore(col("text"))).as("quality_e4"))
+
+  /** exact near-identical dedup: group by content fingerprint, keep the
+    * smallest doc_id of each group. One shuffle, keyed on the 32-char
+    * fingerprint — at 10^12 docs this is the standard map-side-combinable
+    * min/count aggregate, never an O(n²) compare. */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** the surviving rows after exact dedup (keeps full doc row of keepers). */
+  def dedupedDocs(docs: DataFrame): DataFrame = {
+    val keep = dedupExact(docs).select(col("keep_id").as("doc_id"))
+    docs.join(keep, Seq("doc_id"), "left_semi")
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Actions
+import graft.pipeline.TranscriptPipeline
+import graft.sources.Transcripts
+
+class ActionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val t = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+
+  test("sessionize: one row per conv, turns joined in turn_idx order") {
+    val sess = Actions.sessionize(t)
+    assert(sess.count() == t.select("conv_id").distinct().count())
+    // per-turn ordering: session_text of a conv == texts sorted by turn_idx
+    val conv = t.select("conv_id").as[String].head()
+    val expect = t.filter(col("conv_id") === conv)
+      .orderBy("turn_idx").select("text").as[String].collect().mkString("\n")
+    val got = sess.filter(col("conv_id") === conv)
+      .select("session_text").as[String].head()
+    assert(got == expect)
+  }
+
+  test("rateLimit: kept ≤ limit, kept+dropped == group size") {
+    val rl = Actions.rateLimitCounts(t, "conv_id", "turn_idx", 5)
+    val sizes = t.groupBy("conv_id").count()
+    val joined = rl.join(sizes, "conv_id")
+      .filter(col("kept") > 5 || col("kept") + col("dropped") =!= col("count"))
+    assert(joined.count() == 0)
+  }
+
+  test("kafkaPartition: stable, in range, all partitions used") {
+    val parts = t.select(Actions.kafkaPartition(col("conv_id"), 16).as("p"))
+      .distinct().as[Int].collect().toSet
+    assert(parts.forall(p => p >= 0 && p < 16))
+    assert(parts.size > 8, s"suspiciously few partitions hit: $parts")
+  }
+
+  test("dissect agrees with the serverlog parser on well-formed rows") {
+    val pattern = "%{date} %{time} %{service} %{host} %{level} [%{thread}] " +
+      "%{class} %{method} [%{line|int}] [%{trace}] [%{span}] %{body}"
+    val both = TranscriptPipeline.parse(t)
+      .withColumn("_d", graft.functions.dissect(col("text"), pattern))
+      .filter(col("status") === "ok")
+    // serverlog strips one trailing comma from service and uppercases level;
+    // dissect is purely positional — normalize before comparing
+    val diff = both.filter(
+      col("_d").isNull ||
+        col("_d.host") =!= col("hostname") ||
+        upper(col("_d.level")) =!= col("level") ||
+        col("_d.thread") =!= col("thread") ||
+        col("_d.class") =!= col("class") ||
+        col("_d.method") =!= col("method") ||
+        col("_d.line").cast("long") =!= col("line") ||
+        col("_d.trace") =!= col("trace_id") ||
+        col("_d.span") =!= col("span_id") ||
+        regexp_replace(col("_d.service"), ",$", "") =!= col("service"))
+    assert(diff.count() == 0, diff.select("text").take(3).mkString("\n"))
+  }
+
+  test("timestamp multi-format parse picks first matching layout") {
+    val df = Seq("2024-01-02 03:04:05", "2024/01/02 03:04:05", "nope").toDF("s")
+    val parsed = df.select(Actions.parseTimestamp(col("s"),
+      Seq("yyyy-MM-dd HH:mm:ss", "yyyy/MM/dd HH:mm:ss")).as("ts"))
+    assert(parsed.filter(col("ts").isNotNull).count() == 2)
+  }
+
+  test("decodeBase64 round-trips text") {
+    val df = Seq("hello graft", "ünïcödé").toDF("s")
+    val bad = df.withColumn("rt", Actions.decodeBase64(base64(col("s").cast("binary"))))
+      .filter(col("rt") =!= col("s"))
+    assert(bad.count() == 0)
+  }
+
+  test("include/exclude line filters partition the input") {
+    val inc = Actions.includeLines(t, "text", "evt=").count()
+    val exc = Actions.excludeLines(t, "text", "evt=").count()
+    assert(inc + exc == t.count())
+  }
+}

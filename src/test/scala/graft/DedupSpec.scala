@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.textops.TextOps
+
+/** Near-dup family tests over the driver-provided documents table.
+  * The corpus plants ~25 near-identical pairs (trigram-shingle J ≥ 0.85);
+  * everything else sits at J ≈ 0, so τ=80% separates cleanly.
+  */
+class DedupSpec extends SparkSpec {
+
+  lazy val docs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Int, Int)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+
+  test("brute-force jaccard pairs find the planted near-dups and nothing else") {
+    val pairs = Dedup.jaccardPairs(docs, 80).collect()
+    assert(pairs.length > 5 && pairs.length < 100,
+      s"expected a few dozen planted pairs, got ${pairs.length}")
+    // every reported pair really is above threshold, in integer math
+    pairs.foreach { r =>
+      val (i, u) = (r.getInt(2), r.getInt(3))
+      assert(i * 100 >= u * 80, s"pair below threshold: $r")
+    }
+  }
+
+  test("minhash LSH (k=32, bands=16) recall is exact vs brute force at tau=0.8") {
+    val brute = pairSet(Dedup.jaccardPairs(docs, 80))
+    val lsh = pairSet(Dedup.minhashPairs(docs, 80))
+    assert(lsh == brute,
+      s"missed=${(brute -- lsh).take(5)} extra=${(lsh -- brute).take(5)}")
+  }
+
+  test("minhash verification stage admits no false positives") {
+    val lsh = Dedup.minhashPairs(docs, 80).collect()
+    lsh.foreach { r =>
+      assert(r.getInt(2) * 100 >= r.getInt(3) * 80)
+    }
+  }
+
+  test("simhash pigeonhole blocking is lossless vs brute-force hamming") {
+    import graft.functions.simhash64
+    val sim = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: all pairs with hamming(sig_a, sig_b) <= 3
+    val sigs = docs.select(col("doc_id"),
+      simhash64(TextOps.tokens(TextOps.normalized(col("text")))).as("sig"))
+    val a = sigs.toDF("a_id", "a_sig")
+    val b = sigs.toDF("b_id", "b_sig")
+    val brute = a.join(b, col("a_id") < col("b_id"))
+      .filter(bit_count(col("a_sig").bitwiseXOR(col("b_sig"))) <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(sim == brute,
+      s"missed=${(brute -- sim).take(5)} extra=${(sim -- brute).take(5)}")
+  }
+
+  test("embedding cosine pairs are symmetric-free and above threshold") {
+    val embeds = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = Dedup.embeddingPairs(embeds, 0.4).collect()
+    assert(pairs.nonEmpty && pairs.length < 2000)
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4)
+    }
+  }
+
+  test("shingles: short docs fall back to whole-text shingle") {
+    import spark.implicits._
+    val df = Seq((1L, "one two"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("one two"))
+    assert(sh(2L) == Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("exact dedup keeps min doc_id per normalized-text group") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, "Hello  World"), (11L, "hello world"), (12L, "different text")
+    ).toDF("doc_id", "text")
+    val keep = TextOps.dedupedDocs(df).select("doc_id").as[Long].collect().toSet
+    assert(keep == Set(10L, 12L))
+    val groups = TextOps.dedupExact(df).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(groups(10L) == 2L && groups(12L) == 1L)
+  }
+}
