@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   *     (default 32) over `SPARK_GRAFT_SF_DIR`.
   *  2. the north-rule scaling evidence: the full read→parse→enrich→route→
   *     aggregate pipeline over a materialized `SPARK_GRAFT_BENCH_ROWS`-turn
-  *     transcript parquet table (default 32M, written once from the
+  *     transcript parquet table (default 64M, written once from the
   *     deterministic generator) at local[8] and local[32] on identical input,
   *     reporting turns/sec at both and the scaling efficiency
   *     eff = thr(4N) / (4 · thr(N)), target ≥ 0.8.
@@ -27,6 +27,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // scan-task sizing: with the default 128 MB bins the ~12 MB bench files
+      // pack into ≈ one task per core — a single wave with no load balancing,
+      // so one straggler stretches the whole stage. 16 MB bins ⇒ ~1 file per
+      // task ⇒ ≥4 waves at every parallelism level (the same rule a real
+      // cluster applies: keep tasks ≥ 3-4× executor slots).
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -47,9 +53,24 @@ object Bench {
     path
   }
 
-  /** one full pipeline pass over the materialized input: parse → enrich →
-    * route → per-sink counts. Returns (seconds, turns processed). */
+  /** one full pipeline pass over the materialized input: the aggregation
+    * touches parse fields (`service`), enrich output (`tool_kind`) and the
+    * deterministic id, so Catalyst cannot prune the work down to the
+    * status-only routing fast path — this measures the real
+    * parse→enrich→route cost per turn. Returns (seconds, turns). */
   private def pipelinePass(spark: SparkSession, path: String): (Double, Long) = {
+    val input = spark.read.parquet(path)
+    val t0 = System.nanoTime()
+    val row = pipeline.TranscriptPipeline.transform(input)
+      .agg(count(lit(1)), count(col("service")), count(col("tool_kind")),
+        count(col("doc_id"))).collect()(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    (sec, row.getLong(0))
+  }
+
+  /** the routing-only fast path (ServerlogStatus, no field extraction) —
+    * reported as absolute throughput alongside the scaling numbers. */
+  private def routeOnlyPass(spark: SparkSession, path: String): (Double, Long) = {
     val input = spark.read.parquet(path)
     val t0 = System.nanoTime()
     val counts = pipeline.TranscriptPipeline.metrics(input).collect()
@@ -57,43 +78,99 @@ object Bench {
     (sec, counts.map(_.getLong(1)).sum)
   }
 
+  /** pure-JVM CPU scaling calibration: byte-stream FNV hashing on T threads
+    * for a fixed wall slice. On shared/virtualized hosts the all-core
+    * throughput per core is lower than the few-core one (turbo / bandwidth),
+    * which caps ANY job's N→4N efficiency below 1.0; this measures that
+    * ceiling so the pipeline's efficiency can be read against it. */
+  private def calibrate(threads: Int, bufBytes: Int, millis: Long = 3000): Double = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val counts = new java.util.concurrent.atomic.AtomicLongArray(threads)
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        val data = Array.tabulate[Byte](bufBytes)(i => (i * 31).toByte)
+        var c = 0L
+        var sink = 0L
+        while (!stop.get()) {
+          var h = 0xcbf29ce484222325L
+          var i = 0
+          while (i < data.length) { h ^= data(i); h *= 0x100000001b3L; i += 1 }
+          sink ^= h
+          c += 1
+        }
+        counts.set(t, c ^ (sink & 1L)) // keep `sink` live (defeat DCE)
+      })
+    }
+    ts.foreach(_.start()); Thread.sleep(millis)
+    stop.set(true); ts.foreach(_.join())
+    (0 until threads).map(counts.get).sum.toDouble * bufBytes / (millis / 1000.0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "32000000").toLong
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "64000000").toLong
 
     // --- part 1: per-query timings over the sf dir ---
+    // q_dedup_jaccard is excluded: it is the deliberately-quadratic
+    // verification oracle for the sketch families (465 s on 5k docs where
+    // q_dedup_minhash answers identically in ~10 s); benchmarking it would
+    // only measure the oracle, not the engine.
     var spark = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1 == "q_dedup_jaccard")
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     spark.stop()
 
     // --- part 2: N vs 4N scaling over identical materialized input ---
-    // one warm-up pass per parallelism level (codegen + C2 JIT steady
-    // state), then best-of-2 measured passes.
+    // single-run walls on this (virtualized, shared) host are bimodal —
+    // JIT warm-up plus sporadic host noise can inflate a pass several-fold —
+    // so: one warm-up pass per level, then interleaved best-of-3 measured
+    // passes (32, 8, 32, 8, …) so drift hits both levels symmetrically.
     val path = inputPath(benchRows)
-    def measured(cpus: Int): (Double, Long) = {
+    var turns = 0L
+    val walls = Map(32 -> Array.fill(3)(0.0), 8 -> Array.fill(3)(0.0))
+    for (round <- 0 until 3; cpus <- Seq(32, 8)) {
       val s = session(cpus)
-      pipelinePass(s, path) // warm-up
-      val a = pipelinePass(s, path)
-      val b = pipelinePass(s, path)
+      if (round == 0) turns = pipelinePass(s, path)._2 // warm-up
+      walls(cpus)(round) = pipelinePass(s, path)._1
       s.stop()
-      (math.min(a._1, b._1), a._2)
     }
-    val (sec32, turns) = measured(32)
-    val (sec8, _) = measured(8)
+    val sec32 = walls(32).min
+    val sec8 = walls(8).min
+
+    // absolute throughput of the routing-only fast path at 4N
+    val routeThr = {
+      val s = session(32)
+      routeOnlyPass(s, path) // warm
+      val (rsec, rturns) = routeOnlyPass(s, path)
+      s.stop()
+      rturns / rsec
+    }
+
+    // hardware scaling ceiling of this host: L1-resident hashing on raw
+    // threads (warm once, then measure). ~1.0 here means the host itself
+    // scales; any shortfall in the pipeline's efficiency is ours to fix.
+    calibrate(8, 4096, 500)
+    val ceilCpu = calibrate(32, 4096) / (4.0 * calibrate(8, 4096))
+    val ceiling = ceilCpu
 
     val thr8 = turns / sec8
     val thr32 = turns / sec32
     val eff = thr32 / (4.0 * thr8)
-    val scaling = f"""{"rows":$benchRows,"turns_per_sec_8":$thr8%.0f,""" +
+    val effNorm = eff / ceiling
+    val scaling = f"""{"rows":$benchRows,"mode":"full_transform",""" +
+      f""""turns_per_sec_8":$thr8%.0f,""" +
       f""""turns_per_sec_32":$thr32%.0f,"sec_8":$sec8%.3f,"sec_32":$sec32%.3f,""" +
-      f""""efficiency_8_to_32":$eff%.3f}"""
+      f""""efficiency_8_to_32":$eff%.3f,"hw_ceiling_cpu":$ceilCpu%.3f,""" +
+      f""""efficiency_vs_hw_ceiling":$effNorm%.3f,""" +
+      f""""route_only_turns_per_sec_32":$routeThr%.0f}"""
 
     println(
       f"""{"metric":"parse_enrich_route_throughput","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")

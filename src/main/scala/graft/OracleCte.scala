@@ -125,6 +125,18 @@ object OracleCte {
       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
       |)""".stripMargin
 
+  /** events + the 23-char integer-math timestamp string (the SQL twin of
+    * Transcripts.tstr) — shared prefix for the fork-parser family oracles. */
+  val eventTime: String =
+    """WITH et AS (
+      |  SELECT *,
+      |    '2024-01-01 ' || lpad(CAST((event_id % 86400) // 3600 AS VARCHAR), 2, '0') || ':' ||
+      |    lpad(CAST((event_id % 3600) // 60 AS VARCHAR), 2, '0') || ':' ||
+      |    lpad(CAST(event_id % 60 AS VARCHAR), 2, '0') || '.' ||
+      |    lpad(CAST((event_id * 7) % 1000 AS VARCHAR), 3, '0') AS t
+      |  FROM events
+      |)""".stripMargin
+
   /** inline lookup dims as VALUES, mirroring graft.model.Lookups. */
   val lookups: String =
     """ tool_meta(tool, tool_kind, tool_team) AS (

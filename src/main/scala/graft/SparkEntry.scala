@@ -124,7 +124,62 @@ object SparkEntry {
       TranscriptPipeline.parse(t(s, dir))
         .filter(col("extra").isNotNull)
         .select(col("conv_id"), col("turn_idx"),
-          element_at(col("extra"), "extra_k").as("extra_k")))
+          element_at(col("extra"), "extra_k").as("extra_k"))),
+
+    // --- multiline pattern folding (short lines continue previous event) ---
+    "q_multiline" -> ((s, dir) =>
+      graft.operators.Actions.multilineFold(t(s, dir), "evt=")),
+
+    // --- fork parse_filebeat_log: SplitN(msg, "\t", 4) family ---
+    "q_parse_filebeat" -> ((s, dir) => {
+      import graft.sources.Transcripts.tstr
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val e = col("event_id")
+      val tail = concat(col("event_type"), lit(" host-"),
+        (col("user_id") % 5).cast("string"), lit(" evt="), col("event_type"),
+        lit(" id="), e.cast("string"))
+      // e%7==0 → tabs replaced by spaces → malformed (ignore_malformed drop)
+      val line = when(e % 7 === 0,
+        concat(tstr(e), lit(" "), regexp_replace(tail, " ", " ")))
+        .otherwise(concat(tstr(e), lit("\t"),
+          regexp_replace(tail, " ", "\t")))
+      ev.select(e.as("event_id"),
+          graft.functions.ForkParsers.filebeat_log_parse(line).as("_p"))
+        .filter(col("_p").isNotNull)
+        .select(col("event_id"), col("_p.time"), col("_p.level"),
+          col("_p.hostname"), col("_p.message"))
+    }),
+
+    // --- fork parse_vehicle_trace2trace: anchored-regex + @-path family ---
+    "q_parse_trace2trace" -> ((s, dir) => {
+      import graft.sources.Transcripts.tstr
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val e = col("event_id")
+      val letter = expr("CASE CAST(event_id % 7 AS INT) WHEN 0 THEN 'V' WHEN 1 THEN 'D' " +
+        "WHEN 2 THEN 'I' WHEN 3 THEN 'W' WHEN 4 THEN 'E' WHEN 5 THEN 'F' ELSE 'Q' END")
+      val trace = when(e % 17 === 0, lit(""))
+        .otherwise(concat(lit("tr"), (e % 10000).cast("string")))
+      val msg = concat(
+        tstr(e), lit(" "), (e % 100000).cast("string"), lit(" "),
+        (e % 1000).cast("string"), lit(" "), letter,
+        lit(" tag"), (e % 50).cast("string"), lit(": ##MSG## ["),
+        trace, lit("] [sp"), (e % 777).cast("string"),
+        lit("] [pa"), (e % 55).cast("string"),
+        lit("] ["), when(e % 2 === 0, lit("wifi")).otherwise(lit("cellular")),
+        lit("] [u"), (e % 9).cast("string"),
+        lit("] payload evt="), col("event_type"),
+        when(e % 3 === 0, lit(" ##MSG##")).otherwise(lit("")))
+      val path = when(e % 19 === 0, lit("nopath"))
+        .otherwise(concat(lit("/data/logs/f"), (e % 100).cast("string"),
+          lit(".log@ecu"), (e % 3).cast("string"),
+          lit("@vid"), (e % 50).cast("string"),
+          lit("@T"), (e % 2).cast("string"),
+          lit("@c"), (e % 9).cast("string"),
+          lit("@u"), (e % 9).cast("string")))
+      ev.select(e.as("event_id"),
+          graft.functions.ForkParsers.trace2trace_parse(msg, path).as("_p"))
+        .select(col("event_id"), col("_p.*"))
+    })
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -285,7 +340,78 @@ object SparkEntry {
       (OracleCte.parsed +
         """ SELECT conv_id, turn_idx,
           | json_extract_string(substr(message, 9, length(message) - 16), '$.extra_k') AS extra_k
-          | FROM parsed WHERE message IS NOT NULL""".stripMargin)
+          | FROM parsed WHERE message IS NOT NULL""".stripMargin),
+
+    // direct expected-output oracles for the two fork-parser families: the
+    // input lines are deterministic constructions over `events`, so the
+    // parse result is itself constructible in closed form.
+    "q_parse_filebeat" ->
+      (OracleCte.eventTime +
+        """ SELECT event_id, t AS time, upper(event_type) AS level,
+          |  'host-' || CAST(user_id % 5 AS VARCHAR) AS hostname,
+          |  'evt=' || event_type || chr(9) || 'id=' || CAST(event_id AS VARCHAR) AS message
+          | FROM et WHERE event_id % 7 <> 0""".stripMargin),
+
+    "q_parse_trace2trace" ->
+      (OracleCte.eventTime +
+        """, x AS (
+          |  SELECT event_id, user_id, event_type, t,
+          |    event_id % 17 <> 0 AS matched,
+          |    event_id % 19 <> 0 AS haspath,
+          |    CASE CAST(event_id % 7 AS INT) WHEN 0 THEN 'V' WHEN 1 THEN 'D'
+          |      WHEN 2 THEN 'I' WHEN 3 THEN 'W' WHEN 4 THEN 'E' WHEN 5 THEN 'F'
+          |      ELSE 'Q' END AS letter,
+          |    t || ' ' || CAST(event_id % 100000 AS VARCHAR) || ' ' ||
+          |      CAST(event_id % 1000 AS VARCHAR) || ' ' ||
+          |      CASE CAST(event_id % 7 AS INT) WHEN 0 THEN 'V' WHEN 1 THEN 'D'
+          |        WHEN 2 THEN 'I' WHEN 3 THEN 'W' WHEN 4 THEN 'E' WHEN 5 THEN 'F'
+          |        ELSE 'Q' END ||
+          |      ' tag' || CAST(event_id % 50 AS VARCHAR) || ': ##MSG## [' ||
+          |      CASE WHEN event_id % 17 = 0 THEN '' ELSE 'tr' || CAST(event_id % 10000 AS VARCHAR) END ||
+          |      '] [sp' || CAST(event_id % 777 AS VARCHAR) ||
+          |      '] [pa' || CAST(event_id % 55 AS VARCHAR) ||
+          |      '] [' || CASE WHEN event_id % 2 = 0 THEN 'wifi' ELSE 'cellular' END ||
+          |      '] [u' || CAST(event_id % 9 AS VARCHAR) ||
+          |      '] payload evt=' || event_type ||
+          |      CASE WHEN event_id % 3 = 0 THEN ' ##MSG##' ELSE '' END AS msg
+          |  FROM et)
+          | SELECT event_id,
+          |  CASE WHEN haspath THEN 'f' || CAST(event_id % 100 AS VARCHAR) END AS "x-header_filename",
+          |  CASE WHEN haspath THEN 'ecu' || CAST(event_id % 3 AS VARCHAR) END AS "x-header_ecu",
+          |  CASE WHEN haspath THEN 'vid' || CAST(event_id % 50 AS VARCHAR) END AS "x-header_vid",
+          |  CASE WHEN haspath THEN 'T' || CAST(event_id % 2 AS VARCHAR) END AS "x-header_log_type",
+          |  CASE WHEN haspath THEN 'c' || CAST(event_id % 9 AS VARCHAR) END AS "x-header_created_at",
+          |  CASE WHEN haspath THEN 'u' || CAST(event_id % 9 AS VARCHAR) END AS "x-header_uploaded_at",
+          |  CASE WHEN matched THEN t END AS time,
+          |  CASE WHEN matched THEN CAST(event_id % 100000 AS BIGINT) END AS pid,
+          |  CASE WHEN matched THEN CAST(event_id % 1000 AS BIGINT) END AS tid,
+          |  CASE WHEN matched THEN
+          |    CASE letter WHEN 'V' THEN 'VERBOSE' WHEN 'D' THEN 'DEBUG'
+          |      WHEN 'I' THEN 'INFO' WHEN 'W' THEN 'WARN' WHEN 'E' THEN 'ERROR'
+          |      WHEN 'F' THEN 'FATAL' ELSE letter END END AS level,
+          |  CASE WHEN matched THEN 'tag' || CAST(event_id % 50 AS VARCHAR) END AS tag,
+          |  CASE WHEN matched THEN 'tr' || CAST(event_id % 10000 AS VARCHAR) END AS trace_id,
+          |  CASE WHEN matched THEN 'sp' || CAST(event_id % 777 AS VARCHAR) END AS span_id,
+          |  CASE WHEN matched THEN 'pa' || CAST(event_id % 55 AS VARCHAR) END AS parent_span_id,
+          |  CASE WHEN matched THEN CASE WHEN event_id % 2 = 0 THEN 'wifi' ELSE 'cellular' END END AS network,
+          |  CASE WHEN matched THEN 'u' || CAST(event_id % 9 AS VARCHAR) END AS user_id,
+          |  CASE WHEN NOT matched THEN msg
+          |       WHEN event_id % 3 = 0 THEN 'payload evt=' || event_type || ' '
+          |       ELSE 'payload evt=' || event_type END AS message
+          | FROM x""".stripMargin),
+
+    "q_multiline" ->
+      (OracleCte.transcripts +
+        """, g AS (
+          |  SELECT conv_id, turn_idx, text,
+          |    CAST(sum(CASE WHEN regexp_matches(text, 'evt=') THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY conv_id ORDER BY turn_idx
+          |            ROWS UNBOUNDED PRECEDING) AS INTEGER) AS event_idx
+          |  FROM transcripts)
+          | SELECT conv_id, event_idx, min(turn_idx) AS first_turn,
+          |  count(*) AS n_lines,
+          |  string_agg(text, chr(10) ORDER BY turn_idx) AS event_text
+          | FROM g GROUP BY conv_id, event_idx""".stripMargin)
 
     // q_dedup_simhash / q_ann_lsh: custom-hash sketches with no ANSI-SQL
     // mirror → rows-only driver check; semantics pinned by DedupSpec/AnnSpec.

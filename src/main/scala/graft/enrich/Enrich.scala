@@ -39,7 +39,10 @@ object Enrich {
     */
   def saltedRepartition(df: DataFrame, key: String, saltBuckets: Int,
                         numPartitions: Int): DataFrame =
-    df.withColumn("_salt", pmod(hash(col(key), spark_partition_id()), lit(saltBuckets)))
+    // salt from a hash of the WHOLE row: deterministic, and uniform even when
+    // the input has few partitions (a partition-id salt would cap the spread
+    // of a hot key at the input partition count)
+    df.withColumn("_salt", pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
       .repartition(numPartitions, col(key), col("_salt"))
       .drop("_salt")
 }

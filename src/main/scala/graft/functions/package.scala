@@ -13,6 +13,10 @@ package object functions {
   def serverlog_parse(text: Column): Column =
     ExpressionUtils.column(ServerlogParse(ExpressionUtils.expression(text)))
 
+  /** status-only serverlog evaluation (allocation-free routing fast path). */
+  def serverlog_status(text: Column): Column =
+    ExpressionUtils.column(ServerlogStatus(ExpressionUtils.expression(text)))
+
   /** one-pass compiled-regex extraction of all groups → struct column. */
   def grok_struct(text: Column, pattern: String, fields: Seq[String]): Column =
     ExpressionUtils.column(GrokStruct(ExpressionUtils.expression(text), pattern, fields))

@@ -100,6 +100,29 @@ object Actions {
             x => x.getField("text")),
           sep).as("session_text"))
 
+  /** multiline folding (libbeat/reader/multiline/pattern.go:68-236,
+    * `pattern`+`negate`+`match: after` semantics): a line NOT matching
+    * `startPattern` continues the previous event; fold runs of continuation
+    * lines into one event per start line. Batch formulation: a per-conv
+    * running count of start lines assigns a group id (window cumsum — one
+    * shuffle on conv_id, order local to the partition), then an ordered fold
+    * per (conv, group). A leading continuation line opens group 0, matching
+    * the reference's treatment of a file starting mid-event. */
+  def multilineFold(df: DataFrame, startPattern: String): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_start", when(col("text").rlike(startPattern), 1).otherwise(0))
+      .withColumn("event_idx", sum(col("_start")).over(w).cast("int"))
+      .groupBy("conv_id", "event_idx")
+      .agg(
+        min("turn_idx").as("first_turn"),
+        count(lit(1)).cast("long").as("n_lines"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+            x => x.getField("text")),
+          "\n").as("event_text"))
+  }
+
   /** kafka fields-hash partitioner (libbeat/outputs/kafka/partition.go:216-238):
     * FNV-1a-32 of the key, unsigned, mod partition count. */
   def kafkaPartition(key: Column, numPartitions: Int): Column =

@@ -58,18 +58,27 @@ object TranscriptPipeline {
   def routed(df: DataFrame): DataFrame =
     transform(df).filter(col("sink") =!= Filtered)
 
+  /** sink column via the allocation-free status fast path — identical
+    * routing decision to [[transform]] (ServerlogStatus == parse().status by
+    * construction, pinned by PipelineSpec) without the 13-field extraction.
+    * Count/metrics plans route 10^12 rows; they should never pay for fields
+    * nobody reads. */
+  def sinkFast(df: DataFrame): DataFrame =
+    df.withColumn("status", serverlog_status(col("text")))
+      .withColumn("sink", selector.sinkColumn)
+
   /** pipeline metrics, mirroring the reference observer's taxonomy
     * (libbeat/publisher/pipeline/monitoring.go:94-104):
     * total / published (es+ls) / dropped (dead-letter) / filtered. */
   def metrics(df: DataFrame): DataFrame = {
-    transform(df)
+    sinkFast(df)
       .groupBy("sink").agg(count(lit(1)).as("events"))
   }
 
   /** per-conversation-bucket × sink counts (the north-rule parity grouping:
     * per conv_id partition). `buckets` bounds output cardinality at scale. */
   def bucketMetrics(df: DataFrame, buckets: Int = 32): DataFrame =
-    transform(df)
+    sinkFast(df)
       .withColumn("bucket", pmod(hash(col("conv_id")), lit(buckets)))
       .groupBy("bucket", "sink").agg(count(lit(1)).as("events"))
 }

@@ -28,7 +28,7 @@ object Transcripts {
 
   /** 23-char log timestamp string built from pure integer math on `event_id`
     * (no timezone/format dependence — reproducible in any SQL engine). */
-  private def tstr(e: Column): Column = concat(
+  def tstr(e: Column): Column = concat(
     lit("2024-01-01 "),
     lpad(((e % 86400L) / 3600L).cast("long").cast("string"), 2, "0"), lit(":"),
     lpad(((e % 3600L) / 60L).cast("long").cast("string"), 2, "0"), lit(":"),

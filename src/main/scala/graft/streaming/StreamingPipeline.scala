@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.model.{Sinks, TranscriptEvent}
+import graft.pipeline.TranscriptPipeline
+
+/** Structured Streaming surface of the same pipeline — the reference's
+  * native shape (harvest → processors → publish is a standing stream,
+  * filebeat/input/log/harvester.go:242-369). The batch Dataset pipeline is
+  * the north-rule deliverable; this module shows the identical transform
+  * running incrementally:
+  *
+  *  - parse/enrich/route are stateless narrow ops + broadcast joins, so
+  *    [[TranscriptPipeline.transform]] applies to a streaming DataFrame
+  *    unchanged — one definition, two execution modes.
+  *  - [[start]] fans out per-sink writes inside foreachBatch with the
+  *    streaming checkpoint providing the registry/ACK role
+  *    (filebeat/registrar semantics: offsets only advance after the batch's
+  *    sink writes commit).
+  *  - [[windowedMetrics]] is the observer counter set as a watermarked
+  *    windowed aggregation (libbeat/publisher/pipeline/monitoring.go:94-104).
+  *  - [[convOffsets]] mirrors the per-file State high-water mark
+  *    (filebeat/input/file/state.go:29-43) with mapGroupsWithState.
+  */
+object StreamingPipeline {
+
+  /** per-conversation high-water mark state (≈ file.State.Offset). */
+  final case class ConvOffset(conv_id: String, max_turn_idx: Int, turns: Long)
+
+  /** route a streaming transcript frame and fan out to per-sink parquet
+    * directories; exactly-once per sink via the foreachBatch idempotent
+    * overwrite-by-batch pattern + streaming checkpoint. */
+  def start(input: DataFrame, root: String, checkpoint: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    input.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val routed = TranscriptPipeline.transform(batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          for (s <- Sinks.All) {
+            routed.filter(col("sink") === s)
+              .sortWithinPartitions("conv_id", "turn_idx")
+              .write.mode("overwrite").parquet(s"$root/$s/batch=$batchId")
+          }
+        } finally routed.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** watermarked per-window × sink counts (observer metrics, streaming form).
+    * The watermark bounds state: late rows beyond `lateness` are dropped the
+    * same way the reference's close_timeout abandons stale harvesters. */
+  def windowedMetrics(input: DataFrame, windowLen: String = "1 hour",
+                      lateness: String = "10 minutes"): DataFrame =
+    TranscriptPipeline.transform(input.withWatermark("ts", lateness))
+      .groupBy(window(col("ts"), windowLen), col("sink"))
+      .agg(count(lit(1)).as("events"))
+
+  /** running per-conversation offsets via explicit state — the streaming
+    * registry. State is one small record per live conv; timeout discards
+    * convs idle past the processing-time horizon (≈ registry TTL cleanup,
+    * filebeat/registrar/registrar.go:241-260). */
+  def convOffsets(input: Dataset[TranscriptEvent],
+                  idleTimeoutMs: Long = 3600000L): Dataset[ConvOffset] = {
+    import input.sparkSession.implicits._
+    input.groupByKey(_.conv_id)
+      .mapGroupsWithState[ConvOffset, ConvOffset](
+        GroupStateTimeout.ProcessingTimeTimeout()) {
+        (convId: String, turns: Iterator[TranscriptEvent], state: GroupState[ConvOffset]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(ConvOffset(convId, -1, 0L))
+            var maxIdx = prev.max_turn_idx
+            var n = prev.turns
+            turns.foreach { t => if (t.turn_idx > maxIdx) maxIdx = t.turn_idx; n += 1 }
+            val next = ConvOffset(convId, maxIdx, n)
+            state.update(next)
+            state.setTimeoutDuration(idleTimeoutMs)
+            next
+          }
+      }
+  }
+
+  /** convenience: tail a directory of parquet transcript files as a stream
+    * (the harvester/prospector analogue — the table format does the file
+    * discovery and offset bookkeeping that prospector.go hand-rolls). */
+  def fromDirectory(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+      .parquet(dir)
+}

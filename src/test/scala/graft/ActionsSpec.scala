@@ -74,6 +74,22 @@ class ActionsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("multiline fold: continuation lines append to the previous event") {
+    val df = Seq(
+      ("c1", 0, "START a"), ("c1", 1, "  cont1"), ("c1", 2, "  cont2"),
+      ("c1", 3, "START b"), ("c2", 0, "  orphan"), ("c2", 1, "START c")
+    ).toDF("conv_id", "turn_idx", "text")
+    val out = Actions.multilineFold(df, "^START")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(3), r.getString(4))).toMap
+    assert(out(("c1", 1)) == ((3L, "START a\n  cont1\n  cont2")))
+    assert(out(("c1", 2)) == ((1L, "START b")))
+    assert(out(("c2", 0)) == ((1L, "  orphan")))   // leading continuation
+    assert(out(("c2", 1)) == ((1L, "START c")))
+    // totality: line counts add back up to the input
+    assert(out.values.map(_._1).sum == 6L)
+  }
+
   test("include/exclude line filters partition the input") {
     val inc = Actions.includeLines(t, "text", "evt=").count()
     val exc = Actions.excludeLines(t, "text", "evt=").count()

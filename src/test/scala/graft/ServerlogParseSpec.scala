@@ -99,3 +99,42 @@ class ServerlogParseSpec extends SparkSpec {
     assert(viaCodegen.toSeq == Seq("ok", "short"))
   }
 }
+
+/** serverlog_status (the router's allocation-free fast path) must make the
+  * identical decision as the full parse for EVERY input. */
+class ServerlogStatusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("status fast path agrees with parse().status on the full corpus") {
+    val t = graft.sources.Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+    val diff = t
+      .select(
+        col("text"),
+        serverlog_parse(col("text")).getField("status").as("slow"),
+        serverlog_status(col("text")).as("fast"))
+      .filter(col("slow") =!= col("fast"))
+    assert(diff.count() == 0, diff.select("text", "slow", "fast").take(3).mkString("\n"))
+  }
+
+  test("status fast path agrees on adversarial hand-built lines") {
+    val cases = Seq(
+      "",                                  // empty
+      "a b",                               // very short
+      "x " * 15,                           // many items, service 'x' too short
+      "2024 b Svc-bad h i [t] c m [1] [t123] [s1] rest",      // uppercase svc
+      "2024 b svc-ok, h i [t] c m [1] [000000001a] [s1] rest", // benchmark
+      "2024 b svc-ok h i [t] c m [1] [0000000099] [s1] rest",  // benchmark 9
+      "2024 b svc-ok h i [t] c m [1] [00000000zz] [s1] rest",  // not benchmark
+      "2024 b ,sv h i [t] c m [1] [x] [s1] rest",              // comma first
+      "2024 b s, h i [t] c m [1] [x] [s1] rest",               // too short after strip
+      "2024 b svc-ok h i [t] c m [1] [] [s1] rest",            // empty trace
+      "2024 b svc-ok h i [t] c m [1] x [s1] rest"              // unbracketed trace
+    )
+    val diff = cases.toDF("text")
+      .select(col("text"),
+        serverlog_parse(col("text")).getField("status").as("slow"),
+        serverlog_status(col("text")).as("fast"))
+      .filter(col("slow") =!= col("fast"))
+    assert(diff.count() == 0, diff.collect().mkString("\n"))
+  }
+}
