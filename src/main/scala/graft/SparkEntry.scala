@@ -150,6 +150,16 @@ object SparkEntry {
           col("_p.hostname"), col("_p.message"))
     }),
 
+    // --- multimodal: binary media column → typed header metadata ---
+    "q_media_meta" -> ((s, dir) => {
+      import graft.multimodal.functions.media_meta
+      graft.multimodal.Multimodal.synthesizeMedia(docs(s, dir)).toDF()
+        .withColumn("m", media_meta(col("content")))
+        .select(col("doc_id"), col("kind"), col("m.width"), col("m.height"),
+          col("m.channels"), col("m.sample_rate"), col("m.n_frames"),
+          col("m.payload_len"))
+    }),
+
     // --- fork parse_vehicle_trace2trace: anchored-regex + @-path family ---
     "q_parse_trace2trace" -> ((s, dir) => {
       import graft.sources.Transcripts.tstr
@@ -341,6 +351,19 @@ object SparkEntry {
         """ SELECT conv_id, turn_idx,
           | json_extract_string(substr(message, 9, length(message) - 16), '$.extra_k') AS extra_k
           | FROM parsed WHERE message IS NOT NULL""".stripMargin),
+
+    // multimodal header fields are closed-form in doc_id; payload length is
+    // the BYTE length of text (strlen in DuckDB) capped at 256
+    "q_media_meta" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CAST(64 + (doc_id % 32) * 16 AS INTEGER) AS width,
+        | CAST(64 + (doc_id % 24) * 16 AS INTEGER) AS height,
+        | CAST(1 + (doc_id % 2) * 2 AS INTEGER) AS channels,
+        | CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 4000 ELSE 0 END AS INTEGER) AS sample_rate,
+        | CAST(CASE WHEN doc_id % 3 = 2 THEN 8 + (doc_id % 16) ELSE 1 END AS INTEGER) AS n_frames,
+        | CAST(least(strlen(text), 256) AS INTEGER) AS payload_len
+        | FROM documents""".stripMargin,
 
     // direct expected-output oracles for the two fork-parser families: the
     // input lines are deterministic constructions over `events`, so the

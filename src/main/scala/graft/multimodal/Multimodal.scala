@@ -1,0 +1,220 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads with a
+  * typed header, processed by Catalyst expressions and per-partition batch
+  * decoders.
+  *
+  * The container format here is a deterministic FAKE ("GRFT" magic + fixed
+  * header + payload) because no real image/audio codecs ship in this
+  * environment — the STUB points are marked below. Everything around the
+  * stub is real Spark architecture and is what matters at 100 TB:
+  *
+  *  - media stays an opaque `BinaryType` column end-to-end (never hex/base64
+  *    strings — 2× smaller and zero re-encode);
+  *  - header decode is a codegen'd unary expression ([[MediaMeta]]), so
+  *    predicate pushdown on metadata (e.g. `width > 512`) never touches
+  *    payload bytes beyond the 28-byte header;
+  *  - heavy decode runs per-PARTITION with amortized decoder init
+  *    ([[decodePartitions]]) — the Scala analogue of `mapInPandas` batch
+  *    shape: one decoder instance per task, streamed rows, no per-row setup;
+  *  - frame sampling ([[MediaFrames]]) emits `array<binary>` slices that
+  *    `explode` into a frames table without copying payloads row-by-row on
+  *    the driver.
+  */
+object Multimodal {
+
+  val Magic: Array[Byte] = "GRFT".getBytes
+  val HeaderLen: Int = 4 + 4 + 4 + 4 + 4 + 4 + 4 // magic + kind + 5 int fields
+
+  final case class MediaRow(doc_id: Long, kind: String, content: Array[Byte])
+  final case class DecodedRow(doc_id: Long, kind: String, width: Int, height: Int,
+                              feature: Double)
+
+  private def i32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def putI32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+    b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+  }
+
+  /** deterministic fake "capture": header fields derived from doc_id,
+    * payload = UTF-8 bytes of the text (truncated to 256). */
+  def pack(docId: Long, kindCode: Int, textBytes: Array[Byte]): Array[Byte] = {
+    val payload = java.util.Arrays.copyOf(textBytes, math.min(textBytes.length, 256))
+    val out = new Array[Byte](HeaderLen + payload.length)
+    System.arraycopy(Magic, 0, out, 0, 4)
+    putI32(out, 4, kindCode)
+    putI32(out, 8, 64 + (docId % 32).toInt * 16)                         // width
+    putI32(out, 12, 64 + (docId % 24).toInt * 16)                        // height
+    putI32(out, 16, 1 + (docId % 2).toInt * 2)                           // channels
+    putI32(out, 20, if (kindCode == 1) 8000 + (docId % 5).toInt * 4000 else 0) // sample_rate
+    putI32(out, 24, if (kindCode == 2) 8 + (docId % 16).toInt else 1)    // n_frames
+    System.arraycopy(payload, 0, out, HeaderLen, payload.length)
+    out
+  }
+
+  val kindNames: Array[String] = Array("image", "audio", "video")
+
+  /** media table synthesized from `documents` via mapPartitions — the
+    * batch-decode execution shape: partition-local, no driver involvement,
+    * binary stays binary. */
+  def synthesizeMedia(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val kindCode = (id % 3).toInt
+          MediaRow(id, kindNames(kindCode), pack(id, kindCode, text.getBytes("UTF-8")))
+        }
+      }
+  }
+
+  /** per-partition heavy decode (the mapInPandas analogue): ONE decoder
+    * instance per task, rows streamed through it. The decoder body is the
+    * STUB — a real build would open libjpeg/ffmpeg here; the deterministic
+    * fake extracts a checksum-ish feature so tests can pin the plumbing. */
+  def decodePartitions(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // amortized per-task init (real codec handle would be created here)
+      val decoder = new FakeDecoder
+      it.map { m =>
+        val (w, h, feat) = decoder.decode(m.content)
+        DecodedRow(m.doc_id, m.kind, w, h, feat)
+      }
+    }
+  }
+
+  /** STUB decoder: stands in for a native codec. Deterministic by design. */
+  final class FakeDecoder {
+    def decode(content: Array[Byte]): (Int, Int, Double) = {
+      val w = i32(content, 8)
+      val h = i32(content, 12)
+      var acc = 0L
+      var i = HeaderLen
+      while (i < content.length) { acc = acc * 31 + (content(i) & 0xff); i += 1 }
+      (w, h, (java.lang.Math.floorMod(acc, 1000000L)).toDouble / 1000000.0)
+    }
+  }
+
+  // ---- kernels for the Catalyst expressions ----
+
+  def metaKernel(content: Array[Byte]): InternalRow = {
+    if (content.length < HeaderLen ||
+      content(0) != 'G' || content(1) != 'R' || content(2) != 'F' || content(3) != 'T')
+      return null
+    val kindCode = i32(content, 4)
+    val vals = new Array[Any](7)
+    vals(0) = UTF8String.fromString(
+      if (kindCode >= 0 && kindCode < kindNames.length) kindNames(kindCode) else "unknown")
+    vals(1) = i32(content, 8)
+    vals(2) = i32(content, 12)
+    vals(3) = i32(content, 16)
+    vals(4) = i32(content, 20)
+    vals(5) = i32(content, 24)
+    vals(6) = content.length - HeaderLen
+    new GenericInternalRow(vals)
+  }
+
+  /** resize STUB: rewrites header dims; a real implementation would
+    * resample the payload (the payload is passed through unchanged, which a
+    * test can detect — this is deliberately visible stubbing, not fake
+    * correctness). */
+  def resizeKernel(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (content.length < HeaderLen) return content
+    val out = content.clone()
+    putI32(out, 8, w)
+    putI32(out, 12, h)
+    out
+  }
+
+  def framesKernel(content: Array[Byte], everyN: Int): GenericArrayData = {
+    if (content.length < HeaderLen) return new GenericArrayData(Array.empty[Any])
+    val n = i32(content, 24)
+    val payloadLen = content.length - HeaderLen
+    if (n <= 0 || payloadLen <= 0) return new GenericArrayData(Array.empty[Any])
+    val frameLen = math.max(1, payloadLen / n)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var f = 0
+    while (f < n) {
+      if (f % everyN == 0) {
+        val from = HeaderLen + f * frameLen
+        val until = math.min(HeaderLen + (f + 1) * frameLen, content.length)
+        if (from < content.length)
+          out += java.util.Arrays.copyOfRange(content, from, until)
+      }
+      f += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `media_meta(content)` → struct(kind, width, height, channels,
+  * sample_rate, n_frames, payload_len); null on bad magic (dead-letter). */
+case class MediaMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("kind", StringType), StructField("width", IntegerType),
+    StructField("height", IntegerType), StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType), StructField("n_frames", IntegerType),
+    StructField("payload_len", IntegerType)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "media_meta"
+  override protected def nullSafeEval(input: Any): Any =
+    Multimodal.metaKernel(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+        graft.multimodal.Multimodal.metaKernel($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): MediaMeta =
+    copy(child = newChild)
+}
+
+/** `media_resize(content, w, h)` — header-rewrite stub (see kernel note). */
+case class MediaResize(child: Expression, w: Int, h: Int) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "media_resize"
+  override protected def nullSafeEval(input: Any): Any =
+    Multimodal.resizeKernel(input.asInstanceOf[Array[Byte]], w, h)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.Multimodal.resizeKernel($c, $w, $h);")
+  override protected def withNewChildInternal(newChild: Expression): MediaResize =
+    copy(child = newChild)
+}
+
+/** `media_frames(content, everyN)` → array<binary> of every-Nth frame. */
+case class MediaFrames(child: Expression, everyN: Int) extends UnaryExpression {
+  require(everyN > 0)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "media_frames"
+  override protected def nullSafeEval(input: Any): Any =
+    Multimodal.framesKernel(input.asInstanceOf[Array[Byte]], everyN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.multimodal.Multimodal.framesKernel($c, $everyN);")
+  override protected def withNewChildInternal(newChild: Expression): MediaFrames =
+    copy(child = newChild)
+}
+
+object functions {
+  import org.apache.spark.sql.graft.{interop => I}
+  def media_meta(content: Column): Column = I.column(MediaMeta(I.expression(content)))
+  def media_resize(content: Column, w: Int, h: Int): Column =
+    I.column(MediaResize(I.expression(content), w, h))
+  def media_frames(content: Column, everyN: Int): Column =
+    I.column(MediaFrames(I.expression(content), everyN))
+}
