@@ -150,6 +150,26 @@ object SparkEntry {
           col("_p.hostname"), col("_p.message"))
     }),
 
+    // --- grok: one-pass compiled-regex extraction over text ---
+    "q_grok" -> ((s, dir) =>
+      t(s, dir)
+        .withColumn("_g", graft.functions.grok_struct(col("text"),
+          "evt=(\\w+) id=(\\d+)", Seq("evt", "id")))
+        .filter(col("_g").isNotNull)
+        .select(col("conv_id"), col("turn_idx"), col("_g.evt"),
+          col("_g.id").cast("long").as("id"))),
+
+    // --- condition algebra: compiled Cond AST as a selective filter ---
+    "q_conditions" -> ((s, dir) => {
+      import graft.route._
+      val cond = And(Seq(
+        Or(Seq(Contains("text", "evt=click"), Contains("text", "evt=view"))),
+        Range("turn_idx", gte = Some(2)),
+        Not(Regexp("conv_id", "00$"))))
+      t(s, dir).filter(cond.toColumn)
+        .groupBy("role").agg(count(lit(1)).as("events"))
+    }),
+
     // --- multimodal: binary media column → typed header metadata ---
     "q_media_meta" -> ((s, dir) => {
       import graft.multimodal.functions.media_meta
@@ -351,6 +371,22 @@ object SparkEntry {
         """ SELECT conv_id, turn_idx,
           | json_extract_string(substr(message, 9, length(message) - 16), '$.extra_k') AS extra_k
           | FROM parsed WHERE message IS NOT NULL""".stripMargin),
+
+    "q_grok" ->
+      (OracleCte.transcripts +
+        """ SELECT conv_id, turn_idx,
+          |  regexp_extract(text, 'evt=(\w+) id=(\d+)', 1) AS evt,
+          |  CAST(regexp_extract(text, 'evt=(\w+) id=(\d+)', 2) AS BIGINT) AS id
+          | FROM transcripts
+          | WHERE regexp_matches(text, 'evt=(\w+) id=(\d+)')""".stripMargin),
+
+    "q_conditions" ->
+      (OracleCte.transcripts +
+        """ SELECT role, count(*) AS events FROM transcripts
+          | WHERE (contains(text, 'evt=click') OR contains(text, 'evt=view'))
+          |   AND turn_idx >= 2
+          |   AND NOT regexp_matches(conv_id, '00$')
+          | GROUP BY role""".stripMargin),
 
     // multimodal header fields are closed-form in doc_id; payload length is
     // the BYTE length of text (strlen in DuckDB) capped at 256
