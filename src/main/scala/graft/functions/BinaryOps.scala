@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Binary-payload kernels for the remaining `actions` processors:
+  * decompress_gzip_field (actions/decompress_gzip_field.go:69-133) and
+  * detect_mime_type (actions/detect_mime_type.go:54-75).
+  */
+object BinaryKernel {
+
+  /** gunzip; null on corrupt input (≈ fail_on_error=false row survival). */
+  def gunzip(in: Array[Byte]): Array[Byte] = {
+    try {
+      val is = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(in), 8192)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, in.length * 3))
+      val buf = new Array[Byte](8192)
+      var n = is.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = is.read(buf) }
+      is.close()
+      out.toByteArray
+    } catch { case _: java.io.IOException => null }
+  }
+
+  /** magic-byte MIME sniff over the payload head — the library-free subset of
+    * the reference's sniffer (it delegates to a content-type DB; we pin the
+    * formats this engine actually routes). */
+  def sniffMime(b: Array[Byte]): UTF8String = {
+    if (b == null || b.length < 2) return MimeBinary
+    if (b(0) == 0x1f.toByte && b(1) == 0x8b.toByte) return MimeGzip
+    if (b.length >= 3 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte) return MimeJpeg
+    if (b.length >= 4 && b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') return MimePng
+    if (b.length >= 4 && b(0) == 'G' && b(1) == 'R' && b(2) == 'F' && b(3) == 'T') return MimeGrft
+    // printable-ASCII/UTF-8 head → text; '{' / '[' lead → json
+    var i = 0
+    var printable = true
+    val lim = math.min(b.length, 64)
+    while (printable && i < lim) {
+      val c = b(i) & 0xff
+      if (c < 0x09 || (c > 0x0d && c < 0x20)) printable = false
+      i += 1
+    }
+    if (!printable) MimeBinary
+    else {
+      var j = 0
+      while (j < lim && (b(j) == ' ' || b(j) == '\t' || b(j) == '\n' || b(j) == '\r')) j += 1
+      if (j < lim && (b(j) == '{' || b(j) == '[')) MimeJson else MimeText
+    }
+  }
+
+  private val MimeBinary = UTF8String.fromString("application/octet-stream")
+  private val MimeGzip = UTF8String.fromString("application/gzip")
+  private val MimeJpeg = UTF8String.fromString("image/jpeg")
+  private val MimePng = UTF8String.fromString("image/png")
+  private val MimeGrft = UTF8String.fromString("application/x-grft-media")
+  private val MimeJson = UTF8String.fromString("application/json")
+  private val MimeText = UTF8String.fromString("text/plain")
+}
+
+/** `gunzip(bin)` → binary; null on corrupt stream (dead-letter, not crash). */
+case class GzipDecompress(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "gunzip"
+  override protected def nullSafeEval(input: Any): Any =
+    BinaryKernel.gunzip(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.BinaryKernel.gunzip($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): GzipDecompress =
+    copy(child = newChild)
+}
+
+/** `detect_mime(bin)` → string mime type by magic bytes. */
+case class DetectMime(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "detect_mime"
+  override protected def nullSafeEval(input: Any): Any =
+    BinaryKernel.sniffMime(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BinaryKernel.sniffMime($c);")
+  override protected def withNewChildInternal(newChild: Expression): DetectMime =
+    copy(child = newChild)
+}

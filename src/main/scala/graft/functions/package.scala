@@ -65,4 +65,13 @@ package object functions {
   /** FNV-1a 32-bit hash (reference kafka partitioner hash). */
   def fnv1a32(s: Column): Column =
     ExpressionUtils.column(Fnv1a32(ExpressionUtils.expression(s)))
+
+  /** gunzip a binary column (decompress_gzip_field.go:69-133); null on
+    * corrupt stream. */
+  def gunzip(bin: Column): Column =
+    ExpressionUtils.column(GzipDecompress(ExpressionUtils.expression(bin)))
+
+  /** magic-byte MIME sniff (detect_mime_type.go:54-75). */
+  def detect_mime(bin: Column): Column =
+    ExpressionUtils.column(DetectMime(ExpressionUtils.expression(bin)))
 }

@@ -67,6 +67,28 @@ object Actions {
     from_json(c, org.apache.spark.sql.types.MapType(
       org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
 
+  /** urldecode (urldecode/urldecode.go:75-110). */
+  def urlDecode(c: Column): Column = url_decode(c)
+
+  /** decode_csv_fields (decode_csv_fields/decode_csv_fields.go:102-160):
+    * RFC-CSV parse of a field into `n` named string columns (quotes and
+    * embedded commas handled by the CSV reader, like the reference's
+    * encoding/csv). */
+  def decodeCsv(c: Column, fieldNames: Seq[String]): Column = {
+    val schema = org.apache.spark.sql.types.StructType(
+      fieldNames.map(f => org.apache.spark.sql.types.StructField(f,
+        org.apache.spark.sql.types.StringType)))
+    from_csv(c, schema, Map.empty[String, String])
+  }
+
+  /** extract_array (extract_array/extract_array.go:115-170): map array
+    * elements to named columns; missing index → null (ignore semantics). */
+  def extractArray(df: DataFrame, arrCol: String, mapping: Map[String, Int]): DataFrame =
+    mapping.foldLeft(df) { case (d, (name, idx)) =>
+      // try_ variant: index past end → null (ANSI element_at would throw)
+      d.withColumn(name, try_element_at(col(arrCol), lit(idx + 1))) // reference is 0-based
+    }
+
   /** include/exclude line filters (filebeat harvester.go:498-518). */
   def includeLines(df: DataFrame, textCol: String, pattern: String): DataFrame =
     df.filter(col(textCol).rlike(pattern))

@@ -90,6 +90,52 @@ class ActionsSpec extends SparkSpec {
     assert(out.values.map(_._1).sum == 6L)
   }
 
+  test("urldecode round-trips percent-encoding") {
+    val df = Seq("a%20b%2Fc", "plain").toDF("s")
+      .select(Actions.urlDecode(col("s")).as("d")).as[String].collect()
+    assert(df.toSeq == Seq("a b/c", "plain"))
+  }
+
+  test("decodeCsv handles quoted fields with embedded commas") {
+    val r = Seq("""alpha,"b,eta",42""").toDF("s")
+      .select(Actions.decodeCsv(col("s"), Seq("a", "b", "c")).as("p"))
+      .select("p.*").collect()(0)
+    assert(r.getString(0) == "alpha" && r.getString(1) == "b,eta" && r.getString(2) == "42")
+  }
+
+  test("extractArray maps 0-based indices to named columns, null past end") {
+    val df = Seq(Seq("x", "y")).toDF("arr")
+    val out = Actions.extractArray(df, "arr", Map("first" -> 0, "third" -> 2))
+      .select("first", "third").collect()(0)
+    assert(out.getString(0) == "x" && out.isNullAt(1))
+  }
+
+  test("gunzip round-trips and null-routes corrupt streams") {
+    import graft.functions.{gunzip, detect_mime}
+    val payload = "graft gzip payload ".repeat(10)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(payload.getBytes("UTF-8")); gz.close()
+    val df = Seq(bos.toByteArray, Array[Byte](1, 2, 3)).toDF("bin")
+      .withColumn("out", gunzip(col("bin")))
+      .withColumn("mime", detect_mime(col("bin")))
+    val rows = df.select(col("out").cast("string"), col("mime")).collect()
+    assert(rows(0).getString(0) == payload && rows(0).getString(1) == "application/gzip")
+    assert(rows(1).isNullAt(0) && rows(1).getString(1) == "application/octet-stream")
+  }
+
+  test("detect_mime sniffs text, json, and media container heads") {
+    import graft.functions.detect_mime
+    val cases = Seq(
+      ("hello world".getBytes, "text/plain"),
+      ("""  {"k": 1}""".getBytes, "application/json"),
+      ("GRFTxxxx".getBytes, "application/x-grft-media"),
+      (Array[Byte](0x89.toByte, 'P', 'N', 'G'), "image/png"))
+    val out = cases.map(_._1).toDF("bin")
+      .select(detect_mime(col("bin")).as("m")).as[String].collect()
+    assert(out.toSeq == cases.map(_._2))
+  }
+
   test("include/exclude line filters partition the input") {
     val inc = Actions.includeLines(t, "text", "evt=").count()
     val exc = Actions.excludeLines(t, "text", "evt=").count()
