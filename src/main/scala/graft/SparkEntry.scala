@@ -260,6 +260,7 @@ object SparkEntry {
           |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()]', '', 'g')) AS INTEGER) AS punct
           |  FROM sh)
           | SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS INTEGER) AS n_subwords,
           |  en_h AS stop_hits, punct AS punct_chars,
           |  CAST(floor(CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 10000.0 + 0.5) AS INTEGER) AS avg_token_len_e4,
           |  CASE WHEN en_h + de_h + fr_h = 0 THEN 'und'

@@ -25,10 +25,16 @@ object TextOps {
   val StopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "ein")
   val StopFr: Seq[String] = Seq("le", "la", "et", "les", "des", "une", "est")
 
-  /** whitespace tokenizer (the BPE-ish regex split used for token budgeting). */
+  /** whitespace tokenizer. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword counter for token budgeting: alpha runs, digit runs and
+    * single punctuation marks each count as one token — the standard cheap
+    * stand-in for a real BPE vocab when estimating training-token volume. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** count of tokens found in `words` (exact, lowercased). */
   def stopwordHits(text: Column, words: Seq[String]): Column = {
@@ -87,6 +93,7 @@ object TextOps {
     docs.select(
       col("doc_id"),
       tokenCount(col("text")).as("n_tokens"),
+      subwordCount(col("text")).as("n_subwords"),
       stopwordHits(col("text"), StopEn).as("stop_hits"),
       punctChars(col("text")).as("punct_chars"),
       scaled4(length(col("text")).cast("double") / tokenCount(col("text")).cast("double"))
