@@ -79,6 +79,14 @@ object SparkEntry {
       graft.similarity.Ann.lshNeighbors(e, e.filter(col("vec_id") < 8), 5)
     }),
 
+    // probing every cell degenerates IVF to exact search, so the brute-force
+    // SQL oracle applies verbatim (recall@nprobe<nlist pinned in AnnSpec)
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      graft.similarity.Ann.ivfTopK(e, e.filter(col("vec_id") < 8), 5,
+        nlist = 16, nprobe = 16)
+    }),
+
     // --- multiline/session assembly (reader/multiline as groupBy-fold) ---
     "q_sessions" -> ((s, dir) =>
       graft.operators.Actions.sessionize(t(s, dir))),
@@ -291,6 +299,21 @@ object SparkEntry {
           | FROM cpairs WHERE cos >= 0.4""".stripMargin),
 
     "q_ann_topk" ->
+      (OracleCte.cosinePairs.replace(", cpairs AS (", ", cpairs_unused AS (") +
+        """, q AS (SELECT * FROM e WHERE vec_id < 8),
+          | scored AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    list_dot_product(q.v, c.v) /
+          |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+          |  FROM e c JOIN q ON q.vec_id <> c.vec_id
+          | ), ranked AS (
+          |  SELECT query_id,
+          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+          |    neighbor_id, round(cos, 4) AS cos
+          |  FROM scored)
+          | SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5""".stripMargin),
+
+    "q_ann_ivf" ->
       (OracleCte.cosinePairs.replace(", cpairs AS (", ", cpairs_unused AS (") +
         """, q AS (SELECT * FROM e WHERE vec_id < 8),
           | scored AS (

@@ -203,6 +203,68 @@ case class HyperplaneBucket(child: Expression, planes: Int, seed: Int = 0)
     copy(child = newChild)
 }
 
+/** `nearest_centroids(vec)` — indices of the `nprobe` nearest centroids by
+  * cosine (ties → lower index). The centroid matrix is embedded in the plan
+  * (an IVF coarse quantizer is small by definition: nlist × dim floats), so
+  * assignment is a pure per-row computation — no join, no shuffle. */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Float]],
+                            nprobe: Int) extends UnaryExpression {
+  require(centroids.nonEmpty && nprobe > 0 && nprobe <= centroids.length)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  private def doAssign(v: ArrayData): GenericArrayData = {
+    val n = centroids.length
+    val sims = new Array[Double](n)
+    var ci = 0
+    while (ci < n) {
+      val c = centroids(ci)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val dim = math.min(v.numElements(), c.length)
+      while (i < dim) {
+        val x = v.getFloat(i).toDouble; val y = c(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      sims(ci) = if (na == 0.0 || nb == 0.0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      ci += 1
+    }
+    // selection of top nprobe by sim desc, index asc — nlist is small
+    val out = new Array[Any](nprobe)
+    val taken = new Array[Boolean](n)
+    var p = 0
+    while (p < nprobe) {
+      var best = -1
+      var bestSim = -3.0
+      var j = 0
+      while (j < n) {
+        if (!taken(j) && sims(j) > bestSim) { best = j; bestSim = sims(j) }
+        j += 1
+      }
+      taken(best) = true
+      out(p) = best
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    doAssign(input.asInstanceOf[ArrayData])
+
+  /** public entry for generated code */
+  def evalInput(input: ArrayData): GenericArrayData = doAssign(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfExpr", this, classOf[NearestCentroids].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.evalInput($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 /** `fnv1a32(s)` — the reference kafka fields-hash partitioner's hash
   * (libbeat/outputs/kafka/partition.go:216-238). */
 case class Fnv1a32(child: Expression) extends UnaryExpression {

@@ -66,6 +66,10 @@ package object functions {
   def fnv1a32(s: Column): Column =
     ExpressionUtils.column(Fnv1a32(ExpressionUtils.expression(s)))
 
+  /** nprobe nearest IVF centroids (embedded matrix, no shuffle). */
+  def nearest_centroids(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
+    ExpressionUtils.column(NearestCentroids(ExpressionUtils.expression(vec), centroids, nprobe))
+
   /** gunzip a binary column (decompress_gzip_field.go:69-133); null on
     * corrupt stream. */
   def gunzip(bin: Column): Column =

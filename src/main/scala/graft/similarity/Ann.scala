@@ -34,6 +34,52 @@ object Ann {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** IVF-flat coarse quantizer: deterministic seed centroids (the first
+    * `nlist` corpus vectors by id) refined by one distributed Lloyd
+    * iteration. The per-cell mean is computed with a posexplode → (cell,
+    * dim) aggregation — one shuffle whose output is only nlist × dim rows —
+    * and the (tiny) centroid matrix is collected to the driver, which is the
+    * normal shape of an IVF index build: the quantizer is small by
+    * definition, the corpus never leaves the cluster. Production would run
+    * k-means‖ to convergence; one refinement step keeps the sandbox build
+    * deterministic and cheap while exercising the full distributed path. */
+  def ivfCentroids(corpus: DataFrame, nlist: Int): Array[Array[Float]] = {
+    val seeds: Array[Array[Float]] = corpus.orderBy("vec_id").limit(nlist)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val assigned = corpus.select(
+      element_at(nearest_centroids(col("embedding"), seeds, 1), 1).as("cell"),
+      posexplode(col("embedding")).as(Seq("dim", "v")))
+    val means = assigned.groupBy("cell", "dim").agg(avg("v").as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val refined = seeds.map(_.clone())
+    means.foreach { case (cell, dim, m) => refined(cell)(dim) = m.toFloat }
+    refined
+  }
+
+  /** IVF-flat search: corpus rows live in exactly one cell; queries probe
+    * their `nprobe` nearest cells; exact cosine + top-k within the probed
+    * union. At 10^12 vectors the scan touches ~nprobe/nlist of the corpus
+    * per query batch, and the cell column doubles as the partition key for
+    * cell-local storage layout. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist)
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_v"),
+      element_at(nearest_centroids(col("embedding"), cents, 1), 1).as("cell"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"),
+      explode(nearest_centroids(col("embedding"), cents, nprobe)).as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine_sim(col("q_v"), col("c_v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** Multi-table LSH neighbor search (the classic L-tables × b-planes
     * construction): each vector lands in one bucket per table; a candidate is
     * any corpus vector sharing a (table, bucket) cell with the query. Exact

@@ -35,6 +35,22 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.8, s"recall too low: $recall")
   }
 
+  test("IVF-flat: cells partition the corpus; recall@5 at nprobe=4/nlist=16 is usable") {
+    val k = 5
+    val cents = Ann.ivfCentroids(embeds, 16)
+    assert(cents.length == 16 && cents.forall(_.length == 64))
+    def keyset(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = keyset(Ann.bruteTopK(embeds, queries, k))
+    val ivf = keyset(Ann.ivfTopK(embeds, queries, k, nlist = 16, nprobe = 4))
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    info(s"IVF recall@5 (nprobe=4/16) = $recall")
+    assert(recall > 0.4, s"recall too low: $recall")
+    // nprobe = nlist degenerates to exact search
+    val full = keyset(Ann.ivfTopK(embeds, queries, k, nlist = 16, nprobe = 16))
+    assert(full == brute, "probing all cells must equal brute force")
+  }
+
   test("cosine_sim expression agrees with a plain SQL dot product") {
     import spark.implicits._
     val df = Seq(
