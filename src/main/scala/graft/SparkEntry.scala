@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -74,9 +74,15 @@ object SparkEntry {
       graft.similarity.Ann.bruteTopK(e, e.filter(col("vec_id") < 8), 5)
     }),
 
+    // full-probe multiprobe (probeHamming = planes) degenerates the LSH
+    // search to exact brute force — the brute-force SQL oracle applies
+    // verbatim while the plan still exercises banding, the multiprobe
+    // explode, the bucket join, and cross-table dedup (recall at the real
+    // probeHamming=0/tables=12 config is pinned in AnnSpec).
     "q_ann_lsh" -> ((s, dir) => {
       val e = embeds(s, dir)
-      graft.similarity.Ann.lshNeighbors(e, e.filter(col("vec_id") < 8), 5)
+      graft.similarity.Ann.lshNeighbors(e, e.filter(col("vec_id") < 8), 5,
+        planes = 3, tables = 2, probeHamming = 3)
     }),
 
     // probing every cell degenerates IVF to exact search, so the brute-force
@@ -121,7 +127,7 @@ object SparkEntry {
       t(s, dir)
         .withColumn("_d", graft.functions.dissect(col("text"),
           "%{date} %{time} %{service} %{host} %{level} [%{thread}] " +
-            "%{class} %{method} [%{line|int}] [%{trace}] [%{span}] %{body}"))
+            "%{class} %{method} [%{line|integer}] [%{trace}] [%{span}] %{body}"))
         .filter(col("_d").isNotNull)
         .select(col("conv_id"), col("turn_idx"), col("_d.service"), col("_d.host"),
           col("_d.level"), col("_d.thread"), col("_d.class"), col("_d.method"),
@@ -137,6 +143,59 @@ object SparkEntry {
     // --- multiline pattern folding (short lines continue previous event) ---
     "q_multiline" -> ((s, dir) =>
       graft.operators.Actions.multilineFold(t(s, dir), "evt=")),
+
+    // --- multiline `match: before` (prev line signals continuation) ---
+    "q_multiline_before" -> ((s, dir) =>
+      graft.operators.Actions.multilinePattern(t(s, dir), "evt=click",
+        negate = false, matchMode = "before")),
+
+    // --- network condition + add_network_direction over synthesized IPs ---
+    "q_network_direction" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val e = col("event_id")
+      def mkIp(fam: Column, x: Column): Column =
+        when(fam === 0, concat(lit("10."), (x % 200).cast("string"), lit(".0.1")))
+          .when(fam === 1, concat(lit("192.168."), (x % 250).cast("string"), lit(".9")))
+          .when(fam === 2, concat(lit("172."), (lit(16) + x % 16).cast("string"), lit(".3.4")))
+          .when(fam === 3, concat(lit("8.8."), (x % 200).cast("string"), lit(".1")))
+          .when(fam === 4, concat(lit("203.0.113."), (x % 250).cast("string")))
+          .when(fam === 5, concat(lit("fd00::"), (x % 9999).cast("string")))
+          .otherwise(concat(lit("2001:db8::"), (x % 9999).cast("string")))
+      val src = when(e % 23 === 0, lit("bad.ip")).otherwise(mkIp(e % 7, e))
+      val dst = mkIp((e * 3 + 1) % 7, e + 13)
+      ev.select(e.as("event_id"), src.as("src"), dst.as("dst"),
+        graft.functions.network_direction(src, dst, Seq("private")).as("direction"))
+    }),
+
+    // --- fmtstr selector tree: index-name selection over parsed rows ---
+    "q_fmtstr_index" -> ((s, dir) => {
+      import graft.route._
+      val sel = FmtStr.EventSelector(
+        rules = Seq(
+          FmtStr.Rule("%{[service]}-%{+yyyy.MM.dd}",
+            when = Some(FieldEquals("status", "ok"))),
+          FmtStr.Rule("%{[status]}", default = "other",
+            mappings = Map("short" -> "deadletter-short",
+              "bad_service" -> "deadletter-bad"))),
+        fallback = "catchall", lowercase = true)
+      TranscriptPipeline.parse(t(s, dir))
+        .select(col("conv_id"), col("turn_idx"),
+          sel.column(tsCol = col("ts")).as("idx"))
+    }),
+
+    // --- serverlog envelope unwrap (parser.go:82-98) ---
+    "q_parse_serverlog_envelope" -> ((s, dir) => {
+      val env = t(s, dir).withColumn("envelope", to_json(struct(
+        struct(col("text").as("content")).as("contents"),
+        array(col("role"), col("tool")).as("tags"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("time"))))
+      graft.operators.Actions.unwrapEnvelope(env)
+        .withColumn("_p", serverlog_parse(col("content")))
+        .select(col("conv_id"), col("turn_idx"), col("content"),
+          array_join(col("source_tags"), ",").as("source_tags_str"),
+          col("source_time"), col("_p.logtime"), col("_p.service"),
+          col("_p.status"))
+    }),
 
     // --- fork parse_filebeat_log: SplitN(msg, "\t", 4) family ---
     "q_parse_filebeat" -> ((s, dir) => {
@@ -233,7 +292,8 @@ object SparkEntry {
       (OracleCte.parsed +
         """ SELECT conv_id, turn_idx, role, tool, ts, text, logtime, service,
           | hostname, level, thread, class, method, line, trace_id, span_id,
-          | message, status FROM parsed""".stripMargin),
+          | message, CAST(NULL AS VARCHAR) AS script_error, status
+          | FROM parsed""".stripMargin),
 
     "q_enrich_broadcast" ->
       (OracleCte.transcripts + "," + OracleCte.lookups +
@@ -485,18 +545,142 @@ object SparkEntry {
 
     "q_multiline" ->
       (OracleCte.transcripts +
-        """, g AS (
+        """, lg AS (
           |  SELECT conv_id, turn_idx, text,
-          |    CAST(sum(CASE WHEN regexp_matches(text, 'evt=') THEN 1 ELSE 0 END)
-          |      OVER (PARTITION BY conv_id ORDER BY turn_idx
-          |            ROWS UNBOUNDED PRECEDING) AS INTEGER) AS event_idx
-          |  FROM transcripts)
+          |    CASE WHEN row_number() OVER w = 1
+          |           OR regexp_matches(text, 'evt=') THEN 1 ELSE 0 END AS boundary
+          |  FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+          |), g AS (
+          |  SELECT conv_id, turn_idx, text,
+          |    CAST(sum(boundary) OVER (PARTITION BY conv_id ORDER BY turn_idx
+          |      ROWS UNBOUNDED PRECEDING) AS INTEGER) AS event_idx
+          |  FROM lg)
           | SELECT conv_id, event_idx, min(turn_idx) AS first_turn,
           |  count(*) AS n_lines,
           |  string_agg(text, chr(10) ORDER BY turn_idx) AS event_text
-          | FROM g GROUP BY conv_id, event_idx""".stripMargin)
+          | FROM g GROUP BY conv_id, event_idx""".stripMargin),
 
-    // q_dedup_simhash / q_ann_lsh: custom-hash sketches with no ANSI-SQL
-    // mirror → rows-only driver check; semantics pinned by DedupSpec/AnnSpec.
+    "q_multiline_before" ->
+      (OracleCte.transcripts +
+        """, lg AS (
+          |  SELECT conv_id, turn_idx, text,
+          |    CASE WHEN lag(text) OVER w IS NULL THEN 1
+          |         WHEN NOT regexp_matches(lag(text) OVER w, 'evt=click') THEN 1
+          |         ELSE 0 END AS boundary
+          |  FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+          |), g AS (
+          |  SELECT conv_id, turn_idx, text,
+          |    CAST(sum(boundary) OVER (PARTITION BY conv_id ORDER BY turn_idx
+          |      ROWS UNBOUNDED PRECEDING) AS INTEGER) AS event_idx
+          |  FROM lg)
+          | SELECT conv_id, event_idx, min(turn_idx) AS first_turn,
+          |  count(*) AS n_lines,
+          |  string_agg(text, chr(10) ORDER BY turn_idx) AS event_text
+          | FROM g GROUP BY conv_id, event_idx""".stripMargin),
+
+    "q_network_direction" ->
+      """WITH d AS (
+        |  SELECT event_id,
+        |    CAST(event_id % 7 AS INT) AS sf,
+        |    CAST((event_id * 3 + 1) % 7 AS INT) AS df,
+        |    event_id % 23 = 0 AS bad
+        |  FROM events
+        |), ips AS (
+        |  SELECT event_id, sf, df, bad,
+        |    CASE WHEN bad THEN 'bad.ip'
+        |         WHEN sf = 0 THEN '10.' || CAST(event_id % 200 AS VARCHAR) || '.0.1'
+        |         WHEN sf = 1 THEN '192.168.' || CAST(event_id % 250 AS VARCHAR) || '.9'
+        |         WHEN sf = 2 THEN '172.' || CAST(16 + event_id % 16 AS VARCHAR) || '.3.4'
+        |         WHEN sf = 3 THEN '8.8.' || CAST(event_id % 200 AS VARCHAR) || '.1'
+        |         WHEN sf = 4 THEN '203.0.113.' || CAST(event_id % 250 AS VARCHAR)
+        |         WHEN sf = 5 THEN 'fd00::' || CAST(event_id % 9999 AS VARCHAR)
+        |         ELSE '2001:db8::' || CAST(event_id % 9999 AS VARCHAR) END AS src,
+        |    CASE WHEN df = 0 THEN '10.' || CAST((event_id + 13) % 200 AS VARCHAR) || '.0.1'
+        |         WHEN df = 1 THEN '192.168.' || CAST((event_id + 13) % 250 AS VARCHAR) || '.9'
+        |         WHEN df = 2 THEN '172.' || CAST(16 + (event_id + 13) % 16 AS VARCHAR) || '.3.4'
+        |         WHEN df = 3 THEN '8.8.' || CAST((event_id + 13) % 200 AS VARCHAR) || '.1'
+        |         WHEN df = 4 THEN '203.0.113.' || CAST((event_id + 13) % 250 AS VARCHAR)
+        |         WHEN df = 5 THEN 'fd00::' || CAST((event_id + 13) % 9999 AS VARCHAR)
+        |         ELSE '2001:db8::' || CAST((event_id + 13) % 9999 AS VARCHAR) END AS dst
+        |  FROM d)
+        | SELECT event_id, src, dst,
+        |  CASE WHEN bad THEN NULL
+        |       WHEN sf IN (0,1,2,5) AND df IN (0,1,2,5) THEN 'internal'
+        |       WHEN sf IN (0,1,2,5) THEN 'outbound'
+        |       WHEN df IN (0,1,2,5) THEN 'inbound'
+        |       ELSE 'external' END AS direction
+        | FROM ips""".stripMargin,
+
+    "q_fmtstr_index" ->
+      (OracleCte.parsed +
+        """ SELECT conv_id, turn_idx,
+          |  lower(CASE WHEN status = 'ok' THEN service || '-' || strftime(ts, '%Y.%m.%d')
+          |       WHEN status = 'short' THEN 'deadletter-short'
+          |       WHEN status = 'bad_service' THEN 'deadletter-bad'
+          |       ELSE 'other' END) AS idx
+          | FROM parsed""".stripMargin),
+
+    "q_parse_serverlog_envelope" ->
+      (OracleCte.parsed +
+        """, env AS (
+          |  SELECT conv_id, turn_idx,
+          |    to_json({'contents': {'content': text}, 'tags': [role, tool],
+          |             'time': strftime(ts, '%Y-%m-%dT%H:%M:%S')}) AS envelope
+          |  FROM transcripts
+          |), un AS (
+          |  SELECT conv_id, turn_idx,
+          |    json_extract_string(envelope, '$.contents.content') AS content,
+          |    json_extract_string(envelope, '$.tags[0]') || ',' ||
+          |      json_extract_string(envelope, '$.tags[1]') AS source_tags_str,
+          |    json_extract_string(envelope, '$.time') AS source_time
+          |  FROM env)
+          | SELECT u.conv_id, u.turn_idx, u.content, u.source_tags_str,
+          |  u.source_time, p.logtime, p.service, p.status
+          | FROM un u JOIN parsed p
+          |   ON u.conv_id = p.conv_id AND u.turn_idx = p.turn_idx""".stripMargin),
+
+    // SimHash mirrored bit-exactly in DuckDB: FNV-1a-64 per token in HUGEINT
+    // wrap-mod arithmetic, per-bit ±1 tallies, sign bits, then brute-force
+    // hamming pairs (pigeonhole guarantees the Spark plan generates every
+    // hamming≤3 candidate; maxBucket never binds at verify scale).
+    "q_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents
+        |), th AS (
+        |  SELECT doc_id, unnest(list_transform(toks, t ->
+        |    list_reduce(list_prepend(14695981039346656037::HUGEINT,
+        |      list_transform(string_split(t, ''), c -> ord(c)::HUGEINT)),
+        |      (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
+        |                 % 18446744073709551616::HUGEINT))) AS h
+        |  FROM tok
+        |), bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+        |  FROM th CROSS JOIN range(64) r(b) GROUP BY doc_id, b
+        |), sig AS (
+        |  SELECT doc_id, list(cnt > 0 ORDER BY b) AS bits FROM bits GROUP BY doc_id
+        |)
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_filter(generate_series(1, 64), i -> a.bits[i] <> b.bits[i])) AS INTEGER) AS hamming
+        | FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        | WHERE len(list_filter(generate_series(1, 64), i -> a.bits[i] <> b.bits[i])) <= 3""".stripMargin,
+
+    // full-probe LSH (probeHamming = planes) is exact → brute-force oracle
+    "q_ann_lsh" ->
+      (OracleCte.cosinePairs.replace(", cpairs AS (", ", cpairs_unused AS (") +
+        """, q AS (SELECT * FROM e WHERE vec_id < 8),
+          | scored AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    list_dot_product(q.v, c.v) /
+          |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+          |  FROM e c JOIN q ON q.vec_id <> c.vec_id
+          | ), ranked AS (
+          |  SELECT query_id,
+          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+          |    neighbor_id, round(cos, 4) AS cos
+          |  FROM scored)
+          | SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5""".stripMargin)
   )
 }

@@ -82,10 +82,11 @@ object Dedup {
     * that rehydrate only candidate shingle sets by doc_id.
     */
   def minhashPairs(docs: DataFrame, tauPct: Int, k: Int = 32, bands: Int = 16,
-                   maxBucket: Int = 64): DataFrame = {
+                   maxBucket: Int = 64, lenBlock: Int = 40): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"),
+      TextOps.tokenCount(col("text")).as("n_tok"))
     val sig = sh.select(col("doc_id"), col("sh"), minhash_sig(col("sh"), k).as("sig"))
 
     // explode into (doc_id, band, bucket-hash-of-band-slice)
@@ -108,10 +109,14 @@ object Dedup {
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .distinct()
 
-    // verify candidates with exact Jaccard (rehydrate shingles by id)
-    val aSh = sh.toDF("a_id", "a_sh")
-    val bSh = sh.toDF("b_id", "b_sh")
-    verifiedPairs(cands.join(aSh, "a_id").join(bSh, "b_id"), tauPct)
+    // verify candidates with exact Jaccard (rehydrate shingles by id), under
+    // the SAME length-blocking contract as jaccardPairs — the sketch path
+    // must be a subset of the oracle's pair space, never a superset
+    val aSh = sh.toDF("a_id", "a_sh", "a_n")
+    val bSh = sh.toDF("b_id", "b_sh", "b_n")
+    verifiedPairs(
+      cands.join(aSh, "a_id").join(bSh, "b_id")
+        .filter(abs(col("a_n") - col("b_n")) <= lenBlock), tauPct)
   }
 
   /** Family 3 — SimHash near-dup: 64-bit sketch per doc, candidates by
@@ -119,7 +124,8 @@ object Dedup {
     * (maxHamming+1) chunks is identical), verified by exact popcount.
     * Output: candidate pairs with their hamming distance.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 1000): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     val sigs = docs.select(col("doc_id"),
@@ -130,14 +136,23 @@ object Dedup {
       posexplode(expr(
         s"transform(sequence(0, ${chunks - 1}), c -> shiftrightunsigned(sig, c * $bitsPer) & ${mask}L)"))
         .as(Seq("chunk", "key")))
-    val a = banded.toDF("a_id", "a_sig", "chunk", "key")
-    val b = banded.toDF("b_id", "b_sig", "chunk", "key")
-    a.join(b, Seq("chunk", "key"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
-      .distinct()
+    // degenerate-chunk guard, same contract as minhashPairs: a (chunk, key)
+    // bucket with > maxBucket members is boilerplate (e.g. many short docs
+    // sharing a zero sig chunk) and would make the self-join quadratic
+    val sized = banded.groupBy("chunk", "key")
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ms"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= maxBucket)
+    sized
+      .select(explode(expr(
+        "filter(flatten(transform(ms, a -> transform(ms, b -> struct(a, b)))), p -> p.a.doc_id < p.b.doc_id)"))
+        .as("p"))
+      .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
+        bit_count(col("p.a.sig").bitwiseXOR(col("p.b.sig"))).as("hamming"))
+      // hamming gate BEFORE the dedup shuffle: candidates that fail the
+      // distance test never leave the bucket task
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Family 4 — embedding cosine near-dup (brute force with id ordering;

@@ -88,3 +88,36 @@ case class DetectMime(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): DetectMime =
     copy(child = newChild)
 }
+
+/** `truncate_utf8_bytes(s, maxBytes)` → string: the truncate_fields BYTE
+  * variant (actions/truncate_fields.go:54-60): cap the UTF-8 encoding at
+  * maxBytes, backing off to the previous code-point boundary (a UTF-8
+  * continuation byte has the form 10xxxxxx). Zero-copy slice of the input. */
+case class TruncateUtf8Bytes(child: Expression, maxBytes: Int) extends UnaryExpression {
+  require(maxBytes >= 0, s"maxBytes must be >= 0: $maxBytes")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "truncate_utf8_bytes"
+
+  def evalInput(s: UTF8String): UTF8String = {
+    if (s.numBytes <= maxBytes) return s
+    var end = maxBytes
+    while (end > 0 && (org.apache.spark.unsafe.Platform.getByte(
+      s.getBaseObject, s.getBaseOffset + end) & 0xc0) == 0x80) end -= 1
+    val out = new Array[Byte](end)
+    org.apache.spark.unsafe.Platform.copyMemory(
+      s.getBaseObject, s.getBaseOffset, out,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, end.toLong)
+    UTF8String.fromBytes(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    evalInput(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("truncExpr", this, classOf[TruncateUtf8Bytes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalInput($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TruncateUtf8Bytes =
+    copy(child = newChild)
+}

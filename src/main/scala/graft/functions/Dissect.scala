@@ -3,208 +3,437 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Dissect: positional tokenization by literal delimiters — the fast
-  * non-regex parse path. Pattern language (a fresh implementation of the
-  * semantics in libbeat/processors/dissect/{parser,dissect,field}.go):
+  * non-regex parse path. Full pattern language (a fresh implementation of the
+  * semantics in libbeat/processors/dissect/{parser,dissect,field,trim}.go):
   *
-  *   `%{key}`        capture until the next literal delimiter
-  *   `%{}` `%{?key}` skip (matched but not emitted)
-  *   `%{+key}`       append to `key`, joined by the delimiter preceding the
-  *                   appended part; `%{+key/2}` orders parts explicitly
-  *   `%{key->}`      greedy: consume repeated trailing delimiters (padding)
-  *   `%{key|type}`   convert: integer|long|float|double|boolean|string|ip
+  *   `%{key}`         capture until the next literal delimiter
+  *   `%{}`            skip (matched but not emitted)
+  *   `%{?key}`        named skip: captured for `&key` reference, not emitted
+  *   `%{*key}`        pointer: like `?key` (field.go:168-180)
+  *   `%{&key}`        indirect: emitted under the VALUE captured for `key`
+  *                    (field.go:182-200); requires a `?key`/`*key` reference
+  *                    (validate.go:24-42)
+  *   `%{+key}`        append to `key`, joined by the literal preceding the
+  *                    appended part (default " ", const.go:54);
+  *                    `%{+key/2}` orders parts explicitly (1-2 digits)
+  *   `%{key#3}`       fixed length: consume exactly 3 bytes, no delimiter
+  *                    search (dissect.go:130-137); the last field must fit
+  *                    the remaining input exactly (dissect.go:171-175)
+  *   `%{key->}`       greedy: consume adjacent repeats of the following
+  *                    delimiter (padding, dissect.go:150-161)
+  *   `%{key|type}`    convert: integer|long|float|double|string|boolean|ip
+  *                    (field.go:62-70); unknown or missing type = compile
+  *                    error (field.go:245-252) — NEVER a silent string
+  *                    fallthrough
   *
-  * The compiled form is a delimiter-scan (indexOf/substring loop — no regex
-  * at match time). A non-matching row yields a NULL struct, the columnar
-  * analogue of the reference's `dissect_parsing_error` flag
-  * (dissect/processor.go:93-117) — callers route those rows to dead-letter.
+  * Two Catalyst expressions share the compiled matcher:
+  *  - [[DissectExpr]] → typed struct; static schema, so indirect/pointer
+  *    keys (dynamic names) are rejected at compile time.
+  *  - [[DissectMapExpr]] → map<string,string>; the reference's `Map` output
+  *    shape, supports the full modifier set + trim modes.
+  *
+  * The compiled form is a byte-level delimiter scan over `UTF8String` input
+  * (Go strings are bytes, so SplitN/fixed-length/trim in the reference are
+  * byte operations — and byte scanning avoids the per-row decode+substring
+  * garbage that inverts thread scaling at 32 cores). A non-matching row
+  * yields a NULL result, the columnar analogue of the reference's
+  * `dissect_parsing_error` flag (dissect/processor.go:93-117) — callers
+  * route those rows to dead-letter.
   */
 object Dissect {
 
   sealed trait Kind
   case object Normal extends Kind
-  case object Skip extends Kind
+  case object Skip extends Kind // %{} and %{?name} and %{*name}
   case object Append extends Kind
+  case object Indirect extends Kind
 
-  final case class Part(key: String, kind: Kind, order: Int, greedy: Boolean,
-                        typ: String, delimAfter: String, delimBefore: String)
+  final case class Part(key: String, kind: Kind, ordinal: Int, length: Int,
+                        greedy: Boolean, typ: String,
+                        delimBefore: Array[Byte], delimAfter: Array[Byte]) {
+    def isFixed: Boolean = length > 0
+    /** emitted under its own (static) name */
+    def saveable: Boolean = kind == Normal || kind == Append
+  }
 
-  final case class Compiled(prefix: String, parts: Array[Part], schema: StructType,
-                            outKeys: Array[String]) {
+  val TypeNames: Set[String] =
+    Set("integer", "long", "float", "double", "string", "boolean", "ip")
+
+  def sqlType(t: String): DataType = t match {
+    case "integer" => IntegerType
+    case "long"    => LongType
+    case "float"   => FloatType
+    case "double"  => DoubleType
+    case "boolean" => BooleanType
+    case _         => StringType // string, ip
+  }
+
+  // %{key/ord#len->|type} suffix decomposition (const.go:48-52)
+  private val suffixRe =
+    """^(.+?)(?:/(\d{1,2}))?(?:#(\d{1,2}))?(->)?(?:\|([A-Za-z]*))?$""".r
+
+  sealed trait TrimMode
+  case object TrimNone extends TrimMode
+  case object TrimLeft extends TrimMode
+  case object TrimRight extends TrimMode
+  case object TrimAll extends TrimMode
+
+  final case class Compiled(parts: Array[Part], trimMode: TrimMode,
+                            trimChars: Array[Boolean]) {
+
+    /** saveable output keys, in first-appearance order (static schema). */
+    val outKeys: Array[String] = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      parts.foreach(p => if (p.saveable) seen += p.key)
+      seen.toArray
+    }
     private val keyIndex: Map[String, Int] = outKeys.zipWithIndex.toMap
 
-    def sqlType(t: String): DataType = t match {
-      case "integer"          => IntegerType
-      case "long"             => LongType
-      case "float"            => FloatType
-      case "double"           => DoubleType
-      case "boolean"          => BooleanType
-      case _                  => StringType // string, ip
+    val hasDynamicKeys: Boolean = parts.exists(_.kind == Indirect)
+
+    /** per-outKey declared type (first saveable part with that key wins). */
+    private val typeNames: Array[String] = outKeys.map { k =>
+      parts.find(p => p.saveable && p.key == k).map(_.typ).getOrElse("")
     }
 
-    private def convert(v: String, t: String): Any = try {
-      t match {
-        case "integer" => java.lang.Integer.parseInt(v.trim)
-        case "long"    => java.lang.Long.parseLong(v.trim)
-        case "float"   => java.lang.Float.parseFloat(v.trim)
-        case "double"  => java.lang.Double.parseDouble(v.trim)
-        case "boolean" => v.trim.toLowerCase match {
-          case "true" | "1" => true
-          case "false" | "0" => false
-          case _ => null
-        }
-        case _ => UTF8String.fromString(v)
-      }
-    } catch { case _: NumberFormatException => null }
+    val schema: StructType = StructType(outKeys.zip(typeNames).map {
+      case (k, t) => StructField(k, sqlType(t))
+    })
 
-    def run(s: String): InternalRow = {
-      if (!s.startsWith(prefix)) return null
-      var pos = prefix.length
-      val raw = new Array[String](parts.length)
+    /** resolve order: stable sort by ordinal, pattern order within ties
+      * (parser.go:81-84 — append parts join left-to-right by /n). */
+    private val applyOrder: Array[Int] =
+      parts.indices.sortBy(i => parts(i).ordinal).toArray
+
+    /** Byte-level position extraction (dissect.go:104-181). Returns flat
+      * [start0, end0, start1, end1, ...] or null on parse failure. */
+    def matchPositions(b: Array[Byte], n: Int): Array[Int] = {
+      val m = parts.length
+      val pos = new Array[Int](2 * m)
+
+      // hard match on the leading literal (dissect.go:112-119)
+      val first = parts(0).delimBefore
+      if (!regionMatches(b, n, 0, first)) return null
+      var off = first.length
+
       var i = 0
-      while (i < parts.length) {
+      while (i < m) {
         val p = parts(i)
-        if (p.delimAfter.isEmpty) { // last part takes the rest
-          raw(i) = s.substring(pos); pos = s.length
+        val start = off
+        var end = 0
+        // "terminal" = final field with no trailing literal: takes the rest
+        // (dissect.go:177-179); with a trailing literal the final field is
+        // delimiter-terminated inside the loop and remaining input after the
+        // literal is ignored (golden: "remaining data").
+        val terminal = i == m - 1 && p.delimAfter.isEmpty
+        if (p.isFixed) {
+          end = off + p.length
+          if (end > n) return null
+          if (terminal && end != n) return null // dissect.go:171-175
+        } else if (terminal) {
+          end = n
         } else {
-          val idx = s.indexOf(p.delimAfter, pos)
-          if (idx < 0) return null
-          raw(i) = s.substring(pos, idx)
-          pos = idx + p.delimAfter.length
-          if (p.greedy) {
-            while (s.startsWith(p.delimAfter, pos)) pos += p.delimAfter.length
-          }
+          end = indexOf(b, n, p.delimAfter, off)
+          if (end < 0) return null
+        }
+        off = end
+        // greedy: consume adjacent repeats of the following delimiter
+        // (dissect.go:150-161; value end is NOT extended)
+        if (p.greedy && p.delimAfter.length > 0) {
+          while (off + 1 + p.delimAfter.length <= n &&
+            regionMatches(b, n, off + 1, p.delimAfter)) off += 1
+        }
+        pos(2 * i) = start
+        pos(2 * i + 1) = end
+        if (!terminal) off += p.delimAfter.length
+        i += 1
+      }
+      pos
+    }
+
+    @inline private def regionMatches(b: Array[Byte], n: Int, at: Int,
+                                      needle: Array[Byte]): Boolean = {
+      if (at + needle.length > n) return false
+      var i = 0
+      while (i < needle.length) {
+        if (b(at + i) != needle(i)) return false
+        i += 1
+      }
+      true
+    }
+
+    private def indexOf(b: Array[Byte], n: Int, needle: Array[Byte],
+                        from: Int): Int = {
+      if (needle.length == 0) return from // zeroByte delimiter: empty capture
+      val c0 = needle(0)
+      var i = from
+      val limit = n - needle.length
+      while (i <= limit) {
+        if (b(i) == c0 && regionMatches(b, n, i, needle)) return i
+        i += 1
+      }
+      -1
+    }
+
+    /** trim a captured (start,end) range per trim mode (trim.go:60-70). */
+    @inline private def trim(b: Array[Byte], s0: Int, e0: Int): (Int, Int) = {
+      var s = s0; var e = e0
+      if (trimMode == TrimLeft || trimMode == TrimAll) {
+        while (s < e && (b(s) & 0xff) < 128 && trimChars(b(s))) s += 1
+      }
+      if (trimMode == TrimRight || trimMode == TrimAll) {
+        while (s < e && (b(e - 1) & 0xff) < 128 && trimChars(b(e - 1))) e -= 1
+      }
+      (s, e)
+    }
+
+    /** shared resolve: returns (names, values) with reference keys already
+      * dropped, or null on parse failure. Values are zero-copy slices of `b`
+      * except appends (materialized join). */
+    private def resolve(b: Array[Byte], n: Int): (Array[String], Array[UTF8String]) = {
+      val posArr = matchPositions(b, n)
+      if (posArr == null) return null
+
+      // apply trimmer to every position (dissect.go:71-76)
+      if (trimMode != TrimNone) {
+        var i = 0
+        while (i < parts.length) {
+          val (s, e) = trim(b, posArr(2 * i), posArr(2 * i + 1))
+          posArr(2 * i) = s; posArr(2 * i + 1) = e
+          i += 1
+        }
+      }
+
+      // ordered apply into an insertion-ordered map (dissect.go:184-195)
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      val vals = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+      val refKeys = scala.collection.mutable.Set.empty[String]
+      @inline def get(k: String): Int = names.indexOf(k)
+      @inline def put(k: String, v: UTF8String): Unit = {
+        val at = get(k)
+        if (at >= 0) vals(at) = v else { names += k; vals += v }
+      }
+      @inline def slice(i: Int): UTF8String =
+        UTF8String.fromBytes(b, posArr(2 * i), posArr(2 * i + 1) - posArr(2 * i))
+
+      for (pi <- applyOrder) {
+        val p = parts(pi)
+        p.kind match {
+          case Normal => put(p.key, slice(pi))
+          case Skip =>
+            if (p.key.nonEmpty) { put(p.key, slice(pi)); refKeys += p.key }
+          case Indirect =>
+            val at = get(p.key)
+            if (at >= 0) put(vals(at).toString, slice(pi))
+          case Append =>
+            val at = get(p.key)
+            if (at < 0) put(p.key, slice(pi))
+            else {
+              val prev = vals(at)
+              val sep =
+                if (p.delimBefore.length == 0) DefaultJoinBytes else p.delimBefore
+              val vLen = posArr(2 * pi + 1) - posArr(2 * pi)
+              val out = new Array[Byte](prev.numBytes + sep.length + vLen)
+              prev.writeToMemory(out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+              System.arraycopy(sep, 0, out, prev.numBytes, sep.length)
+              System.arraycopy(b, posArr(2 * pi), out, prev.numBytes + sep.length, vLen)
+              vals(at) = UTF8String.fromBytes(out)
+            }
+        }
+      }
+
+      // drop reference-only keys (dissect.go:191-194)
+      val keep = names.indices.filterNot(i => refKeys.contains(names(i)))
+      (keep.map(names(_)).toArray, keep.map(vals(_)).toArray)
+    }
+
+    /** map<string,string> output — the reference's `Dissect()` shape. */
+    def runMap(input: UTF8String): ArrayBasedMapData = {
+      val n = input.numBytes
+      val b = new Array[Byte](n)
+      org.apache.spark.unsafe.Platform.copyMemory(
+        input.getBaseObject, input.getBaseOffset, b,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, n.toLong)
+      val r = resolve(b, n)
+      if (r == null) return null
+      val (names, vals) = r
+      new ArrayBasedMapData(
+        new GenericArrayData(names.map(UTF8String.fromString).toArray[Any]),
+        new GenericArrayData(vals.toArray[Any]))
+    }
+
+    /** typed-struct output — the reference's `DissectConvert()` shape;
+      * conversion failure nulls the field (log-and-continue, the columnar
+      * analogue of convertData's string passthrough, dissect.go:278-286). */
+    def runStruct(input: UTF8String): InternalRow = {
+      val n = input.numBytes
+      val b = new Array[Byte](n)
+      org.apache.spark.unsafe.Platform.copyMemory(
+        input.getBaseObject, input.getBaseOffset, b,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, n.toLong)
+      val r = resolve(b, n)
+      if (r == null) return null
+      val (names, vals) = r
+      val out = new Array[Any](outKeys.length)
+      var i = 0
+      while (i < names.length) {
+        keyIndex.get(names(i)) match {
+          case Some(k) => out(k) = convert(vals(i), typeNames(k))
+          case None    => // dynamic key in struct mode cannot happen (compile-checked)
         }
         i += 1
       }
-      // resolve appends in (order, appearance) sequence
-      val joined = new Array[StringBuilder](outKeys.length)
-      val sorted = parts.zipWithIndex.filter(_._1.kind != Skip)
-        .sortBy { case (p, ai) => (keyIndex(p.key), p.order, ai) }
-      for ((p, ai) <- sorted) {
-        val ki = keyIndex(p.key)
-        if (joined(ki) == null) joined(ki) = new StringBuilder(raw(ai))
-        else {
-          // join with the appended part's preceding delimiter; default " "
-          // (reference dissect field.go:221-235, const.go:54)
-          val sep = if (p.delimBefore.isEmpty) " " else p.delimBefore
-          joined(ki).append(sep).append(raw(ai))
-        }
-      }
-      val vals = new Array[Any](outKeys.length)
-      var k = 0
-      while (k < outKeys.length) {
-        vals(k) = if (joined(k) == null) null else convert(joined(k).toString, typeOf(k))
-        k += 1
-      }
-      new GenericInternalRow(vals)
+      new GenericInternalRow(out)
     }
 
-    private val typeNames: Array[String] = outKeys.map { k =>
-      parts.find(p => p.kind != Skip && p.key == k).map(_.typ).getOrElse("string")
+    private def convert(v: UTF8String, typ: String): Any = {
+      if (typ.isEmpty || typ == "string") return v
+      // TrimRight(value, " ") before conversion (dissect.go:251)
+      val s = {
+        var str = v.toString
+        var e = str.length
+        while (e > 0 && str.charAt(e - 1) == ' ') e -= 1
+        if (e < str.length) str.substring(0, e) else str
+      }
+      try {
+        typ match {
+          case "integer" =>
+            val l = parseGoInt(s); if (l >= Int.MinValue && l <= Int.MaxValue) l.toInt else null
+          case "long"   => parseGoInt(s)
+          case "float"  => java.lang.Float.parseFloat(s)
+          case "double" => java.lang.Double.parseDouble(s)
+          case "boolean" => s match {
+            case "1" | "t" | "T" | "true" | "TRUE" | "True"    => true
+            case "0" | "f" | "F" | "false" | "FALSE" | "False" => false
+            case _                                             => null
+          }
+          case "ip" => if (IpOps.isValidIp(s)) UTF8String.fromString(s) else null
+        }
+      } catch { case _: NumberFormatException => null }
     }
-    private def typeOf(i: Int): String = typeNames(i)
+
+    /** base-10, or base-16 with 0x/0X prefix (strToInt, dissect.go:241-248). */
+    private def parseGoInt(s0: String): Long = {
+      var s = s0
+      var neg = false
+      if (s.startsWith("+")) s = s.substring(1)
+      else if (s.startsWith("-")) { neg = true; s = s.substring(1) }
+      val abs =
+        if (s.startsWith("0x") || s.startsWith("0X"))
+          java.lang.Long.parseLong(s.substring(2), 16)
+        else java.lang.Long.parseLong(s, 10)
+      if (neg) -abs else abs
+    }
   }
 
-  /** Compile a dissect pattern; throws IllegalArgumentException on malformed
-    * patterns (empty delimiter between two fields, unbalanced braces). */
-  def compile(pattern: String): Compiled = {
-    val parts = scala.collection.mutable.ArrayBuffer.empty[Part]
-    var prefix = ""
+  private val DefaultJoinBytes = " ".getBytes("UTF-8")
+
+  /** Compile a dissect pattern. Throws IllegalArgumentException on: no
+    * `%{}` blocks, unbalanced braces, empty key with modifiers, missing or
+    * unknown type suffix, `&+`/`+&` mixed prefixes, or an indirect field
+    * without its `?`/`*` reference — the same config-time failures as
+    * dissect/field.go:237-279 + validate.go. */
+  def compile(pattern: String,
+              trimMode: TrimMode = TrimNone,
+              trimChars: String = " "): Compiled = {
+    def bad(msg: String) =
+      throw new IllegalArgumentException(s"dissect: $msg in '$pattern'")
+
+    val rawParts = scala.collection.mutable.ArrayBuffer.empty[(String, String)] // (delimBefore, body)
     var pos = 0
-    var prevDelim = ""
-    var first = true
-    var pendingField: Option[(String, Kind, Int, Boolean, String)] = None
-
-    def flush(field: (String, Kind, Int, Boolean, String), delimAfter: String): Unit = {
-      val (key, kind, order, greedy, typ) = field
-      parts += Part(key, kind, order, greedy, typ, delimAfter, prevDelim)
-    }
-
+    var prevDelimStart = 0
+    var found = false
     while (pos < pattern.length) {
       val open = pattern.indexOf("%{", pos)
-      if (open < 0) {
-        val tail = pattern.substring(pos)
-        pendingField match {
-          case Some(f) => flush(f, tail); pendingField = None
-          case None    => if (first) prefix = tail
-        }
-        pos = pattern.length
-      } else {
-        val lit = pattern.substring(pos, open)
-        pendingField match {
-          case Some(f) =>
-            if (lit.isEmpty)
-              throw new IllegalArgumentException(
-                s"dissect: empty delimiter between fields in '$pattern'")
-            flush(f, lit); prevDelim = lit; pendingField = None
-          case None =>
-            if (first) prefix = lit
-            prevDelim = lit
-        }
-        first = false
+      if (open < 0) pos = pattern.length
+      else {
         val close = pattern.indexOf('}', open)
-        if (close < 0) throw new IllegalArgumentException(
-          s"dissect: unbalanced braces in '$pattern'")
-        var body = pattern.substring(open + 2, close)
-        var greedy = false
-        if (body.endsWith("->")) { greedy = true; body = body.dropRight(2) }
-        var typ = "string"
-        val pipe = body.indexOf('|')
-        if (pipe >= 0) { typ = body.substring(pipe + 1).trim; body = body.substring(0, pipe) }
-        var kind: Kind = Normal
-        var order = 0
-        if (body.isEmpty) { kind = Skip; body = s"_skip${parts.length}" }
-        else if (body.startsWith("?")) { kind = Skip; body = body.substring(1) }
-        else if (body.startsWith("+")) {
-          kind = Append; body = body.substring(1)
-          val slash = body.indexOf('/')
-          if (slash >= 0) {
-            order = java.lang.Integer.parseInt(body.substring(slash + 1))
-            body = body.substring(0, slash)
-          }
-        }
-        pendingField = Some((body, kind, order, greedy, typ))
+        if (close < 0) bad("unbalanced braces")
+        found = true
+        rawParts += ((pattern.substring(prevDelimStart, open),
+          pattern.substring(open + 2, close)))
         pos = close + 1
+        prevDelimStart = pos
       }
     }
-    pendingField.foreach(f => flush(f, ""))
+    if (!found) bad("no %{key} blocks (invalid tokenizer)")
+    val trailing = pattern.substring(prevDelimStart)
 
-    val ps = parts.toArray
-    val emitted = ps.filter(_.kind != Skip)
-    val outKeys = emitted.map(_.key).distinct
-    val schema = StructType(outKeys.map { k =>
-      val typ = emitted.find(_.key == k).get.typ
-      StructField(k, typ match {
-        case "integer" => IntegerType
-        case "long"    => LongType
-        case "float"   => FloatType
-        case "double"  => DoubleType
-        case "boolean" => BooleanType
-        case _         => StringType
-      })
-    })
-    Compiled(prefix, ps, schema, outKeys)
+    val parts = new Array[Part](rawParts.length)
+    for (i <- rawParts.indices) {
+      val (delimBefore, rawKey) = rawParts(i)
+      val delimAfter = if (i + 1 < rawParts.length) rawParts(i + 1)._1 else trailing
+      parts(i) =
+        if (rawKey.isEmpty)
+          Part("", Skip, 0, 0, greedy = false, "", delimBefore.getBytes("UTF-8"),
+            delimAfter.getBytes("UTF-8"))
+        else {
+          if (rawKey.endsWith("|")) bad("missing data type")
+          val (key0, ordinal, length, greedy, typ) = rawKey match {
+            case suffixRe(k, ord, len, gr, dt) =>
+              (k,
+                if (ord == null) 0 else ord.toInt,
+                if (len == null) 0 else len.toInt,
+                gr != null,
+                if (dt == null) "" else dt)
+            case _ => bad("malformed key"); null
+          }
+          if (typ.nonEmpty && !TypeNames.contains(typ)) bad(s"invalid data type '$typ'")
+          if (key0.startsWith("+&") || key0.startsWith("&+")) bad("mixed prefix `&+`")
+          val (key, kind) =
+            if (key0.startsWith("?")) (key0.substring(1), Skip)
+            else if (key0.startsWith("*")) (key0.substring(1), Skip)
+            else if (key0.startsWith("+")) (key0.substring(1), Append)
+            else if (key0.startsWith("&")) (key0.substring(1), Indirect)
+            else (key0, Normal)
+          Part(key, kind, ordinal, length, greedy, typ,
+            delimBefore.getBytes("UTF-8"), delimAfter.getBytes("UTF-8"))
+        }
+    }
+
+    // validate.go:24-42 — every indirect needs a ?/* reference with its key
+    val refKeys = parts.collect { case p if p.kind == Skip && p.key.nonEmpty => p.key }.toSet
+    parts.foreach { p =>
+      if (p.kind == Indirect && !refKeys.contains(p.key) &&
+        !parts.exists(q => q.saveable && q.key == p.key))
+        bad(s"missing reference for key '${p.key}'")
+    }
+
+    val chars = new Array[Boolean](128)
+    trimChars.foreach { c =>
+      if (c >= 128) bad("only ASCII trim_chars are supported")
+      chars(c) = true
+    }
+    Compiled(parts, trimMode, chars)
   }
 }
 
-/** `dissect(text, pattern)` Catalyst expression; NULL struct on mismatch. */
+/** `dissect(text, pattern)` Catalyst expression → typed struct; NULL struct
+  * on mismatch. Indirect/pointer keys are dynamic names and cannot have a
+  * static struct schema — compile rejects them here (use [[DissectMapExpr]]). */
 case class DissectExpr(child: Expression, pattern: String) extends UnaryExpression {
   @transient private lazy val compiled = Dissect.compile(pattern)
   // compile eagerly on the driver too, so bad patterns fail at plan time
-  private val planTimeSchema: StructType = Dissect.compile(pattern).schema
+  private val planTimeSchema: StructType = {
+    val c = Dissect.compile(pattern)
+    require(!c.hasDynamicKeys,
+      s"dissect: indirect '&key' produces dynamic keys; use dissect_map for '$pattern'")
+    c.schema
+  }
 
   override def dataType: DataType = planTimeSchema
   override def nullable: Boolean = true
   override def prettyName: String = "dissect"
 
   override protected def nullSafeEval(input: Any): Any =
-    compiled.run(input.asInstanceOf[UTF8String].toString)
+    compiled.runStruct(input.asInstanceOf[UTF8String])
 
-  def evalInput(input: UTF8String): InternalRow = compiled.run(input.toString)
+  def evalInput(input: UTF8String): InternalRow = compiled.runStruct(input)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("dissectExpr", this, classOf[DissectExpr].getName)
@@ -215,5 +444,36 @@ case class DissectExpr(child: Expression, pattern: String) extends UnaryExpressi
   }
 
   override protected def withNewChildInternal(newChild: Expression): DissectExpr =
+    copy(child = newChild)
+}
+
+/** `dissect_map(text, pattern)` → map<string,string>: the reference's
+  * string-map output (dissect.go:58-78) with the full modifier set including
+  * indirect/pointer dynamic keys and trim modes; NULL map on mismatch. */
+case class DissectMapExpr(child: Expression, pattern: String,
+                          trimMode: Dissect.TrimMode = Dissect.TrimNone,
+                          trimChars: String = " ") extends UnaryExpression {
+  @transient private lazy val compiled = Dissect.compile(pattern, trimMode, trimChars)
+  // fail bad patterns at plan time
+  Dissect.compile(pattern, trimMode, trimChars)
+
+  override def dataType: DataType = MapType(StringType, StringType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "dissect_map"
+
+  override protected def nullSafeEval(input: Any): Any =
+    compiled.runMap(input.asInstanceOf[UTF8String])
+
+  def evalInput(input: UTF8String): ArrayBasedMapData = compiled.runMap(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dissectMapExpr", this, classOf[DissectMapExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayBasedMapData) $ref.evalInput($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DissectMapExpr =
     copy(child = newChild)
 }

@@ -1,0 +1,314 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** IP / CIDR primitives for the network condition
+  * (libbeat/conditions/network.go) and the add_network_direction processor
+  * (libbeat/processors/actions/add_network_direction.go:66-120), plus the
+  * dissect `|ip` type check.
+  *
+  * Addresses are normalized to 16 bytes (IPv4 mapped into the tail, the
+  * `net.IP` 16-byte form). A matcher list is compiled ONCE at plan time into
+  * (maskedBase, maskBits, isV4) triples + named-network predicate ids, so the
+  * per-row work is byte compares — no string parsing of the network spec,
+  * no allocation beyond the parsed address.
+  */
+object IpOps {
+
+  /** Parse dotted-quad IPv4 or RFC-4291 IPv6 (with optional embedded v4
+    * tail) into 16 bytes; null when invalid. Strict like Go `net.ParseIP`:
+    * decimal octets 0-255 without leading zeros, hex groups ≤ 4 digits, one
+    * `::` at most, no zone suffixes. */
+  def parse(s: String): Array[Byte] = {
+    if (s == null || s.isEmpty) return null
+    if (s.indexOf(':') < 0) parseV4(s) else parseV6(s)
+  }
+
+  def isValidIp(s: String): Boolean = parse(s) != null
+
+  def isV4(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 10) { if (b(i) != 0) return false; i += 1 }
+    b(10) == -1 && b(11) == -1
+  }
+
+  private def parseV4(s: String): Array[Byte] = {
+    val out = new Array[Byte](16)
+    out(10) = -1; out(11) = -1
+    var octet = 0
+    var digits = 0
+    var field = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '.') {
+        if (digits == 0 || field == 3) return null
+        out(12 + field) = octet.toByte
+        field += 1; octet = 0; digits = 0
+      } else if (c >= '0' && c <= '9') {
+        if (digits > 0 && octet == 0) return null // leading zero
+        octet = octet * 10 + (c - '0')
+        if (octet > 255) return null
+        digits += 1
+      } else return null
+      i += 1
+    }
+    if (digits == 0 || field != 3) return null
+    out(12 + field) = octet.toByte
+    out
+  }
+
+  private def parseV6(s: String): Array[Byte] = {
+    // split on "::" (at most one)
+    val dcol = s.indexOf("::")
+    if (dcol >= 0 && s.indexOf("::", dcol + 1) >= 0) return null
+    val (headStr, tailStr) =
+      if (dcol < 0) (s, null)
+      else (s.substring(0, dcol), s.substring(dcol + 2))
+
+    def groups(part: String): Array[Int] = {
+      if (part == null || part.isEmpty) return Array.empty
+      val gs = part.split(":", -1)
+      val out = new Array[Int](gs.length + 1) // possible v4 expansion
+      var n = 0
+      for ((g, gi) <- gs.zipWithIndex) {
+        if (g.isEmpty) return null
+        if (g.indexOf('.') >= 0) {
+          if (gi != gs.length - 1) return null // v4 tail must be last
+          val v4 = parseV4(g)
+          if (v4 == null) return null
+          out(n) = ((v4(12) & 0xff) << 8) | (v4(13) & 0xff); n += 1
+          out(n) = ((v4(14) & 0xff) << 8) | (v4(15) & 0xff); n += 1
+        } else {
+          if (g.length > 4) return null
+          var v = 0
+          for (c <- g) {
+            val d =
+              if (c >= '0' && c <= '9') c - '0'
+              else if (c >= 'a' && c <= 'f') c - 'a' + 10
+              else if (c >= 'A' && c <= 'F') c - 'A' + 10
+              else return null
+            v = v * 16 + d
+          }
+          out(n) = v; n += 1
+        }
+      }
+      java.util.Arrays.copyOf(out, n)
+    }
+
+    val head = groups(headStr)
+    if (head == null) return null
+    val tail = if (dcol < 0) Array.empty[Int] else groups(tailStr)
+    if (tail == null) return null
+    val total = head.length + tail.length
+    if (dcol < 0 && total != 8) return null
+    if (dcol >= 0 && total > 7) return null // "::" must cover ≥1 group
+
+    val out = new Array[Byte](16)
+    for (i <- head.indices) {
+      out(2 * i) = (head(i) >> 8).toByte; out(2 * i + 1) = head(i).toByte
+    }
+    for (i <- tail.indices) {
+      val at = 8 - tail.length + i
+      out(2 * at) = (tail(i) >> 8).toByte; out(2 * at + 1) = tail(i).toByte
+    }
+    out
+  }
+
+  // ---- named networks (network.go:45-57) ----------------------------------
+
+  private def v4b(b: Array[Byte], i: Int): Int = b(12 + i) & 0xff
+
+  def isLoopback(b: Array[Byte]): Boolean =
+    if (isV4(b)) v4b(b, 0) == 127
+    else b.slice(0, 15).forall(_ == 0) && b(15) == 1
+
+  def isUnspecified(b: Array[Byte]): Boolean =
+    if (isV4(b)) (12 to 15).forall(b(_) == 0)
+    else b.forall(_ == 0)
+
+  def isMulticast(b: Array[Byte]): Boolean =
+    if (isV4(b)) (v4b(b, 0) & 0xf0) == 0xe0
+    else (b(0) & 0xff) == 0xff
+
+  def isInterfaceLocalMulticast(b: Array[Byte]): Boolean =
+    !isV4(b) && (b(0) & 0xff) == 0xff && (b(1) & 0x0f) == 0x01
+
+  def isLinkLocalMulticast(b: Array[Byte]): Boolean =
+    if (isV4(b)) v4b(b, 0) == 224 && v4b(b, 1) == 0 && v4b(b, 2) == 0
+    else (b(0) & 0xff) == 0xff && (b(1) & 0x0f) == 0x02
+
+  def isLinkLocalUnicast(b: Array[Byte]): Boolean =
+    if (isV4(b)) v4b(b, 0) == 169 && v4b(b, 1) == 254
+    else (b(0) & 0xff) == 0xfe && (b(1) & 0xc0) == 0x80
+
+  def isV4Broadcast(b: Array[Byte]): Boolean =
+    isV4(b) && (12 to 15).forall(i => (b(i) & 0xff) == 255)
+
+  def isGlobalUnicast(b: Array[Byte]): Boolean =
+    !isV4Broadcast(b) && !isUnspecified(b) && !isLoopback(b) &&
+      !isMulticast(b) && !isLinkLocalUnicast(b)
+
+  /** RFC 1918 v4 + fd00::/8 (network.go:32-43). */
+  def isPrivate(b: Array[Byte]): Boolean =
+    if (isV4(b))
+      v4b(b, 0) == 10 ||
+        (v4b(b, 0) == 172 && (v4b(b, 1) & 0xf0) == 16) ||
+        (v4b(b, 0) == 192 && v4b(b, 1) == 168)
+    else (b(0) & 0xff) == 0xfd
+
+  /** `!public` (network.go:225-233). */
+  def isLocalOrPrivate(b: Array[Byte]): Boolean =
+    isPrivate(b) || isLoopback(b) || isUnspecified(b) || isV4Broadcast(b) ||
+      isLinkLocalUnicast(b) || isLinkLocalMulticast(b) ||
+      isInterfaceLocalMulticast(b)
+
+  // ---- compiled matcher ---------------------------------------------------
+
+  sealed trait Matcher { def contains(ip: Array[Byte]): Boolean }
+
+  private final case class Named(name: String) extends Matcher {
+    def contains(ip: Array[Byte]): Boolean = name match {
+      case "loopback"                  => isLoopback(ip)
+      case "global_unicast"            => isGlobalUnicast(ip)
+      case "unicast"                   => isGlobalUnicast(ip)
+      case "link_local_unicast"        => isLinkLocalUnicast(ip)
+      case "interface_local_multicast" => isInterfaceLocalMulticast(ip)
+      case "link_local_multicast"      => isLinkLocalMulticast(ip)
+      case "multicast"                 => isMulticast(ip)
+      case "unspecified"               => isUnspecified(ip)
+      case "private"                   => isPrivate(ip)
+      case "public"                    => !isLocalOrPrivate(ip)
+      case _                           => false
+    }
+  }
+
+  /** CIDR: masked 16-byte base + prefix bits (v4 prefixes offset by 96).
+    * A v4 network only matches v4 addresses, like `net.IPNet.Contains`. */
+  private final case class Cidr(base: Array[Byte], bits: Int, v4: Boolean)
+      extends Matcher {
+    def contains(ip: Array[Byte]): Boolean = {
+      if (v4 != isV4(ip)) return false
+      var bit = if (v4) 96 else 0
+      val until = (if (v4) 96 else 0) + bits
+      while (bit < until) {
+        val byteIdx = bit >> 3
+        val mask = 0x80 >> (bit & 7)
+        if ((base(byteIdx) & mask) != (ip(byteIdx) & mask)) return false
+        bit += 1
+      }
+      true
+    }
+  }
+
+  val NamedNetworks: Set[String] = Set("loopback", "global_unicast", "unicast",
+    "link_local_unicast", "interface_local_multicast", "link_local_multicast",
+    "multicast", "unspecified", "private", "public")
+
+  /** Compile a network spec list (names and/or CIDRs); throws
+    * IllegalArgumentException on a malformed CIDR — config-time, like the
+    * reference (network.go:101-112). */
+  def compileMatchers(networks: Seq[String]): Array[Matcher] =
+    networks.map { n =>
+      if (NamedNetworks.contains(n)) Named(n)
+      else {
+        val slash = n.indexOf('/')
+        require(slash > 0, s"invalid network '$n': not a named network or CIDR")
+        val ipPart = n.substring(0, slash)
+        val ip = parse(ipPart)
+        require(ip != null, s"invalid network '$n': bad address")
+        val v4 = ipPart.indexOf(':') < 0
+        val bits = n.substring(slash + 1).toInt
+        require(bits >= 0 && bits <= (if (v4) 32 else 128),
+          s"invalid network '$n': bad prefix length")
+        Cidr(ip, bits, v4)
+      }
+    }.toArray
+
+  def anyContains(matchers: Array[Matcher], ip: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < matchers.length) {
+      if (matchers(i).contains(ip)) return true
+      i += 1
+    }
+    false
+  }
+}
+
+/** `ip_in_networks(ip, networks...)` → boolean: true iff the string column
+  * parses as an IP contained in ANY of the networks (named or CIDR) — the
+  * `network` condition leaf (conditions/network.go:158-178; invalid IP →
+  * false, like Check). */
+case class IpInNetworks(child: Expression, networks: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val matchers = IpOps.compileMatchers(networks)
+  IpOps.compileMatchers(networks) // plan-time config validation
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "ip_in_networks"
+
+  def evalInput(input: UTF8String): Boolean = {
+    val ip = IpOps.parse(input.toString)
+    ip != null && IpOps.anyContains(matchers, ip)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    evalInput(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ipInNets", this, classOf[IpInNetworks].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalInput($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IpInNetworks =
+    copy(child = newChild)
+}
+
+/** `network_direction(src_ip, dst_ip, internal_networks)` → string in
+  * {internal, external, inbound, outbound}; NULL when either side is missing
+  * or unparseable (the reference leaves the event untouched,
+  * add_network_direction.go:67-106). */
+case class NetworkDirection(left: Expression, right: Expression,
+                            internalNetworks: Seq[String])
+    extends BinaryExpression {
+  @transient private lazy val matchers = IpOps.compileMatchers(internalNetworks)
+  IpOps.compileMatchers(internalNetworks)
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "network_direction"
+
+  private val Internal = UTF8String.fromString("internal")
+  private val External = UTF8String.fromString("external")
+  private val Inbound = UTF8String.fromString("inbound")
+  private val Outbound = UTF8String.fromString("outbound")
+
+  def evalInput(src: UTF8String, dst: UTF8String): UTF8String = {
+    val s = IpOps.parse(src.toString)
+    val d = IpOps.parse(dst.toString)
+    if (s == null || d == null) return null
+    val si = IpOps.anyContains(matchers, s)
+    val di = IpOps.anyContains(matchers, d)
+    if (si && di) Internal
+    else if (si) Outbound
+    else if (di) Inbound
+    else External
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    evalInput(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("netDir", this, classOf[NetworkDirection].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = $ref.evalInput($a, $b);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NetworkDirection =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,169 @@
+package graft.functions
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bounded ordered collect: keep the `k` entries with the SMALLEST `ord` and
+  * return their values sorted by (ord, value) ascending.
+  *
+  * This is the skew-safe primitive behind sessionize / multiline folding:
+  * `collect_list` holds every row of a group in one aggregation buffer, so a
+  * hot conv_id (the repo's own generator routes 20% of all rows to conv 0)
+  * concentrates that share of the corpus in ONE task's memory. This
+  * aggregate's buffer is a size-k max-heap — bounded regardless of group
+  * size — and it merges partially (map-side combine keeps every partial
+  * buffer ≤ k too), so a 10^11-turn hot conversation costs each task at most
+  * k entries. The cap is the reference's own shape: multiline enforces
+  * `max_lines` per event (multiline/multiline_config.go:54,
+  * message_buffer.go addLine), truncating pathological events instead of
+  * buffering them unboundedly.
+  */
+case class OrderedTopKStrings(left: Expression, right: Expression, k: Int,
+                              mutableAggBufferOffset: Int = 0,
+                              inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[OrderedTopKStrings.Buf]
+    with BinaryLike[Expression] {
+  require(k > 0, s"ordered_topk: k must be positive, got $k")
+
+  import OrderedTopKStrings._
+
+  def ord: Expression = left
+  def value: Expression = right
+
+  override def prettyName: String = "ordered_topk_strings"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Buf = new Buf(k)
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val o = ord.eval(input)
+    val v = value.eval(input)
+    if (o != null && v != null)
+      buf.offer(o.asInstanceOf[Int], v.asInstanceOf[UTF8String])
+    buf
+  }
+
+  override def merge(buf: Buf, other: Buf): Buf = { buf.absorb(other); buf }
+
+  override def eval(buf: Buf): Any = new GenericArrayData(buf.sortedValues)
+
+  override def serialize(buf: Buf): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): Buf = Buf.fromBytes(bytes, k)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): OrderedTopKStrings =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): OrderedTopKStrings =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): OrderedTopKStrings =
+    copy(left = l, right = r)
+}
+
+object OrderedTopKStrings {
+
+  /** size-bounded max-heap over (ord, value); keeps the k smallest. */
+  final class Buf(val k: Int) {
+    private var ords = new Array[Int](math.min(k, 16))
+    private var vals = new Array[UTF8String](math.min(k, 16))
+    private var n = 0
+
+    @inline private def gt(i: Int, oOrd: Int, oVal: UTF8String): Boolean = {
+      val c = java.lang.Integer.compare(ords(i), oOrd)
+      c > 0 || (c == 0 && vals(i).compareTo(oVal) > 0)
+    }
+
+    def offer(o: Int, v0: UTF8String): Unit = {
+      if (n == k && !gt(0, o, v0)) return // not better than current worst
+      val v = v0.clone() // input buffers are reused — must own the bytes
+      if (n < k) {
+        if (n == ords.length) {
+          val cap = math.min(k.toLong, ords.length * 2L).toInt
+          ords = java.util.Arrays.copyOf(ords, cap)
+          vals = java.util.Arrays.copyOf(vals, cap)
+        }
+        ords(n) = o; vals(n) = v; n += 1
+        siftUp(n - 1)
+      } else {
+        ords(0) = o; vals(0) = v
+        siftDown(0)
+      }
+    }
+
+    private def siftUp(i0: Int): Unit = {
+      var i = i0
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (gt(i, ords(p), vals(p))) { swap(i, p); i = p } else return
+      }
+    }
+
+    private def siftDown(i0: Int): Unit = {
+      var i = i0
+      while (true) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        if (l < n && gt(l, ords(m), vals(m))) m = l
+        if (r < n && gt(r, ords(m), vals(m))) m = r
+        if (m == i) return
+        swap(i, m); i = m
+      }
+    }
+
+    @inline private def swap(a: Int, b: Int): Unit = {
+      val to = ords(a); ords(a) = ords(b); ords(b) = to
+      val tv = vals(a); vals(a) = vals(b); vals(b) = tv
+    }
+
+    def absorb(other: Buf): Unit = {
+      var i = 0
+      while (i < other.n) { offer(other.ords(i), other.vals(i)); i += 1 }
+    }
+
+    def sortedValues: Array[Any] = {
+      val idx = (0 until n).sortBy(i => (ords(i), vals(i)))
+      idx.map(vals(_): Any).toArray
+    }
+
+    def toBytes: Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(n)
+      var i = 0
+      while (i < n) {
+        out.writeInt(ords(i))
+        val b = vals(i).getBytes
+        out.writeInt(b.length)
+        out.write(b)
+        i += 1
+      }
+      out.flush()
+      bos.toByteArray
+    }
+  }
+
+  object Buf {
+    def fromBytes(bytes: Array[Byte], k: Int): Buf = {
+      val in = ByteBuffer.wrap(bytes)
+      val buf = new Buf(k)
+      val n = in.getInt
+      var i = 0
+      while (i < n) {
+        val o = in.getInt
+        val len = in.getInt
+        val b = new Array[Byte](len)
+        in.get(b)
+        buf.offer(o, UTF8String.fromBytes(b))
+        i += 1
+      }
+      buf
+    }
+  }
+}

@@ -31,7 +31,7 @@ object ServerlogKernel {
 
   private val fieldNames = Array("logtime", "service", "hostname", "level",
     "thread", "class", "method", "line", "trace_id", "span_id", "message",
-    "extra", "status")
+    "extra", "script_error", "status")
 
   val schema: StructType = StructType(Seq(
     StructField("logtime", StringType),
@@ -46,6 +46,7 @@ object ServerlogKernel {
     StructField("span_id", StringType),
     StructField("message", StringType),
     StructField("extra", MapType(StringType, StringType)),
+    StructField("script_error", StringType),
     StructField("status", StringType)
   ))
 
@@ -54,6 +55,11 @@ object ServerlogKernel {
   private val StBadService = UTF8String.fromString(BadService)
   private val StBenchmark = UTF8String.fromString(Benchmark)
   private val StOk = UTF8String.fromString(Ok)
+  /** `script_error` marker for an unparseable `[line]` item — the reference
+    * keeps the event with a script_error field and skips field extraction
+    * (parser.go:117-136); the dead-letter taxonomy must not lose the
+    * "line unparseable" case. */
+  private val ErrLineParse = UTF8String.fromString("line_parse_error")
 
   /** `^[a-z]+[a-z0-9-_.]+$` without regex (parser.go:39), over bytes. */
   private def validService(b: Array[Byte], from: Int, until: Int): Boolean = {
@@ -118,9 +124,9 @@ object ServerlogKernel {
     starts(cnt) = start; ends(cnt) = n; cnt += 1
 
     def statusOnly(status: UTF8String): InternalRow = {
-      val r = new Array[Any](13)
+      val r = new Array[Any](14)
       r(0) = logtime
-      r(12) = status
+      r(13) = status
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(r)
     }
 
@@ -147,8 +153,8 @@ object ServerlogKernel {
     val trFrom = if (ends(9) - starts(9) < 2) starts(9) else starts(9) + 1
     val trUntil = if (ends(9) - starts(9) < 2) ends(9) else ends(9) - 1
     if (ends(9) > starts(9) && isBenchmarkTrace(b, trFrom, trUntil)) {
-      val r = new Array[Any](13)
-      r(0) = logtime; r(1) = svc; r(12) = StBenchmark
+      val r = new Array[Any](14)
+      r(0) = logtime; r(1) = svc; r(13) = StBenchmark
       return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(r)
     }
 
@@ -184,9 +190,10 @@ object ServerlogKernel {
       i += 1
     }
 
-    val vals = new Array[Any](13)
+    val vals = new Array[Any](14)
     vals(0) = logtime
     vals(1) = svc
+    if (!lineOk) vals(12) = ErrLineParse
     if (lineOk) {
       vals(2) = slice(starts(3), ends(3))
       vals(3) = asciiUpper(b, starts(4), ends(4))
@@ -227,7 +234,7 @@ object ServerlogKernel {
         } catch { case _: Exception => /* json_error — leave extra null */ }
       }
     }
-    vals(12) = StOk
+    vals(13) = StOk
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
   }
 

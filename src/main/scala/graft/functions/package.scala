@@ -25,6 +25,25 @@ package object functions {
   def dissect(text: Column, pattern: String): Column =
     ExpressionUtils.column(DissectExpr(ExpressionUtils.expression(text), pattern))
 
+  /** dissect with the full modifier set (indirect/pointer dynamic keys, trim
+    * modes) → map<string,string> column (null map on miss). */
+  def dissect_map(text: Column, pattern: String,
+                  trimMode: Dissect.TrimMode = Dissect.TrimNone,
+                  trimChars: String = " "): Column =
+    ExpressionUtils.column(
+      DissectMapExpr(ExpressionUtils.expression(text), pattern, trimMode, trimChars))
+
+  /** network condition leaf: IP-string column ∈ any of the named networks /
+    * CIDRs (conditions/network.go). */
+  def ip_in_networks(ip: Column, networks: Seq[String]): Column =
+    ExpressionUtils.column(IpInNetworks(ExpressionUtils.expression(ip), networks))
+
+  /** add_network_direction: classify src/dst against internal networks →
+    * internal|external|inbound|outbound (add_network_direction.go:66-120). */
+  def network_direction(src: Column, dst: Column, internal: Seq[String]): Column =
+    ExpressionUtils.column(NetworkDirection(
+      ExpressionUtils.expression(src), ExpressionUtils.expression(dst), internal))
+
   /** level-letter → long-name translation via a map literal
     * (libbeat/processors/parse_common/parser.go:34-42); unknown letters pass
     * through, like the reference's `else` branch (parse_vehicle_trace2trace
@@ -70,6 +89,14 @@ package object functions {
   def nearest_centroids(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
     ExpressionUtils.column(NearestCentroids(ExpressionUtils.expression(vec), centroids, nprobe))
 
+  /** bounded ordered collect: values of the k smallest `ord` rows, sorted —
+    * the skew-safe (hot-conversation-proof) replacement for
+    * `array_sort(collect_list(...))`; see [[OrderedTopKStrings]]. */
+  def ordered_topk(ord: Column, value: Column, k: Int): Column =
+    ExpressionUtils.column(OrderedTopKStrings(
+      ExpressionUtils.expression(ord), ExpressionUtils.expression(value), k)
+      .toAggregateExpression())
+
   /** gunzip a binary column (decompress_gzip_field.go:69-133); null on
     * corrupt stream. */
   def gunzip(bin: Column): Column =
@@ -78,4 +105,8 @@ package object functions {
   /** magic-byte MIME sniff (detect_mime_type.go:54-75). */
   def detect_mime(bin: Column): Column =
     ExpressionUtils.column(DetectMime(ExpressionUtils.expression(bin)))
+
+  /** byte-capped UTF-8 truncation (truncate_fields max_bytes variant). */
+  def truncate_utf8_bytes(s: Column, maxBytes: Int): Column =
+    ExpressionUtils.column(TruncateUtf8Bytes(ExpressionUtils.expression(s), maxBytes))
 }

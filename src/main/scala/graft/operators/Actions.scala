@@ -108,41 +108,90 @@ object Actions {
 
   /** multiline (libbeat/reader/multiline/pattern.go:68-236) re-expressed as
     * conversation assembly: all turns of a conv folded into one ordered
-    * document. groupBy(conv) is ONE shuffle of (key, turn_idx, text);
-    * array_sort on the collected structs keeps ordering deterministic without
-    * a global sort. At 10^12 turns a hot conv is bounded by turns-per-conv,
-    * not corpus size — see Enrich.saltedRepartition for the pathological
-    * case. */
-  def sessionize(df: DataFrame, sep: String = "\n"): DataFrame =
+    * document. groupBy(conv) is ONE shuffle of (key, turn_idx, text); the
+    * fold uses [[graft.functions.ordered_topk]] — a size-capped heap
+    * aggregate with map-side partial merge — so a hot conv_id (the repo's
+    * own generator routes 20% of all rows to conv 0) costs each task at most
+    * `maxTurns` entries instead of its full 10^11-turn share. `maxTurns`
+    * mirrors the reference's own `max_lines` truncation contract
+    * (multiline_config.go:54). */
+  def sessionize(df: DataFrame, sep: String = "\n",
+                 maxTurns: Int = 100000): DataFrame =
     df.groupBy("conv_id")
       .agg(
         count(lit(1)).cast("long").as("n_turns"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("turn_idx"), col("text")))),
-            x => x.getField("text")),
-          sep).as("session_text"))
+        array_join(ordered_topk(col("turn_idx"), col("text"), maxTurns), sep)
+          .as("session_text"))
 
-  /** multiline folding (libbeat/reader/multiline/pattern.go:68-236,
-    * `pattern`+`negate`+`match: after` semantics): a line NOT matching
-    * `startPattern` continues the previous event; fold runs of continuation
-    * lines into one event per start line. Batch formulation: a per-conv
-    * running count of start lines assigns a group id (window cumsum — one
-    * shuffle on conv_id, order local to the partition), then an ordered fold
-    * per (conv, group). A leading continuation line opens group 0, matching
-    * the reference's treatment of a file starting mid-event. */
-  def multilineFold(df: DataFrame, startPattern: String): DataFrame = {
-    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_start", when(col("text").rlike(startPattern), 1).otherwise(0))
-      .withColumn("event_idx", sum(col("_start")).over(w).cast("int"))
+  /** multiline folding, `match: after` + negate shape (pattern.go:268-272):
+    * a line NOT matching `startPattern` continues the previous event. See
+    * [[multilinePattern]] for the full config surface. */
+  def multilineFold(df: DataFrame, startPattern: String,
+                    maxLines: Int = 100000): DataFrame =
+    multilinePattern(df, startPattern, negate = true, matchMode = "after",
+      maxLines = maxLines)
+
+  /** Full multiline pattern reader (multiline/pattern.go:104-236 +
+    * multiline_config.go:49-60) as a batch fold over (conv_id, turn_idx):
+    *
+    *  - `match: after`:  current line joins the buffer when
+    *                     match(current) XOR negate (afterMatcher)
+    *  - `match: before`: current line joins when match(PREVIOUS) XOR negate
+    *                     (beforeMatcher — "previous line signals
+    *                     continuation")
+    *  - `flush_pattern`: a matching line is ADDED to its event and then the
+    *                     event is flushed (pattern.go:205-217), so the next
+    *                     line always opens a new event
+    *  - `max_lines`:     events truncate to the first N lines
+    *                     (message_buffer addLine cap); grouping is unchanged
+    *
+    * Batch formulation: per conv, a line opens a new event when it is the
+    * first, when the pred rejects it, or when the previous line flushed —
+    * a lag + running-sum window pair (one shuffle on conv_id), then a
+    * capped ordered fold per (conv, event_idx). */
+  def multilinePattern(df: DataFrame, pattern: String, negate: Boolean = false,
+                       matchMode: String = "after",
+                       flushPattern: Option[String] = None,
+                       maxLines: Int = 100000): DataFrame = {
+    require(matchMode == "after" || matchMode == "before",
+      s"unknown matcher type: $matchMode") // multiline_config.go:66
+    val ord = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = col("_m")
+    val joins = matchMode match {
+      case "after"  => if (negate) !m else m
+      case "before" =>
+        val prev = lag(m, 1).over(ord)
+        coalesce(if (negate) !prev else prev, lit(false))
+    }
+    val prevFlushed = flushPattern match {
+      case Some(fp) => coalesce(lag(col("text"), 1).over(ord).rlike(fp), lit(false))
+      case None     => lit(false)
+    }
+    df.withColumn("_m", col("text").rlike(pattern))
+      .withColumn("_boundary",
+        when(row_number().over(ord) === 1 || !joins || prevFlushed, 1).otherwise(0))
+      .withColumn("event_idx", sum(col("_boundary")).over(cum).cast("int"))
       .groupBy("conv_id", "event_idx")
       .agg(
         min("turn_idx").as("first_turn"),
         count(lit(1)).cast("long").as("n_lines"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("turn_idx"), col("text")))),
-            x => x.getField("text")),
-          "\n").as("event_text"))
+        array_join(ordered_topk(col("turn_idx"), col("text"), maxLines), "\n")
+          .as("event_text"))
+  }
+
+  /** count-mode multiline (multiline_config.go:35-45, `type: count`): fixed
+    * groups of `n` lines per conv, in turn order. */
+  def multilineCount(df: DataFrame, n: Int): DataFrame = {
+    require(n > 0, "count_lines must be positive")
+    val ord = Window.partitionBy("conv_id").orderBy("turn_idx")
+    df.withColumn("event_idx", ((row_number().over(ord) - 1) / n).cast("int"))
+      .groupBy("conv_id", "event_idx")
+      .agg(
+        min("turn_idx").as("first_turn"),
+        count(lit(1)).cast("long").as("n_lines"),
+        array_join(ordered_topk(col("turn_idx"), col("text"), n), "\n")
+          .as("event_text"))
   }
 
   /** kafka fields-hash partitioner (libbeat/outputs/kafka/partition.go:216-238):
@@ -150,4 +199,124 @@ object Actions {
   def kafkaPartition(key: Column, numPartitions: Int): Column =
     pmod(fnv1a32(key).cast("long").bitwiseAND(lit(4294967295L)), lit(numPartitions.toLong))
       .cast("int")
+
+  /** kafka `random` partitioner (partition.go:118-135): stateless jitter;
+    * deterministic analogue uses a row-hash so replays route identically —
+    * randomness in a distributed batch engine must be replay-stable. */
+  def kafkaPartitionRandom(rowCols: Seq[Column], numPartitions: Int): Column =
+    pmod(hash(rowCols: _*), lit(numPartitions)).cast("int")
+
+  /** kafka `round_robin` partitioner (partition.go:137-156): successive
+    * events rotate through partitions. Batch analogue: the per-group event
+    * sequence number mod N (a window over the producer key, mirroring the
+    * reference's per-producer counter). */
+  def kafkaPartitionRoundRobin(df: DataFrame, groupKey: String, order: String,
+                               numPartitions: Int): DataFrame = {
+    val w = Window.partitionBy(groupKey).orderBy(order)
+    df.withColumn("part_id",
+      pmod(row_number().over(w) - 1, lit(numPartitions)).cast("int"))
+  }
+
+  /** add_labels (actions/add_labels.go:37-55): constants flattened under
+    * `labels.` — arrays keep their index path, like common.Flatten. */
+  def addLabels(df: DataFrame, labels: Map[String, Any]): DataFrame = {
+    def flatten(prefix: String, v: Any): Seq[(String, Column)] = v match {
+      case m: Map[_, _] =>
+        m.toSeq.flatMap { case (k, x) => flatten(s"$prefix.$k", x) }
+      case xs: Seq[_] =>
+        xs.zipWithIndex.flatMap { case (x, i) => flatten(s"$prefix.$i", x) }
+      case x => Seq(prefix -> lit(x))
+    }
+    labels.toSeq.flatMap { case (k, v) => flatten(s"labels.$k", v) }
+      .foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+  }
+
+  /** add_locale (add_locale/add_locale.go:71-88): the event's timezone —
+    * in a batch engine the session zone, as `event.timezone`. */
+  def addLocale(df: DataFrame): DataFrame =
+    df.withColumn("event.timezone",
+      lit(df.sparkSession.conf.get("spark.sql.session.timeZone")))
+
+  /** add_data_stream (add_data_stream/add_data_stream.go:47-85): the
+    * type-dataset-namespace triple and the derived index name. */
+  def addDataStream(df: DataFrame, dsType: String = "logs",
+                    dataset: Column = lit("generic"),
+                    namespace: Column = lit("default")): DataFrame =
+    df.withColumn("data_stream.type", lit(dsType))
+      .withColumn("data_stream.dataset", dataset)
+      .withColumn("data_stream.namespace", namespace)
+      .withColumn("raw_index",
+        concat_ws("-", lit(dsType), dataset, namespace))
+
+  /** truncate_fields BYTE variant (actions/truncate_fields.go:54-60
+    * max_bytes): truncate the UTF-8 encoding to ≤ maxBytes without splitting
+    * a code point (the reference slices bytes; we back off to the previous
+    * UTF-8 boundary so the output stays valid text). */
+  def truncateFieldBytes(c: Column, maxBytes: Int): Column =
+    graft.functions.truncate_utf8_bytes(c, maxBytes)
+
+  /** timestamp processor with GO reference layouts
+    * (timestamp/timestamp.go:86-185): Beats configs carry Go's
+    * "2006-01-02 15:04:05"-style layouts; translate to a Spark datetime
+    * pattern, then first-matching-layout parse. */
+  def parseTimestampGoLayouts(c: Column, goLayouts: Seq[String]): Column =
+    coalesce(goLayouts.map(l => try_to_timestamp(c, lit(goLayoutToPattern(l)))): _*)
+
+  /** Go reference-time layout → Spark datetime pattern. Covers the layout
+    * vocabulary Beats ships (timestamp/timestamp.go docs): 2006/01/02,
+    * 15/03/04/05, .000/.999 fractions, Jan/January, Mon/Monday, PM,
+    * -0700/-07:00/Z07:00, MST. */
+  def goLayoutToPattern(layout: String): String = {
+    // ordered longest-first so "2006" wins over "06", "15" over "1", etc.
+    val subs = Seq(
+      "January" -> "MMMM", "Jan" -> "MMM",
+      "Monday" -> "EEEE", "Mon" -> "EEE",
+      "2006" -> "yyyy", "06" -> "yy",
+      "15" -> "HH", "01" -> "MM", "02" -> "dd", "03" -> "hh", "04" -> "mm",
+      "05" -> "ss",
+      "000000000" -> "SSSSSSSSS", "000000" -> "SSSSSS", "000" -> "SSS",
+      "999999999" -> "SSSSSSSSS", "999999" -> "SSSSSS", "999" -> "SSS",
+      "Z07:00" -> "XXX", "Z0700" -> "XX",
+      "-07:00" -> "xxx", "-0700" -> "xx", "-07" -> "x",
+      "MST" -> "zzz",
+      "PM" -> "a",
+      "2" -> "d", "1" -> "M", "3" -> "h", "4" -> "m", "5" -> "s"
+    )
+    val sb = new StringBuilder
+    var i = 0
+    while (i < layout.length) {
+      subs.find { case (go, _) => layout.startsWith(go, i) } match {
+        case Some((go, j)) => sb.append(j); i += go.length
+        case None =>
+          val ch = layout.charAt(i)
+          // quote pattern-letter literals for the Java formatter
+          if (ch.isLetter) sb.append('\'').append(ch).append('\'')
+          else sb.append(ch)
+          i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** serverlog envelope unwrap (parse_serverlog/parser.go:82-98): the
+    * shipper wraps each content line in a JSON envelope; extract
+    * `contents.content` plus `tags`→`source_tags`, `time`→`source_time`.
+    * Unparseable envelopes yield null content — dead-letter routed, the
+    * columnar analogue of the processor's error return. */
+  def unwrapEnvelope(df: DataFrame, envelopeCol: String = "envelope"): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("contents",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("content",
+            org.apache.spark.sql.types.StringType)))),
+      org.apache.spark.sql.types.StructField("tags",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.types.StructField("time",
+        org.apache.spark.sql.types.StringType)))
+    df.withColumn("_env", from_json(col(envelopeCol), schema))
+      .withColumn("content", col("_env.contents.content"))
+      .withColumn("source_tags", col("_env.tags"))
+      .withColumn("source_time", col("_env.time"))
+      .drop("_env")
+  }
 }

@@ -41,6 +41,14 @@ final case class Range(field: String, gt: Option[Double] = None, gte: Option[Dou
 final case class HasFields(fields: Seq[String]) extends Cond {
   def toColumn: Column = fields.map(f => col(f).isNotNull).reduce(_ && _)
 }
+/** network condition: every (field → networks) entry must match — an IP
+  * string field contained in ANY of its named networks / CIDRs
+  * (conditions/network.go:158-178; missing/invalid IP → false). */
+final case class Network(fields: Map[String, Seq[String]]) extends Cond {
+  def toColumn: Column = fields.map { case (f, nets) =>
+    coalesce(graft.functions.ip_in_networks(col(f), nets), lit(false))
+  }.reduce(_ && _)
+}
 final case class And(conds: Seq[Cond]) extends Cond {
   def toColumn: Column = conds.map(_.toColumn).reduce(_ && _)
 }

@@ -92,21 +92,38 @@ object Ann {
     * (table, bucket) key; queries stay broadcast.
     */
   def lshNeighbors(corpus: DataFrame, queries: DataFrame, k: Int,
-                   planes: Int = 3, tables: Int = 12): DataFrame = {
+                   planes: Int = 3, tables: Int = 12,
+                   probeHamming: Int = 0): DataFrame = {
     def banded(df: DataFrame, idCol: String, vCol: String) =
       df.select(col("vec_id").as(idCol), col("embedding").as(vCol),
         posexplode(array((0 until tables).map(t =>
           hyperplane_bucket(col("embedding"), planes, t)): _*))
           .as(Seq("table", "bucket")))
     val c = banded(corpus, "neighbor_id", "c_v")
-    val q = banded(queries, "query_id", "q_v")
+    // multiprobe (the standard table-count reducer): the query additionally
+    // probes every bucket within `probeHamming` sign-bit flips of its own —
+    // probeHamming = planes probes ALL buckets, which degenerates the search
+    // to exact brute force, the same oracle trick as IVF's nprobe = nlist
+    val q0 = banded(queries, "query_id", "q_v")
+    val q =
+      if (probeHamming <= 0) q0
+      else q0
+        .withColumnRenamed("bucket", "bucket0")
+        .select(col("query_id"), col("q_v"), col("table"),
+          explode(filter(
+            sequence(lit(0), lit((1 << planes) - 1)),
+            b => bit_count(b.bitwiseXOR(col("bucket0"))) <= probeHamming))
+            .as("bucket"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("q_v"), col("c_v"))
+      // score BEFORE deduplicating across tables: the dedup shuffle then
+      // carries (ids, cos) — 20 bytes — instead of two full embedding
+      // vectors per candidate collision (up to L copies each)
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("q_v"), col("c_v")).as("cos"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", cosine_sim(col("q_v"), col("c_v")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),

@@ -40,7 +40,7 @@ class ActionsSpec extends SparkSpec {
 
   test("dissect agrees with the serverlog parser on well-formed rows") {
     val pattern = "%{date} %{time} %{service} %{host} %{level} [%{thread}] " +
-      "%{class} %{method} [%{line|int}] [%{trace}] [%{span}] %{body}"
+      "%{class} %{method} [%{line|integer}] [%{trace}] [%{span}] %{body}"
     val both = TranscriptPipeline.parse(t)
       .withColumn("_d", graft.functions.dissect(col("text"), pattern))
       .filter(col("status") === "ok")
@@ -82,12 +82,110 @@ class ActionsSpec extends SparkSpec {
     val out = Actions.multilineFold(df, "^START")
       .collect().map(r => (r.getString(0), r.getInt(1)) ->
         (r.getLong(3), r.getString(4))).toMap
+    // event_idx is the 1-based boundary count: a leading continuation line
+    // opens event 1 (the reference starts its first buffer with whatever
+    // line arrives first, pattern.go:131-140)
     assert(out(("c1", 1)) == ((3L, "START a\n  cont1\n  cont2")))
     assert(out(("c1", 2)) == ((1L, "START b")))
-    assert(out(("c2", 0)) == ((1L, "  orphan")))   // leading continuation
-    assert(out(("c2", 1)) == ((1L, "START c")))
+    assert(out(("c2", 1)) == ((1L, "  orphan")))   // leading continuation
+    assert(out(("c2", 2)) == ((1L, "START c")))
     // totality: line counts add back up to the input
     assert(out.values.map(_._1).sum == 6L)
+  }
+
+  test("multiline match:before — previous line signals continuation") {
+    val df = Seq(
+      ("c1", 0, "a \\"), ("c1", 1, "b \\"), ("c1", 2, "c"),
+      ("c1", 3, "d"), ("c1", 4, "e \\"), ("c1", 5, "f")
+    ).toDF("conv_id", "turn_idx", "text")
+    val out = Actions.multilinePattern(df, "\\\\$", matchMode = "before")
+      .collect().map(r => r.getInt(1) -> r.getString(4)).toMap
+    assert(out(1) == "a \\\nb \\\nc")
+    assert(out(2) == "d")
+    assert(out(3) == "e \\\nf")
+  }
+
+  test("multiline flush_pattern ends the event inclusively") {
+    val df = Seq(
+      ("c1", 0, "begin"), ("c1", 1, "mid"), ("c1", 2, "END"),
+      ("c1", 3, "next"), ("c1", 4, "END")
+    ).toDF("conv_id", "turn_idx", "text")
+    // after+negate with a start pattern that never matches → everything would
+    // fold into one event; flush_pattern splits at END lines (inclusive)
+    val out = Actions.multilinePattern(df, "^NEVER", negate = true,
+      matchMode = "after", flushPattern = Some("^END$"))
+      .collect().map(r => r.getInt(1) -> r.getString(4)).toMap
+    assert(out(1) == "begin\nmid\nEND")
+    assert(out(2) == "next\nEND")
+  }
+
+  test("multiline max_lines truncates event text, keeps grouping and counts") {
+    val df = Seq(
+      ("c1", 0, "START"), ("c1", 1, "l1"), ("c1", 2, "l2"), ("c1", 3, "l3")
+    ).toDF("conv_id", "turn_idx", "text")
+    val out = Actions.multilinePattern(df, "^START", negate = true,
+      matchMode = "after", maxLines = 2).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(3) == 4L)                 // n_lines counts all
+    assert(out(0).getString(4) == "START\nl1")      // text truncated to 2
+  }
+
+  test("multiline count mode groups fixed-size blocks per conv") {
+    val df = (0 until 7).map(i => ("c1", i, s"l$i")).toDF("conv_id", "turn_idx", "text")
+    val out = Actions.multilineCount(df, 3)
+      .collect().map(r => r.getInt(1) -> (r.getLong(3), r.getString(4))).toMap
+    assert(out(0) == ((3L, "l0\nl1\nl2")))
+    assert(out(1) == ((3L, "l3\nl4\nl5")))
+    assert(out(2) == ((1L, "l6")))
+  }
+
+  test("go layout translation covers the Beats layout vocabulary") {
+    assert(Actions.goLayoutToPattern("2006-01-02 15:04:05") == "yyyy-MM-dd HH:mm:ss")
+    assert(Actions.goLayoutToPattern("2006-01-02T15:04:05.999") == "yyyy-MM-dd'T'HH:mm:ss.SSS")
+    assert(Actions.goLayoutToPattern("02/Jan/2006 03:04 PM") == "dd/MMM/yyyy hh:mm a")
+    val df = Seq("2024-01-02 03:04:05", "02/Jan/2024 03:04 PM", "junk").toDF("s")
+    val parsed = df.select(Actions.parseTimestampGoLayouts(col("s"),
+      Seq("2006-01-02 15:04:05", "02/Jan/2006 03:04 PM")).as("ts"))
+    assert(parsed.filter(col("ts").isNotNull).count() == 2)
+  }
+
+  test("kafka round_robin rotates through partitions per group") {
+    val df = (0 until 10).map(i => ("k1", i)).toDF("key", "seq")
+    val parts = Actions.kafkaPartitionRoundRobin(df, "key", "seq", 4)
+      .orderBy("seq").select("part_id").as[Int].collect().toSeq
+    assert(parts == Seq(0, 1, 2, 3, 0, 1, 2, 3, 0, 1))
+  }
+
+  test("addLabels flattens nested maps and arrays under labels.") {
+    val df = Seq(1).toDF("x")
+    val out = Actions.addLabels(df, Map(
+      "env" -> "prod", "nested" -> Map("a" -> 1), "arr" -> Seq("u", "v")))
+    val cols = out.columns.toSet
+    assert(cols.contains("labels.env") && cols.contains("labels.nested.a"))
+    assert(cols.contains("labels.arr.0") && cols.contains("labels.arr.1"))
+    val r = out.select(col("`labels.nested.a`"), col("`labels.arr.1`")).head()
+    assert(r.getInt(0) == 1 && r.getString(1) == "v")
+  }
+
+  test("truncateFieldBytes caps bytes without splitting code points") {
+    val df = Seq("héllo").toDF("s") // h=1B, é=2B, l,l,o
+    val out = df.select(
+      Actions.truncateFieldBytes(col("s"), 2).as("t2"),  // é would split → back off
+      Actions.truncateFieldBytes(col("s"), 3).as("t3"),
+      Actions.truncateFieldBytes(col("s"), 99).as("tall")).head()
+    assert(out.getString(0) == "h")
+    assert(out.getString(1) == "hé")
+    assert(out.getString(2) == "héllo")
+  }
+
+  test("unwrapEnvelope extracts contents.content, tags and time; null on junk") {
+    val df = Seq(
+      """{"contents": {"content": "the line"}, "tags": ["a","b"], "time": "t1"}""",
+      "not json").toDF("envelope")
+    val out = Actions.unwrapEnvelope(df)
+      .select("content", "source_time").collect()
+    assert(out(0).getString(0) == "the line" && out(0).getString(1) == "t1")
+    assert(out(1).isNullAt(0))
   }
 
   test("urldecode round-trips percent-encoding") {

@@ -41,7 +41,7 @@ class PropertySpec extends AnyFunSuite {
       val u = UTF8String.fromString(s)
       val row = ServerlogKernel.parse(u)      // must not throw
       val fast = ServerlogKernel.status(u)    // must not throw
-      val slow = row.getUTF8String(12)
+      val slow = row.getUTF8String(13) // field 13 = status (12 = script_error)
       assert(fast == slow, s"status mismatch on ${s.take(80)}: $slow vs $fast")
     }
   }
@@ -49,7 +49,7 @@ class PropertySpec extends AnyFunSuite {
   test("parse row invariants: logtime prefix, ok-iff-fields") {
     forAll(loggy) { s =>
       val row = ServerlogKernel.parse(UTF8String.fromString(s))
-      val status = row.getUTF8String(12).toString
+      val status = row.getUTF8String(13).toString
       assert(Set("ok", "short", "bad_service", "benchmark").contains(status))
       if (s.nonEmpty) {
         val logtime = row.getUTF8String(0).toString

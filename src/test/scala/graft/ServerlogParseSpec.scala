@@ -86,6 +86,13 @@ class ServerlogParseSpec extends SparkSpec {
     assert(r.getAs[String]("status") == "ok")
     assert(r.isNullAt(r.fieldIndex("line")))
     assert(r.getAs[String]("hostname") == null)
+    // the event is KEPT and tagged, like the reference's script_error field
+    // (parser.go:117-119) — the dead-letter taxonomy must see this case
+    assert(r.getAs[String]("script_error") == "line_parse_error")
+  }
+
+  test("well-formed line carries no script_error") {
+    assert(parseOne(okLine).getAs[String]("script_error") == null)
   }
 
   test("null input → null struct") {
