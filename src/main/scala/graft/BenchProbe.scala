@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling diagnostics: decomposes the full-transform pipeline into stages
+  * and measures each at two parallelism levels over the SAME materialized
+  * input as [[Bench]], so the N→4N efficiency loss can be attributed
+  * (scan vs parse vs enrich vs id vs aggregate). Usage:
+  *   runMain graft.BenchProbe [rows]
+  * Prints one JSON line per (stage, cpus) with best-of-3 wall seconds.
+  */
+object BenchProbe {
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-probe-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def stages(spark: SparkSession, path: String): Seq[(String, () => Unit)] = {
+    def input = spark.read.parquet(path)
+    Seq(
+      "scan" -> (() =>
+        input.agg(sum(octet_length(col("text")))).collect()),
+      "scan_64m_bins" -> (() => {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "64m")
+        try input.agg(sum(octet_length(col("text")))).collect()
+        finally spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+      }),
+      "full_64m_bins" -> (() => {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "64m")
+        try pipeline.TranscriptPipeline.transform(input)
+          .agg(count(lit(1)), count(col("service")), count(col("tool_kind")),
+            count(col("doc_id"))).collect()
+        finally spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+      }),
+      "status_route" -> (() =>
+        pipeline.TranscriptPipeline.metrics(input).collect()),
+      "parse_fields" -> (() =>
+        pipeline.TranscriptPipeline.parse(input)
+          .agg(count(col("service")), count(col("line")), count(col("message")))
+          .collect()),
+      "parse_enrich" -> (() => {
+        val e = enrich.Enrich.enrichInline(pipeline.TranscriptPipeline.parse(input))
+        e.agg(count(col("service")), count(col("tool_kind"))).collect()
+      }),
+      "full_transform" -> (() =>
+        pipeline.TranscriptPipeline.transform(input)
+          .agg(count(lit(1)), count(col("service")), count(col("tool_kind")),
+            count(col("doc_id"))).collect())
+    )
+  }
+
+  /** raw-thread FNV streaming over a buffer of `bufBytes`/thread: L1-resident
+    * buffers measure the CPU/turbo ceiling, DRAM-resident ones the memory
+    * subsystem's N→4N ceiling — the honest comparison point for a
+    * scan-dominated pipeline on a shared VM. */
+  private def calibrate(threads: Int, bufBytes: Int, millis: Long = 3000): Double = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val counts = new java.util.concurrent.atomic.AtomicLongArray(threads)
+    // start barrier: buffer init must not eat the measurement window
+    val ready = new java.util.concurrent.CountDownLatch(threads)
+    val go = new java.util.concurrent.CountDownLatch(1)
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        val data = new Array[Byte](bufBytes)
+        var j = 0
+        while (j < bufBytes) { data(j) = (j * 31).toByte; j += 1 }
+        ready.countDown(); go.await()
+        var c = 0L
+        var sink = 0L
+        while (!stop.get()) {
+          var h = 0xcbf29ce484222325L
+          var i = 0
+          while (i < data.length) { h ^= data(i); h *= 0x100000001b3L; i += 1 }
+          sink ^= h
+          c += 1
+        }
+        counts.set(t, c ^ (sink & 1L))
+      })
+    }
+    ts.foreach(_.start()); ready.await(); go.countDown(); Thread.sleep(millis)
+    stop.set(true); ts.foreach(_.join())
+    (0 until threads).map(counts.get).sum.toDouble * bufBytes / (millis / 1000.0)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.nonEmpty) args(0).toLong else 64000000L
+    val path = s"/tmp/graft_bench_input_$rows"
+    require(new java.io.File(s"$path/_SUCCESS").exists(), s"run Bench first: $path")
+
+    if (args.length > 1 && args(1) == "sessions") {
+      // hot-conversation proof: sessionize the full materialized corpus
+      // (hotFraction=0.2 → conv 0 holds ~20% of all rows). The capped
+      // ordered-top-k fold must complete with bounded task memory.
+      val s = session(32)
+      val t0 = System.nanoTime()
+      val sess = operators.Actions.sessionize(s.read.parquet(path), maxTurns = 1000)
+      val n = sess.count()
+      val hot = sess.orderBy(org.apache.spark.sql.functions.desc("n_turns"))
+        .select("n_turns").first().getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"sessions_hot","rows":$rows,"convs":$n,"hot_conv_turns":$hot,"sec":$sec%.1f}""")
+      s.stop()
+      return
+    }
+    val results = scala.collection.mutable.LinkedHashMap.empty[(String, Int), Double]
+    for (round <- 0 until 4; cpus <- Seq(32, 8)) {
+      val s = session(cpus)
+      for ((name, fn) <- stages(s, path)) {
+        val t0 = System.nanoTime()
+        fn()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val key = (name, cpus)
+        if (round > 0) // round 0 = warm-up
+          results(key) = math.min(results.getOrElse(key, Double.MaxValue), sec)
+      }
+      s.stop()
+    }
+    results.groupBy(_._1._1).foreach { case (name, m) =>
+      val s8 = m((name, 8)); val s32 = m((name, 32))
+      println(f"""{"stage":"$name","sec_8":$s8%.3f,"sec_32":$s32%.3f,"eff":${s8 / s32 / 4.0}%.3f}""")
+    }
+    // hardware N→4N ceilings by working-set tier
+    for ((tier, buf) <- Seq("l1_4k" -> 4096, "l2_256k" -> 262144, "dram_16m" -> 16777216)) {
+      calibrate(8, buf, 500) // warm
+      val eff = calibrate(32, buf, 2000) / (4.0 * calibrate(8, buf, 2000))
+      println(f"""{"ceiling":"$tier","eff_8_to_32":$eff%.3f}""")
+    }
+  }
+}

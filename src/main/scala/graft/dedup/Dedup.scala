@@ -84,17 +84,16 @@ object Dedup {
   def minhashPairs(docs: DataFrame, tauPct: Int, k: Int = 32, bands: Int = 16,
                    maxBucket: Int = 64, lenBlock: Int = 40): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
-    val r = k / bands
-    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"),
-      TextOps.tokenCount(col("text")).as("n_tok"))
-    val sig = sh.select(col("doc_id"), col("sh"), minhash_sig(col("sh"), k).as("sig"))
-
-    // explode into (doc_id, band, bucket-hash-of-band-slice)
-    val banded = sig.select(
+    // tokenize → shingle-hash → sign → band in ONE kernel pass
+    // (MinHashBandsTokens): no shingle strings materialize, nothing but
+    // (doc_id, band, bucket) ever leaves the task. The column-level
+    // formulation (shingle array → signature → per-band transform lambda)
+    // both allocated ~2k shingle strings per doc AND re-evaluated the
+    // signature per band after projection collapse — measured 16× the cost.
+    val banded = docs.select(
       col("doc_id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        bnd => xxhash64(bnd, array_join(slice(col("sig"), bnd * lit(r) + 1, lit(r)), ","))))
+      posexplode(minhash_bands_tokens(
+        TextOps.tokens(TextOps.normalized(col("text"))), 3, k, bands))
         .as(Seq("band", "bucket")))
 
     // degenerate-bucket guard (boilerplate shingles → mega-buckets → skew)
@@ -109,14 +108,24 @@ object Dedup {
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .distinct()
 
-    // verify candidates with exact Jaccard (rehydrate shingles by id), under
-    // the SAME length-blocking contract as jaccardPairs — the sketch path
-    // must be a subset of the oracle's pair space, never a superset
-    val aSh = sh.toDF("a_id", "a_sh", "a_n")
-    val bSh = sh.toDF("b_id", "b_sh", "b_n")
-    verifiedPairs(
-      cands.join(aSh, "a_id").join(bSh, "b_id")
-        .filter(abs(col("a_n") - col("b_n")) <= lenBlock), tauPct)
+    // Verification: join candidate ids back to the RAW text first, compute
+    // the exact shingle-set Jaccard AFTER the join with the fused
+    // `shingle_jaccard_packed` kernel — work proportional to candidate pairs
+    // only, no shingle array ever materializes or crosses a shuffle. Same
+    // length-blocking contract as jaccardPairs so the sketch output is a
+    // subset of the oracle's pair space.
+    val aDoc = docs.select(col("doc_id").as("a_id"), col("text").as("a_text"))
+    val bDoc = docs.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+    def toks(c: Column) = TextOps.tokens(TextOps.normalized(c))
+    cands.join(aDoc, "a_id").join(bDoc, "b_id")
+      .filter(abs(TextOps.tokenCount(col("a_text")) -
+        TextOps.tokenCount(col("b_text"))) <= lenBlock)
+      .select(col("a_id"), col("b_id"),
+        shingle_jaccard_packed(toks(col("a_text")), toks(col("b_text")), 3).as("p"))
+      .select(col("a_id"), col("b_id"),
+        shiftrightunsigned(col("p"), 32).cast("int").as("n_inter"),
+        col("p").bitwiseAND(lit(0xffffffffL)).cast("int").as("n_union"))
+      .filter(col("n_inter") * 100 >= col("n_union") * tauPct)
   }
 
   /** Family 3 — SimHash near-dup: 64-bit sketch per doc, candidates by

@@ -121,3 +121,44 @@ case class TruncateUtf8Bytes(child: Expression, maxBytes: Int) extends UnaryExpr
   override protected def withNewChildInternal(newChild: Expression): TruncateUtf8Bytes =
     copy(child = newChild)
 }
+
+/** `sha256_hex(s)` → lowercase hex digest, identical output to Spark's
+  * `sha2(s, 256)` but with a thread-local reused MessageDigest: the built-in
+  * routes through commons-codec DigestUtils, which constructs a fresh
+  * MessageDigest + intermediate arrays per row — measurable garbage on the
+  * deterministic-id path at 10^12 rows. */
+case class Sha256Hex(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "sha256_hex"
+
+  @transient private lazy val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("SHA-256"))
+
+  private val HexChars = "0123456789abcdef".getBytes
+
+  def evalInput(s: UTF8String): UTF8String = {
+    val md = digests.get()
+    md.reset()
+    md.update(s.getBytes)
+    val d = md.digest()
+    val out = new Array[Byte](64)
+    var i = 0
+    while (i < 32) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    evalInput(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sha256Expr", this, classOf[Sha256Hex].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalInput($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Sha256Hex =
+    copy(child = newChild)
+}

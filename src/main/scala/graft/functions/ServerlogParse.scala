@@ -61,8 +61,37 @@ object ServerlogKernel {
     * "line unparseable" case. */
   private val ErrLineParse = UTF8String.fromString("line_parse_error")
 
+  // raw-byte twins of the status constants for the UnsafeRow writer path
+  private[functions] val StShortBytes = Short.getBytes("UTF-8")
+  private[functions] val StBadServiceBytes = BadService.getBytes("UTF-8")
+  private[functions] val StBenchmarkBytes = Benchmark.getBytes("UTF-8")
+  private[functions] val StOkBytes = Ok.getBytes("UTF-8")
+  private[functions] val ErrLineParseBytes = "line_parse_error".getBytes("UTF-8")
+
+  /** jackson fallback for non-flat extra JSON, shared by both row writers:
+    * object → (keys, values) with reference merge semantics
+    * (parser.go:138-151); null for non-objects / parse errors (json_error). */
+  private[functions] def jacksonExtra(b: Array[Byte], from: Int,
+                                      until: Int): (Array[UTF8String], Array[UTF8String]) = {
+    val data = new String(b, from, until - from, java.nio.charset.StandardCharsets.UTF_8)
+    try {
+      val node = mapper.readTree(data)
+      if (node == null || !node.isObject) return null
+      val ks = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+      val vs = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+      val it = node.fields()
+      while (it.hasNext) {
+        val kv = it.next()
+        ks += UTF8String.fromString(kv.getKey)
+        vs += UTF8String.fromString(
+          if (kv.getValue.isTextual) kv.getValue.asText() else kv.getValue.toString)
+      }
+      (ks.toArray, vs.toArray)
+    } catch { case _: Exception => null }
+  }
+
   /** `^[a-z]+[a-z0-9-_.]+$` without regex (parser.go:39), over bytes. */
-  private def validService(b: Array[Byte], from: Int, until: Int): Boolean = {
+  private[functions] def validService(b: Array[Byte], from: Int, until: Int): Boolean = {
     if (until - from < 2) return false
     val c0 = b(from)
     if (c0 < 'a' || c0 > 'z') return false
@@ -78,7 +107,7 @@ object ServerlogKernel {
   }
 
   /** `^00000000[1-9a-f]` without regex (parser.go:40), over bytes. */
-  private def isBenchmarkTrace(b: Array[Byte], from: Int, until: Int): Boolean = {
+  private[functions] def isBenchmarkTrace(b: Array[Byte], from: Int, until: Int): Boolean = {
     if (until - from < 9) return false
     var i = from
     while (i < from + 8) { if (b(i) != '0') return false; i += 1 }
@@ -391,6 +420,326 @@ object ServerlogKernel {
   }
 }
 
+/** Zero-allocation serverlog parser: identical semantics to
+  * [[ServerlogKernel.parse]] (parity pinned by PropertySpec on arbitrary
+  * input), but writes the result DIRECTLY into a reused `UnsafeRow` buffer —
+  * no defensive line copy, no `GenericInternalRow`, no per-field boxing, no
+  * `UTF8String` wrappers on the hot path. Round-1 profiling showed the
+  * ~400 B/row parse garbage throttling 8→32-thread scaling on this
+  * memory-bound host; every output byte now moves exactly once, input
+  * buffer → row buffer.
+  *
+  * Buffer contract: the returned row aliases a writer owned by this
+  * instance and is valid until the next `parse` call on the same thread —
+  * the standard Spark projection-output contract (operators that buffer
+  * rows copy them). [[ServerlogParse]] holds one writer per thread via
+  * ThreadLocal, so concurrent tasks never share a buffer.
+  */
+final class ServerlogRowWriter {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{UnsafeArrayWriter, UnsafeRowWriter}
+  import org.apache.spark.unsafe.Platform
+
+  private val w = new UnsafeRowWriter(14, 512)
+  private val keyWriter = new UnsafeArrayWriter(w, 8)
+  private val valWriter = new UnsafeArrayWriter(w, 8)
+  private var scratch = new Array[Byte](64)
+  // slice store for the flat-JSON extra map: input-relative (from, until)
+  private var pairFrom = new Array[Int](16)
+  private var pairUntil = new Array[Int](16)
+
+  private val starts = new Array[Int](12)
+  private val ends = new Array[Int](12)
+
+  private def ensureScratch(n: Int): Array[Byte] = {
+    if (scratch.length < n) scratch = new Array[Byte](Integer.highestOneBit(n) * 2)
+    scratch
+  }
+
+  /** requires input.getBaseObject to be a byte[] (the on-heap norm). */
+  def parse(input: UTF8String): org.apache.spark.sql.catalyst.expressions.UnsafeRow = {
+    import ServerlogKernel._
+    val b = input.getBaseObject.asInstanceOf[Array[Byte]]
+    val base = (input.getBaseOffset - Platform.BYTE_ARRAY_OFFSET).toInt
+    val n = input.numBytes
+    w.reset()
+    w.zeroOutNullBytes()
+    @inline def at(i: Int): Byte = b(base + i)
+    @inline def writeSlice(ord: Int, from: Int, until: Int): Unit =
+      w.write(ord, b, base + from, until - from)
+    @inline def writeConst(ord: Int, v: Array[Byte]): Unit =
+      w.write(ord, v, 0, v.length)
+
+    writeSlice(0, 0, math.min(23, n)) // logtime
+
+    // Go strings.SplitN(s, " ", 12)
+    var cnt = 0
+    var start = 0
+    var i = 0
+    while (i < n && cnt < 11) {
+      if (at(i) == ' ') {
+        starts(cnt) = start; ends(cnt) = i; cnt += 1; start = i + 1
+      }
+      i += 1
+    }
+    starts(cnt) = start; ends(cnt) = n; cnt += 1
+
+    @inline def nullRange(a: Int, b0: Int): Unit = {
+      var k = a; while (k <= b0) { w.setNullAt(k); k += 1 }
+    }
+    def statusOnly(st: Array[Byte], svcFrom: Int, svcUntil: Int,
+                   svcBytes: Array[Byte]): org.apache.spark.sql.catalyst.expressions.UnsafeRow = {
+      if (svcBytes == null) w.setNullAt(1)
+      else w.write(1, svcBytes, svcFrom, svcUntil - svcFrom)
+      nullRange(2, 12)
+      writeConst(13, st)
+      w.getRow
+    }
+
+    if (cnt < 11) return statusOnly(StShortBytes, 0, 0, null)
+
+    // service: one comma removed (parser.go:105); comma path copies into the
+    // reusable scratch buffer, the common path writes straight from input
+    var svcBytes: Array[Byte] = b
+    var svcFrom = base + starts(2)
+    var svcUntil = base + ends(2)
+    var ci = -1
+    var j = svcFrom
+    while (ci < 0 && j < svcUntil) { if (b(j) == ',') ci = j; j += 1 }
+    if (ci >= 0) {
+      val len = svcUntil - svcFrom - 1
+      val sb = ensureScratch(len)
+      System.arraycopy(b, svcFrom, sb, 0, ci - svcFrom)
+      System.arraycopy(b, ci + 1, sb, ci - svcFrom, svcUntil - ci - 1)
+      svcBytes = sb; svcFrom = 0; svcUntil = len
+    }
+    if (!ServerlogKernel.validService(svcBytes, svcFrom, svcUntil))
+      return statusOnly(StBadServiceBytes, 0, 0, null)
+
+    // benchmark trace check on the first+last-stripped item 9
+    val trFrom = if (ends(9) - starts(9) < 2) starts(9) else starts(9) + 1
+    val trUntil = if (ends(9) - starts(9) < 2) ends(9) else ends(9) - 1
+    if (ends(9) > starts(9) &&
+      ServerlogKernel.isBenchmarkTrace(b, base + trFrom, base + trUntil))
+      return statusOnly(StBenchmarkBytes, svcFrom, svcUntil, svcBytes)
+
+    w.write(1, svcBytes, svcFrom, svcUntil - svcFrom)
+
+    // line number parse ([%{line}] → long)
+    val lnFrom = if (ends(8) - starts(8) < 2) starts(8) else starts(8) + 1
+    val lnUntil = if (ends(8) - starts(8) < 2) ends(8) else ends(8) - 1
+    var lineOk = lnUntil > lnFrom && lnUntil - lnFrom <= 19
+    var lineNo = 0L
+    var neg = false
+    var k = lnFrom
+    if (lineOk && (at(k) == '-' || at(k) == '+')) { neg = at(k) == '-'; k += 1; lineOk = k < lnUntil }
+    while (lineOk && k < lnUntil) {
+      val c = at(k)
+      if (c < '0' || c > '9') lineOk = false
+      else { lineNo = lineNo * 10 + (c - '0'); k += 1 }
+    }
+    if (neg) lineNo = -lineNo
+
+    // ##JIDU## marker scan
+    var idx = -1
+    var idx2 = -1
+    i = 0
+    while (i <= n - 8) {
+      if (at(i) == '#' && at(i + 1) == '#' && at(i + 2) == 'J' && at(i + 3) == 'I' &&
+        at(i + 4) == 'D' && at(i + 5) == 'U' && at(i + 6) == '#' && at(i + 7) == '#') {
+        if (idx < 0) idx = i
+        idx2 = i
+      }
+      i += 1
+    }
+
+    @inline def trimmed(ord: Int, item: Int): Unit =
+      if (ends(item) - starts(item) < 2) writeSlice(ord, starts(item), ends(item))
+      else writeSlice(ord, starts(item) + 1, ends(item) - 1)
+
+    if (lineOk) {
+      writeSlice(2, starts(3), ends(3)) // hostname
+      writeUpper(b, base + starts(4), base + ends(4)) // level, field 3
+      trimmed(4, 5) // thread
+      writeSlice(5, starts(6), ends(6)) // class
+      writeSlice(6, starts(7), ends(7)) // method
+      w.write(7, lineNo)
+      writeSlice(8, trFrom, trUntil) // trace_id
+      trimmed(9, 10) // span_id
+      if (idx >= 0) writeSlice(10, idx, n) else w.setNullAt(10) // message
+      w.setNullAt(12) // script_error
+    } else {
+      nullRange(2, 10)
+      writeConst(12, ErrLineParseBytes)
+    }
+
+    // extra map between the JIDU markers
+    var wroteExtra = false
+    if (idx >= 0 && idx != idx2) {
+      val nPairs = scanFlatObject(b, base + idx + 8, base + idx2)
+      if (nPairs >= 0) {
+        writeMapFromSlices(11, b, nPairs)
+        wroteExtra = true
+      } else {
+        // complex JSON → jackson fallback with identical semantics
+        val kv = ServerlogKernel.jacksonExtra(b, base + idx + 8, base + idx2)
+        if (kv != null) {
+          writeMapFromStrings(11, kv._1, kv._2)
+          wroteExtra = true
+        }
+      }
+    }
+    if (!wroteExtra) w.setNullAt(11)
+
+    writeConst(13, ServerlogKernel.StOkBytes)
+    w.getRow
+  }
+
+  /** ASCII upper-case of a byte range into field `ord` = 3 (level); the
+    * Unicode fallback routes through the kernel's String path. */
+  private def writeUpper(b: Array[Byte], from: Int, until: Int): Unit = {
+    import org.apache.spark.unsafe.Platform
+    var ascii = true
+    var anyLower = false
+    var i = from
+    while (i < until) {
+      val c = b(i)
+      if (c < 0) ascii = false
+      else if (c >= 'a' && c <= 'z') anyLower = true
+      i += 1
+    }
+    if (!ascii) {
+      w.write(3, UTF8String.fromString(
+        new String(b, from, until - from, java.nio.charset.StandardCharsets.UTF_8)
+          .toUpperCase(java.util.Locale.ROOT)))
+    } else if (!anyLower) {
+      w.write(3, b, from, until - from)
+    } else {
+      val out = ensureScratch(until - from)
+      i = from
+      while (i < until) {
+        val c = b(i)
+        out(i - from) = if (c >= 'a' && c <= 'z') (c - 32).toByte else c
+        i += 1
+      }
+      w.write(3, out, 0, until - from)
+    }
+  }
+
+  /** scan `{"k": "v", ...}` recording key/value slices into pairFrom/Until
+    * (keys at even indices, values at odd); returns pair count, or -1 when
+    * the object needs the full JSON fallback (escapes, nesting, dup keys) —
+    * same contract as [[ServerlogKernel.parseFlatStringObject]]. */
+  private def scanFlatObject(b: Array[Byte], from: Int, until: Int): Int = {
+    var i = from
+    @inline def ws(): Unit = {
+      while (i < until && (b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r')) i += 1
+    }
+    ws()
+    if (i >= until || b(i) != '{') return -1
+    i += 1
+    ws()
+    var n = 0
+    @inline def ensure(slots: Int): Unit =
+      if (pairFrom.length < slots) {
+        pairFrom = java.util.Arrays.copyOf(pairFrom, slots * 2)
+        pairUntil = java.util.Arrays.copyOf(pairUntil, slots * 2)
+      }
+    if (i < until && b(i) == '}') {
+      i += 1; ws()
+      return if (i == until) 0 else -1
+    }
+    var more = true
+    while (more) {
+      ws()
+      // key
+      if (i >= until || b(i) != '"') return -1
+      i += 1
+      val k0 = i
+      while (i < until && b(i) != '"' && b(i) != '\\') i += 1
+      if (i >= until || b(i) != '"') return -1
+      val k1 = i
+      i += 1
+      // duplicate key check against previously recorded keys
+      var d = 0
+      while (d < n) {
+        val f = pairFrom(2 * d); val u = pairUntil(2 * d)
+        if (u - f == k1 - k0) {
+          var m = 0
+          var same = true
+          while (same && m < u - f) { same = b(f + m) == b(k0 + m); m += 1 }
+          if (same) return -1
+        }
+        d += 1
+      }
+      ws()
+      if (i >= until || b(i) != ':') return -1
+      i += 1
+      ws()
+      if (i >= until || b(i) != '"') return -1
+      i += 1
+      val v0 = i
+      while (i < until && b(i) != '"' && b(i) != '\\') i += 1
+      if (i >= until || b(i) != '"') return -1
+      val v1 = i
+      i += 1
+      ensure(2 * (n + 1))
+      pairFrom(2 * n) = k0; pairUntil(2 * n) = k1
+      pairFrom(2 * n + 1) = v0; pairUntil(2 * n + 1) = v1
+      n += 1
+      ws()
+      if (i < until && b(i) == ',') { i += 1 }
+      else if (i < until && b(i) == '}') { i += 1; more = false }
+      else return -1
+    }
+    ws()
+    if (i != until) return -1
+    n
+  }
+
+  /** UnsafeRow map layout: [8B key-array numBytes][key array][value array]
+    * (the same byte stream GenerateUnsafeProjection emits for MapType). */
+  private def writeMapFromSlices(ord: Int, b: Array[Byte], nPairs: Int): Unit = {
+    import org.apache.spark.unsafe.Platform
+    val previousCursor = w.cursor()
+    w.grow(8)
+    w.increaseCursor(8)
+    val tmpCursor = w.cursor()
+    keyWriter.initialize(nPairs)
+    var i = 0
+    while (i < nPairs) {
+      keyWriter.write(i, b, pairFrom(2 * i),
+        pairUntil(2 * i) - pairFrom(2 * i))
+      i += 1
+    }
+    Platform.putLong(w.getBuffer, tmpCursor - 8, (w.cursor() - tmpCursor).toLong)
+    valWriter.initialize(nPairs)
+    i = 0
+    while (i < nPairs) {
+      valWriter.write(i, b, pairFrom(2 * i + 1),
+        pairUntil(2 * i + 1) - pairFrom(2 * i + 1))
+      i += 1
+    }
+    w.setOffsetAndSizeFromPreviousCursor(ord, previousCursor)
+  }
+
+  private def writeMapFromStrings(ord: Int, keys: Array[UTF8String],
+                                  vals: Array[UTF8String]): Unit = {
+    import org.apache.spark.unsafe.Platform
+    val previousCursor = w.cursor()
+    w.grow(8)
+    w.increaseCursor(8)
+    val tmpCursor = w.cursor()
+    keyWriter.initialize(keys.length)
+    var i = 0
+    while (i < keys.length) { keyWriter.write(i, keys(i)); i += 1 }
+    Platform.putLong(w.getBuffer, tmpCursor - 8, (w.cursor() - tmpCursor).toLong)
+    valWriter.initialize(vals.length)
+    i = 0
+    while (i < vals.length) { valWriter.write(i, vals(i)); i += 1 }
+    w.setOffsetAndSizeFromPreviousCursor(ord, previousCursor)
+  }
+}
+
 /** Catalyst expression: `serverlog_parse(text)` → struct (see
   * [[ServerlogKernel.schema]]). Native expression with codegen (a single
   * static call inside whole-stage codegen) — not a UDF, per the engine's
@@ -418,12 +767,25 @@ case class ServerlogParse(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
   override def prettyName: String = "serverlog_parse"
 
-  override protected def nullSafeEval(input: Any): Any =
-    ServerlogKernel.parse(input.asInstanceOf[UTF8String])
+  /** one zero-allocation row writer per (expression instance, thread): the
+    * returned row aliases the writer's buffer (valid until the next call on
+    * that thread — the standard projection-output contract); ThreadLocal
+    * keeps concurrent tasks and sibling serverlog_parse calls isolated. */
+  @transient private lazy val writers: ThreadLocal[ServerlogRowWriter] =
+    ThreadLocal.withInitial(() => new ServerlogRowWriter)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  def evalInput(input: UTF8String): InternalRow =
+    if (input.getBaseObject.isInstanceOf[Array[Byte]]) writers.get().parse(input)
+    else ServerlogKernel.parse(input) // off-heap input: reference path
+
+  override protected def nullSafeEval(input: Any): Any =
+    evalInput(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("serverlogExpr", this, classOf[ServerlogParse].getName)
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ServerlogKernel.parse($c);")
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.evalInput($c);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): ServerlogParse =
     copy(child = newChild)

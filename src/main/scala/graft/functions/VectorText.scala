@@ -94,6 +94,182 @@ object VectorTextKernel {
     new GenericArrayData(mins)
   }
 
+  /** Banded-LSH bucket keys straight from the TOKEN array, in ONE pass:
+    * word w-shingle hash → k-permutation MinHash → band fold, with NO shingle
+    * strings ever materialized. FNV-1a is a sequential byte fold, so folding
+    * `tok1, ' ', tok2, ' ', tok3` equals hashing the joined shingle string —
+    * the 10M-shingle `array_join`/`array_distinct` allocation storm of the
+    * column formulation disappears (and duplicates need no dedup: a min over
+    * a multiset equals the min over its set). Also avoids the Catalyst
+    * CollapseProject trap where a per-band `transform` lambda re-evaluates
+    * the whole signature expression bands× per row (measured 16×). */
+  def minhashBandsTokens(tokens: ArrayData, w: Int, k: Int,
+                         bands: Int): ArrayData = {
+    import org.apache.spark.unsafe.Platform
+    val P = 2147483647L
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = tokens.numElements()
+
+    @inline def foldToken(h0: Long, i: Int): Long = {
+      if (tokens.isNullAt(i)) return h0
+      val t = tokens.getUTF8String(i)
+      var h = h0
+      val base = t.getBaseObject
+      val off = t.getBaseOffset
+      val nb = t.numBytes
+      var j = 0
+      while (j < nb) {
+        h ^= (Platform.getByte(base, off + j) & 0xffL)
+        h *= 0x100000001b3L
+        j += 1
+      }
+      h
+    }
+
+    @inline def updateMins(h: Long): Unit = {
+      val x = java.lang.Math.floorMod(h, P)
+      var j = 0
+      while (j < k) {
+        val a = 2L * j + 1L
+        val b = 7919L * (j + 1L)
+        val hj = java.lang.Math.floorMod(a * x + b, P)
+        if (hj < mins(j)) mins(j) = hj
+        j += 1
+      }
+    }
+
+    if (n < w) {
+      // short doc: one whole-text shingle (all tokens space-joined)
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < n) {
+        if (i > 0) { h ^= 0x20L; h *= 0x100000001b3L }
+        h = foldToken(h, i)
+        i += 1
+      }
+      updateMins(h)
+    } else {
+      var s = 0
+      while (s + w <= n) {
+        var h = 0xcbf29ce484222325L
+        var j = 0
+        while (j < w) {
+          if (j > 0) { h ^= 0x20L; h *= 0x100000001b3L }
+          h = foldToken(h, s + j)
+          j += 1
+        }
+        updateMins(h)
+        s += 1
+      }
+    }
+
+    new GenericArrayData(foldBands(mins, bands))
+  }
+
+  /** distinct w-shingle window hashes of a token array, sorted — the hash-set
+    * representation of the shingle set (collision probability ~(2k)²/2⁻⁶⁴:
+    * negligible against the verify corpus). */
+  private def shingleHashes(tokens: ArrayData, w: Int): Array[Long] = {
+    import org.apache.spark.unsafe.Platform
+    val n = tokens.numElements()
+    @inline def foldToken(h0: Long, i: Int): Long = {
+      if (tokens.isNullAt(i)) return h0
+      val t = tokens.getUTF8String(i)
+      var h = h0
+      val base = t.getBaseObject
+      val off = t.getBaseOffset
+      val nb = t.numBytes
+      var j = 0
+      while (j < nb) {
+        h ^= (Platform.getByte(base, off + j) & 0xffL)
+        h *= 0x100000001b3L
+        j += 1
+      }
+      h
+    }
+    val out =
+      if (n < w) {
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < n) {
+          if (i > 0) { h ^= 0x20L; h *= 0x100000001b3L }
+          h = foldToken(h, i)
+          i += 1
+        }
+        Array(h)
+      } else {
+        val a = new Array[Long](n - w + 1)
+        var s = 0
+        while (s + w <= n) {
+          var h = 0xcbf29ce484222325L
+          var j = 0
+          while (j < w) {
+            if (j > 0) { h ^= 0x20L; h *= 0x100000001b3L }
+            h = foldToken(h, s + j)
+            j += 1
+          }
+          a(s) = h
+          s += 1
+        }
+        a
+      }
+    java.util.Arrays.sort(out)
+    // in-place dedup
+    var m = 0
+    var i = 0
+    while (i < out.length) {
+      if (m == 0 || out(i) != out(m - 1)) { out(m) = out(i); m += 1 }
+      i += 1
+    }
+    if (m == out.length) out else java.util.Arrays.copyOf(out, m)
+  }
+
+  /** exact shingle-set Jaccard counts for a candidate pair, one kernel call:
+    * (|A∩B| << 32) | |A∪B| packed into a long, so the whole verification is a
+    * SINGLE cheap expression — the column formulation (shingle arrays +
+    * array_intersect + three size() references) gets re-inlined by
+    * CollapseProject / filter-pushdown into several evaluations per row. */
+  def shingleJaccardPacked(a: ArrayData, b: ArrayData, w: Int): Long = {
+    val ha = shingleHashes(a, w)
+    val hb = shingleHashes(b, w)
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < ha.length && j < hb.length) {
+      val c = java.lang.Long.compare(ha(i), hb(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = ha.length + hb.length - inter
+    (inter << 32) | union
+  }
+
+  /** fold a k-slot signature into `bands` FNV-mixed band keys. */
+  def foldBands(sig: Array[Long], bands: Int): Array[Long] = {
+    val r = sig.length / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L ^ b.toLong
+      var j = 0
+      while (j < r) {
+        val v = sig(b * r + j)
+        var byteIdx = 0
+        while (byteIdx < 8) {
+          h ^= (v >>> (8 * byteIdx)) & 0xffL
+          h *= 0x100000001b3L
+          byteIdx += 1
+        }
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
   /** cosine similarity of two float/double arrays, accumulated in double in
     * index order (bit-reproducible). Returns Double.NaN on length mismatch
     * or zero norm — callers filter. */
@@ -166,6 +342,41 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
       s"${ev.value} = graft.functions.VectorTextKernel.minhashSig($c, $k);")
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
+}
+
+/** `minhash_bands_tokens(tokens, w, k, bands)` — array<long> of banded-LSH
+  * bucket keys straight from a token array, one kernel pass (shingle hash +
+  * signature + band fold, zero intermediate arrays). */
+case class MinHashBandsTokens(child: Expression, w: Int, k: Int, bands: Int)
+    extends UnaryExpression {
+  require(w > 0 && k > 0 && k <= 512 && bands > 0 && k % bands == 0,
+    s"minhash bands config invalid: w=$w k=$k bands=$bands")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands_tokens"
+  override protected def nullSafeEval(input: Any): Any =
+    VectorTextKernel.minhashBandsTokens(input.asInstanceOf[ArrayData], w, k, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorTextKernel.minhashBandsTokens($c, $w, $k, $bands);")
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandsTokens =
+    copy(child = newChild)
+}
+
+/** `shingle_jaccard_packed(a_tokens, b_tokens, w)` — exact shingle-set
+  * intersection/union counts packed `(inter << 32) | union`. */
+case class ShingleJaccardPacked(left: Expression, right: Expression, w: Int)
+    extends BinaryExpression {
+  require(w > 0, s"shingle width must be positive: $w")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "shingle_jaccard_packed"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorTextKernel.shingleJaccardPacked(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorTextKernel.shingleJaccardPacked($a, $b, $w);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ShingleJaccardPacked =
+    copy(left = l, right = r)
 }
 
 /** `cosine_sim(a, b)` over array<float> columns — one fused loop, no

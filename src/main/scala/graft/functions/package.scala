@@ -54,15 +54,20 @@ package object functions {
     coalesce(element_at(map(entries: _*), level), level)
   }
 
+  /** sha2(s, 256) drop-in with a thread-local digest (no per-row
+    * MessageDigest construction); output identical, pinned by spec. */
+  def sha256_hex(s: Column): Column =
+    ExpressionUtils.column(Sha256Hex(ExpressionUtils.expression(s)))
+
   /** fingerprint of selected columns (≈ processors/fingerprint: sha256 of
     * key=value joined fields, hex-encoded — fingerprint/fingerprint.go:70-120). */
   def fingerprint_cols(cols: Seq[Column]): Column =
-    sha2(concat_ws("|", cols: _*), 256)
+    sha256_hex(concat_ws("|", cols: _*))
 
   /** deterministic document id (≈ add_id, but replay-idempotent by design:
     * derived from identity columns, not random — add_id/add_id.go:64-90). */
   def deterministic_id(convId: Column, turnIdx: Column): Column =
-    sha2(concat_ws("#", convId, turnIdx.cast("string")), 256)
+    sha256_hex(concat_ws("#", convId, turnIdx.cast("string")))
 
   /** 64-bit SimHash of a token array (near-dup sketching). */
   def simhash64(tokens: Column): Column =
@@ -71,6 +76,17 @@ package object functions {
   /** k-wide MinHash signature (array<long>) of a shingle array. */
   def minhash_sig(shingles: Column, k: Int): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(shingles), k))
+
+  /** exact shingle-set Jaccard counts packed `(inter << 32) | union`. */
+  def shingle_jaccard_packed(aTokens: Column, bTokens: Column, w: Int): Column =
+    ExpressionUtils.column(ShingleJaccardPacked(
+      ExpressionUtils.expression(aTokens), ExpressionUtils.expression(bTokens), w))
+
+  /** banded-LSH bucket keys (array<long>, one per band) straight from a
+    * token array — one kernel pass, no shingle materialization. */
+  def minhash_bands_tokens(tokens: Column, w: Int, k: Int, bands: Int): Column =
+    ExpressionUtils.column(
+      MinHashBandsTokens(ExpressionUtils.expression(tokens), w, k, bands))
 
   /** cosine similarity of two array<float> embedding columns (double). */
   def cosine_sim(a: Column, b: Column): Column =

@@ -45,10 +45,13 @@ object TranscriptPipeline {
       .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
         col("ts"), col("text"), col("_p.*"))
 
-  /** full transform; adds `sink` and a deterministic `doc_id`. */
+  /** full transform; adds `sink` and a deterministic `doc_id`. The enrich
+    * step uses the inline (map-literal) path: the dims are static vocabulary
+    * tables, so the lookup stays inside whole-stage codegen with no join
+    * operator — semantics identical to the broadcast join (EnrichSpec). */
   def transform(df: DataFrame): DataFrame = {
     val parsed = parse(df)
-    val enriched = graft.enrich.Enrich.enrich(parsed)
+    val enriched = graft.enrich.Enrich.enrichInline(parsed)
     enriched
       .withColumn("sink", selector.sinkColumn)
       .withColumn("doc_id", deterministic_id(col("conv_id"), col("turn_idx")))

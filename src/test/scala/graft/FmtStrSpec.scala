@@ -63,6 +63,16 @@ class FmtStrSpec extends SparkSpec {
     assert(out == Seq("index-live", "index-dead", "other"))
   }
 
+  test("codecs: json round-trips through from_json; format renders fmtstr lines") {
+    import graft.route.Codecs
+    val src = df.na.fill("?", Seq("service"))
+    val js = Codecs.json(src, cols = Seq("service", "status")).as[String].collect()
+    assert(js.forall(_.startsWith("{")))
+    assert(js(0).contains("\"service\":\"svc-a\"") && js(0).contains("\"status\":\"ok\""))
+    val lines = Codecs.format(df, "%{[status]}@%{+yyyy.MM.dd}").as[String].collect()
+    assert(lines.toSeq == Seq("ok@2024.03.05", "short@2024.03.05", "bad_service@2024.03.05"))
+  }
+
   test("selector: lowercase + empty-selector returns empty string (Select contract)") {
     val sel = FmtStr.EventSelector(rules = Nil, fallback = "", lowercase = true)
     val out = df.select(sel.column().as("s")).as[String].collect().toSeq

@@ -69,10 +69,15 @@ class PipelineSpec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
-  test("enrich lookups broadcast (no shuffle on the fact side)") {
+  test("transform enrich is join-free (inline map literals); join path broadcasts") {
+    // the pipeline's enrich is inline: no join operator, no exchange at all
     val plan = TranscriptPipeline.transform(input).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in plan:\n$plan")
-    assert(!plan.contains("SortMergeJoin"), "enrich must not sort-merge-join")
+    assert(!plan.contains("Join"), s"inline enrich must not join:\n$plan")
+    // the general join path stays broadcast (fact side never shuffles)
+    val joinPlan = graft.enrich.Enrich.enrich(TranscriptPipeline.parse(input))
+      .queryExecution.executedPlan.toString
+    assert(joinPlan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$joinPlan")
+    assert(!joinPlan.contains("SortMergeJoin"), "enrich must not sort-merge-join")
   }
 
   test("condition algebra compiles to Catalyst predicates") {

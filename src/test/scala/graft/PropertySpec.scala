@@ -62,6 +62,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("UnsafeRow writer path agrees with the reference kernel everywhere") {
+    import graft.functions.ServerlogParse
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val expr = ServerlogParse(Literal("x"))
+    forAll(Gen.oneOf(anyString, loggy)) { s =>
+      val u = UTF8String.fromString(s)
+      val fast = expr.evalInput(u)
+      val slow = ServerlogKernel.parse(u)
+      def str(r: org.apache.spark.sql.catalyst.InternalRow, i: Int): String =
+        if (r.isNullAt(i)) null else r.getUTF8String(i).toString
+      for (i <- Seq(0, 1, 2, 3, 4, 5, 6, 8, 9, 10, 12, 13))
+        assert(str(fast, i) == str(slow, i), s"field $i on '${s.take(60)}'")
+      assert(fast.isNullAt(7) == slow.isNullAt(7))
+      if (!slow.isNullAt(7)) assert(fast.getLong(7) == slow.getLong(7))
+      assert(fast.isNullAt(11) == slow.isNullAt(11), s"extra null on '${s.take(60)}'")
+      if (!slow.isNullAt(11)) {
+        val fm = fast.getMap(11); val sm = slow.getMap(11)
+        def pairs(m: org.apache.spark.sql.catalyst.util.MapData) =
+          (0 until m.numElements()).map(i =>
+            m.keyArray.getUTF8String(i).toString -> m.valueArray.getUTF8String(i).toString)
+        assert(pairs(fm) == pairs(sm), s"extra map on '${s.take(60)}'")
+      }
+    }
+  }
+
   test("simhash64 is deterministic and insensitive to token order only via content") {
     forAll(Gen.listOf(Gen.alphaNumStr.map(_.take(6)))) { tokens =>
       import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -82,6 +107,24 @@ class PropertySpec extends AnyFunSuite {
         val v = sig.getLong(i)
         if (sh.nonEmpty) assert(v >= 0L && v < 2147483647L)
       }
+    }
+  }
+
+  test("fused token→band kernel equals the shingle-string formulation") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    forAll(Gen.listOf(Gen.alphaNumStr.map(_.take(6)))) { toks =>
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      val fused = VectorTextKernel.minhashBandsTokens(arr, 3, 32, 16)
+      // reference path: materialized shingle strings → signature → band fold
+      val sh =
+        if (toks.size < 3) Seq(toks.mkString(" "))
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      val shArr = new GenericArrayData(sh.distinct.map(UTF8String.fromString).toArray[Any])
+      val sig = VectorTextKernel.minhashSig(shArr, 32)
+      val ref = VectorTextKernel.foldBands(
+        (0 until 32).map(sig.getLong).toArray, 16)
+      assert((0 until 16).forall(b => fused.getLong(b) == ref(b)),
+        s"band mismatch for tokens $toks")
     }
   }
 

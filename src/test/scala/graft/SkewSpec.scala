@@ -11,6 +11,7 @@ import graft.sources.Transcripts
   * receives the whole hot key.
   */
 class SkewSpec extends SparkSpec {
+  import spark.implicits._
 
   test("synthesized corpus is actually skewed (hot conv ≈ 20% of rows)") {
     val df = Transcripts.synthesize(spark, 20000L, 400L)
@@ -25,6 +26,62 @@ class SkewSpec extends SparkSpec {
       .agg(max("count"), min("count")).head()
     // the hot conv (≈4k rows) lands whole in a single partition
     assert(plain.getLong(0) >= 4000L)
+  }
+
+  test("ordered_topk equals sorted collect_list when under the cap, truncates above it") {
+    import graft.functions.ordered_topk
+    val df = Transcripts.synthesize(spark, 5000L, 100L).repartition(16)
+    val capped = df.groupBy("conv_id")
+      .agg(ordered_topk(col("turn_idx"), col("text"), 100000).as("a"))
+    val reference = df.groupBy("conv_id")
+      .agg(expr("transform(array_sort(collect_list(struct(turn_idx, text)))," +
+        " x -> x.text)").as("a"))
+    assert(capped.exceptAll(reference).isEmpty && reference.exceptAll(capped).isEmpty)
+    // cap binds: k smallest turn_idx values survive, in order
+    val small = Seq(("c", 5, "e"), ("c", 1, "a"), ("c", 3, "c"), ("c", 2, "b"))
+      .toDF("conv_id", "turn_idx", "text").repartition(4)
+    val got = small.groupBy("conv_id")
+      .agg(ordered_topk(col("turn_idx"), col("text"), 2).as("a"))
+      .select("a").as[Seq[String]].head()
+    assert(got == Seq("a", "b"))
+  }
+
+  test("sessionize is hot-conv-bounded: cap truncates text, n_turns stays exact") {
+    val df = Transcripts.synthesize(spark, 20000L, 400L) // conv 0 ≈ 20%
+    val sess = graft.operators.Actions.sessionize(df, maxTurns = 50)
+    val hot = sess.orderBy(desc("n_turns")).head()
+    assert(hot.getLong(1) > 3000L) // full count preserved
+    assert(hot.getString(2).split("\n").length == 50) // buffer capped
+  }
+
+  test("simhash degenerate-bucket guard drops mega-buckets instead of going quadratic") {
+    // 50 identical docs → identical sigs → every chunk bucket has 50 members
+    val docs = (0 until 50).map(i => (i.toLong, "the same boilerplate text"))
+      .toDF("doc_id", "text")
+    val guarded = graft.dedup.Dedup.simhashPairs(docs, maxHamming = 3, maxBucket = 10)
+    assert(guarded.count() == 0) // dropped, not 50*49/2 pairs
+    val unguarded = graft.dedup.Dedup.simhashPairs(docs, maxHamming = 3, maxBucket = 100)
+    assert(unguarded.count() == 50L * 49 / 2)
+  }
+
+  test("LSH dedup exchange carries scalars, not embedding vectors") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // disable AQE for the plan inspection: the adaptive wrapper hides the
+    // exchange nodes from collect() until execution
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exchanges =
+      try {
+        val out = graft.similarity.Ann.lshNeighbors(e, e.limit(4), 3)
+        out.queryExecution.executedPlan.collect {
+          case ex: ShuffleExchangeExec => ex.output.map(_.name)
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { cols =>
+      assert(!cols.contains("q_v") && !cols.contains("c_v"),
+        s"vector columns cross a shuffle: $cols")
+    }
   }
 
   test("salted repartition spreads the hot conv across partitions") {
