@@ -160,6 +160,10 @@ object Bench {
     // q_dedup_minhash answers identically in ~10 s); benchmarking it would
     // only measure the oracle, not the engine.
     var spark = session(cpus)
+    // uncounted warm-up: the alphabetically-first query otherwise absorbs
+    // several seconds of one-time session/classload/JIT cost
+    try SparkEntry.queries("q_transcripts")(spark, sfDir).count()
+    catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1 == "q_dedup_jaccard")
       .map { case (name, fn) =>

@@ -113,6 +113,25 @@ object BenchProbe {
       s.stop()
       return
     }
+    if (args.length > 1 && args(1) == "curve") {
+      // full-transform wall at 4/8/16/32 threads, best-of-2 after warm-up
+      val walls = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
+      for (round <- 0 until 3; cpus <- Seq(32, 16, 8, 4)) {
+        val s = session(cpus)
+        val t0 = System.nanoTime()
+        pipeline.TranscriptPipeline.transform(s.read.parquet(path))
+          .agg(count(lit(1)), count(col("service")), count(col("tool_kind")),
+            count(col("doc_id"))).collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (round > 0) walls(cpus) = math.min(walls.getOrElse(cpus, Double.MaxValue), sec)
+        s.stop()
+      }
+      val parts = walls.toSeq.sortBy(_._1)
+        .map { case (c, w) => f""""$c":$w%.2f""" }.mkString(",")
+      println(s"""{"probe":"thread_curve","rows":$rows,"sec":{$parts}}""")
+      return
+    }
+
     val results = scala.collection.mutable.LinkedHashMap.empty[(String, Int), Double]
     for (round <- 0 until 4; cpus <- Seq(32, 8)) {
       val s = session(cpus)

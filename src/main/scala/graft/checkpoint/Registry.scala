@@ -81,4 +81,20 @@ final class Registry(root: String, spark: SparkSession) {
     val paths = committedSinkPaths(sink)
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
+
+  /** On-disk (bytes, files) of one sink group's write — the per-write output
+    * stats the reference tracks per output worker (libbeat/outputs/metrics.go:
+    * events/bytes acked per batch). */
+  def sinkGroupStats(sink: String, group: Int): (Long, Long) = {
+    val p = new Path(s"$root/$sink/group=$group")
+    if (!fs.exists(p)) return (0L, 0L)
+    var bytes = 0L
+    var files = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_")) { bytes += f.getLen; files += 1 }
+    }
+    (bytes, files)
+  }
 }

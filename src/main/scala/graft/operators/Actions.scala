@@ -18,6 +18,17 @@ import graft.functions._
   */
 object Actions {
 
+  /** Processor chain combinator (libbeat/processors/processor.go:131-144,
+    * group.Run): processors apply in CONFIG ORDER as a left fold, and the
+    * reference's ordering contract — global (beat-level) processors run
+    * BEFORE client (input-level) ones (libbeat/publisher/processing/
+    * default.go:344-376 builds the chain in exactly that order) — maps to
+    * argument order here: `chain(df, global ++ client)`. Order is
+    * semantically significant (e.g. truncate∘replace ≠ replace∘truncate);
+    * the invariant is pinned in ActionsSpec. */
+  def chain(df: DataFrame, processors: Seq[DataFrame => DataFrame]): DataFrame =
+    processors.foldLeft(df)((d, p) => p(d))
+
   /** add_fields (actions/add_fields.go:74-86): constant columns. */
   def addFields(df: DataFrame, fields: Map[String, Column]): DataFrame =
     fields.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }

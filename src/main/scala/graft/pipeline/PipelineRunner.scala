@@ -29,7 +29,8 @@ import graft.model.Sinks
   */
 object PipelineRunner {
 
-  final case class GroupResult(group: Int, counts: Map[String, Long])
+  final case class GroupResult(group: Int, counts: Map[String, Long],
+                               writeBytes: Map[String, Long] = Map.empty)
 
   /** deterministic conv bucket in [0, groups) — NOT Spark's hash() so the
     * assignment is engine-independent and replay-stable. */
@@ -71,9 +72,15 @@ object PipelineRunner {
 
         val counts = routed.groupBy("sink").count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
+        // per-write output stats (bytes/files landed per sink — the
+        // reference's per-output-worker metrics, libbeat/outputs/metrics.go)
+        val writeStats = Sinks.All.map(s => s -> reg.sinkGroupStats(s, g)).toMap
         val lineage = counts.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-        reg.commit(g, s"""{"group":$g,"counts":$lineage}""")
-        results += GroupResult(g, counts)
+        val bytesJson = writeStats
+          .map { case (k, (b, f)) => s""""$k":{"bytes":$b,"files":$f}""" }
+          .mkString("{", ",", "}")
+        reg.commit(g, s"""{"group":$g,"counts":$lineage,"writes":$bytesJson}""")
+        results += GroupResult(g, counts, writeStats.map { case (k, (b, _)) => k -> b })
       } finally routed.unpersist()
 
       done += 1
@@ -93,11 +100,16 @@ object PipelineRunner {
     val r = reg.registry().agg(sum("row_count"), sum("filtered")).collect()(0)
     val total = r.getLong(0)
     val filtered = r.getLong(1)
+    val writeBytes = (for {
+      s <- Sinks.All
+      g <- reg.committedGroups()
+    } yield reg.sinkGroupStats(s, g)._1).sum
     Map(
       "events.total" -> total,
       "events.published" -> published,
       "events.filtered" -> filtered,
-      "events.dropped" -> dropped
+      "events.dropped" -> dropped,
+      "output.write_bytes" -> writeBytes
     )
   }
 }

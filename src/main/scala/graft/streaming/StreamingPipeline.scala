@@ -91,6 +91,70 @@ object StreamingPipeline {
       }
   }
 
+  /** one assembled multiline event (streaming form of
+    * `Actions.multilinePattern` output). */
+  final case class MultilineEvent(conv_id: String, first_turn: Int,
+                                  n_lines: Long, event_text: String)
+
+  /** in-flight buffer for one conversation. */
+  final case class MultilineBuf(first_turn: Int, n_lines: Long,
+                                lines: List[String])
+
+  /** Streaming multiline assembly with EXPLICIT state — the reader's true
+    * incremental semantics (multiline/pattern.go:104-236, `after`+negate
+    * shape): a line matching `startPattern` flushes the previous buffer and
+    * opens a new event; continuation lines append; `maxLines` truncates the
+    * kept text (message_buffer cap) without changing grouping; an idle
+    * conversation's dangling buffer flushes on processing-time timeout (the
+    * reference's multiline timeout, pattern.go:161-175). Turns are ordered
+    * within each trigger batch; the batch pipeline (`multilinePattern`) is
+    * the replay/backfill twin of this operator. */
+  def multilineStream(input: Dataset[TranscriptEvent], startPattern: String,
+                      maxLines: Int = 1000,
+                      idleTimeoutMs: Long = 60000L): Dataset[MultilineEvent] = {
+    import input.sparkSession.implicits._
+    val re = startPattern // serialized into the state function
+    input.groupByKey(_.conv_id)
+      .flatMapGroupsWithState[MultilineBuf, MultilineEvent](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (convId: String, turns: Iterator[TranscriptEvent],
+         state: GroupState[MultilineBuf]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(b =>
+              MultilineEvent(convId, b.first_turn, b.n_lines,
+                b.lines.reverse.mkString("\n")))
+            state.remove()
+            out.iterator
+          } else {
+            val pattern = java.util.regex.Pattern.compile(re)
+            val sorted = turns.toSeq.sortBy(_.turn_idx)
+            val done = scala.collection.mutable.ArrayBuffer.empty[MultilineEvent]
+            var buf = state.getOption
+            for (t <- sorted) {
+              val isStart = pattern.matcher(t.text).find()
+              if (isStart) {
+                buf.foreach(b => done += MultilineEvent(convId, b.first_turn,
+                  b.n_lines, b.lines.reverse.mkString("\n")))
+                buf = Some(MultilineBuf(t.turn_idx, 1L, List(t.text)))
+              } else buf = buf match {
+                case Some(b) =>
+                  // maxLines caps the KEPT lines; the count stays exact
+                  val kept = if (b.lines.length < maxLines) t.text :: b.lines else b.lines
+                  Some(b.copy(n_lines = b.n_lines + 1, lines = kept))
+                case None => Some(MultilineBuf(t.turn_idx, 1L, List(t.text)))
+              }
+            }
+            buf match {
+              case Some(b) =>
+                state.update(b)
+                state.setTimeoutDuration(idleTimeoutMs)
+              case None => state.remove()
+            }
+            done.iterator
+          }
+      }
+  }
+
   /** convenience: tail a directory of parquet transcript files as a stream
     * (the harvester/prospector analogue — the table format does the file
     * discovery and offset bookkeeping that prospector.go hand-rolls). */

@@ -188,6 +188,23 @@ class ActionsSpec extends SparkSpec {
     assert(out(1).isNullAt(0))
   }
 
+  test("processor chain applies in config order, global before client") {
+    import org.apache.spark.sql.DataFrame
+    val df = Seq("evt=click abcdef").toDF("text")
+    val global: DataFrame => DataFrame =
+      d => d.withColumn("text", Actions.replaceField(col("text"), "evt=", "event="))
+    val client: DataFrame => DataFrame =
+      d => d.withColumn("text", Actions.truncateField(col("text"), 9))
+    // global-then-client: replace first, then truncate the REPLACED text
+    val ordered = Actions.chain(df, Seq(global, client))
+      .select("text").as[String].head()
+    assert(ordered == "event=cli")
+    // the reverse order yields a different result — order is semantic
+    val reversed = Actions.chain(df, Seq(client, global))
+      .select("text").as[String].head()
+    assert(reversed == "event=click")
+  }
+
   test("urldecode round-trips percent-encoding") {
     val df = Seq("a%20b%2Fc", "plain").toDF("s")
       .select(Actions.urlDecode(col("s")).as("d")).as[String].collect()

@@ -26,6 +26,9 @@ class PipelineRunnerSpec extends SparkSpec {
     val m = PipelineRunner.observedMetrics(root, spark)
     assert(m("events.total") == 1000)
     assert(m("events.published") + m("events.filtered") + m("events.dropped") == 1000)
+    // per-write output stats (bytes landed across sinks) are recorded
+    assert(m("output.write_bytes") > 0)
+    assert(results.map(_.writeBytes.values.sum).sum == m("output.write_bytes"))
 
     // parity with the declarative route counts (the north-rule gate)
     val expected = TranscriptPipeline.transform(input)

@@ -79,6 +79,50 @@ class StreamingSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("streaming multiline assembles events across batches with explicit state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[graft.model.TranscriptEvent]
+    def ev(conv: String, idx: Int, text: String) =
+      graft.model.TranscriptEvent(conv, idx, "user", text, "",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    // batch 1: one complete event + a dangling buffer
+    mem.addData(ev("c1", 0, "START a"), ev("c1", 1, "cont1"),
+      ev("c1", 2, "START b"), ev("c1", 3, "cont2"))
+    val q = StreamingPipeline
+      .multilineStream(mem.toDS(), "^START", idleTimeoutMs = 2000L)
+      .writeStream.format("memory").queryName("mline")
+      .outputMode("append").trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    // ProcessingTimeTimeout keeps scheduling wall-clock batches forever, so
+    // processAllAvailable never returns (same caveat as convOffsets) — poll
+    // the memory sink for expected row counts instead.
+    def awaitRows(n: Long, ms: Long = 30000): Unit = {
+      val deadline = System.currentTimeMillis() + ms
+      while (spark.table("mline").count() < n &&
+        System.currentTimeMillis() < deadline) Thread.sleep(300)
+      assert(spark.table("mline").count() >= n, s"expected $n rows in time")
+    }
+    try {
+      awaitRows(1)
+      val first = spark.table("mline").as[StreamingPipeline.MultilineEvent].collect()
+      assert(first.map(e => (e.first_turn, e.event_text)).toSet
+        .contains((0, "START a\ncont1"))) // "START b cont2" may still buffer
+      // batch 2: a new start in the same conv flushes the buffered event
+      mem.addData(ev("c1", 4, "START c"))
+      awaitRows(2)
+      val second = spark.table("mline").as[StreamingPipeline.MultilineEvent].collect()
+      assert(second.map(e => (e.first_turn, e.event_text)).toSet
+        .subsetOf(Set((0, "START a\ncont1"), (2, "START b\ncont2"), (4, "START c"))))
+      // idle timeout flushes the dangling "START c" buffer
+      awaitRows(3)
+      val all = spark.table("mline").as[StreamingPipeline.MultilineEvent].collect()
+      assert(all.map(e => (e.first_turn, e.event_text)).toSet ==
+        Set((0, "START a\ncont1"), (2, "START b\ncont2"), (4, "START c")))
+    } finally q.stop()
+  }
+
   test("windowed metrics stream aggregates per window × sink") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
