@@ -68,6 +68,13 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, dir) =>
       graft.dedup.Dedup.embeddingPairs(embeds(s, dir), 0.4)),
 
+    // full-probe hyperplane LSH is exhaustive → the brute-force pair oracle
+    // applies verbatim while the plan exercises the bucketed self-join
+    // (real-config recall pinned in DedupSpec)
+    "q_dedup_embedding_lsh" -> ((s, dir) =>
+      graft.dedup.Dedup.embeddingPairsLsh(embeds(s, dir), 0.4,
+        planes = 3, tables = 2, probeHamming = 3)),
+
     // --- similarity search over embeddings ---
     "q_ann_topk" -> ((s, dir) => {
       val e = embeds(s, dir)
@@ -354,6 +361,11 @@ object SparkEntry {
       (OracleCte.jaccardPairs + " SELECT * FROM jpairs"),
 
     "q_dedup_embedding" ->
+      (OracleCte.cosinePairs +
+        """ SELECT a_id, b_id, round(cos, 4) AS cos
+          | FROM cpairs WHERE cos >= 0.4""".stripMargin),
+
+    "q_dedup_embedding_lsh" ->
       (OracleCte.cosinePairs +
         """ SELECT a_id, b_id, round(cos, 4) AS cos
           | FROM cpairs WHERE cos >= 0.4""".stripMargin),

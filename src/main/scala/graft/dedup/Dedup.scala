@@ -165,13 +165,54 @@ object Dedup {
   }
 
   /** Family 4 — embedding cosine near-dup (brute force with id ordering;
-    * the LSH-bucketed scale path is [[graft.similarity.Ann.lshNeighbors]]). */
+    * the bucketed scale path is [[embeddingPairsLsh]]). */
   def embeddingPairs(embeds: DataFrame, tau: Double): DataFrame = {
     val a = embeds.select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
     val b = embeds.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("cos", cosine_sim(col("a_v"), col("b_v")))
       .filter(col("cos") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Family 4 at scale — hyperplane-LSH bucketed embedding near-dup: every
+    * vector lands in one bucket per table; candidate pairs share a
+    * (table, bucket) cell; exact cosine verifies. Recall for a pair at angle
+    * θ is 1-(1-(1-θ/π)^planes)^tables (pinned in DedupSpec for the real
+    * config). `probeHamming = planes` probes every bucket — exhaustive, so
+    * the brute-force SQL oracle applies verbatim, the same trick as
+    * IVF nprobe=nlist. The (table, bucket) self-join carries ids + vectors
+    * once and has the standard max-bucket degeneracy guard; at 10^12 vectors
+    * this is an L-fold explode shuffled on a tiny key instead of an O(n²)
+    * cross join. */
+  def embeddingPairsLsh(embeds: DataFrame, tau: Double, planes: Int = 3,
+                        tables: Int = 8, probeHamming: Int = 0,
+                        maxBucket: Int = 10000): DataFrame = {
+    val banded = embeds.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until tables).map(t =>
+        hyperplane_bucket(col("embedding"), planes, t)): _*))
+        .as(Seq("table", "bucket")))
+    val a =
+      if (probeHamming <= 0)
+        banded.toDF("a_id", "a_v", "table", "bucket")
+      else banded
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"),
+          col("table"),
+          explode(filter(
+            sequence(lit(0), lit((1 << planes) - 1)),
+            b => bit_count(b.bitwiseXOR(col("bucket"))) <= probeHamming))
+            .as("bucket"))
+    val b = banded.toDF("b_id", "b_v", "table", "bucket")
+    // degenerate-bucket guard on the un-probed side
+    val guarded = b.withColumn("_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("table", "bucket")))
+      .filter(col("_n") <= maxBucket).drop("_n")
+    a.join(guarded, Seq("table", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cosine_sim(col("a_v"), col("b_v")).as("cos"))
+      .filter(col("cos") >= tau)
+      .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
   }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Codegen ↔ interpreted agreement for every round-2 custom expression: the
+  * same query evaluated with whole-stage codegen on and off (the interpreted
+  * fallback Spark switches to when generated code fails to compile) must be
+  * bit-identical — an expression whose doGenCode diverges from nullSafeEval
+  * is a silent-corruption bug that only appears under fallback. */
+class CodegenParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bothModes(build: => DataFrame): (Seq[String], Seq[String]) = {
+    def run(): Seq[String] = build.collect().map(_.toString).toSeq.sorted
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val gen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp =
+      try run()
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    (gen, interp)
+  }
+
+  private def check(name: String)(build: => DataFrame): Unit = {
+    val (gen, interp) = bothModes(build)
+    assert(gen == interp, s"$name: codegen and interpreted outputs differ")
+    assert(gen.nonEmpty, s"$name: empty result proves nothing")
+  }
+
+  private lazy val texts = Seq(
+    "src=10.1.2.3 dst=8.8.8.8 evt=click",
+    "src=fd00::1 dst=2001:db8::9 evt=view",
+    "src=bad dst=also-bad", "", "x"
+  ).toDF("t")
+
+  test("network expressions") {
+    check("ip_in_networks") {
+      texts.select(ip_in_networks(
+        regexp_extract(col("t"), "src=(\\S+)", 1), Seq("private", "10.0.0.0/8")).as("r"))
+    }
+    check("network_direction") {
+      texts.select(network_direction(
+        regexp_extract(col("t"), "src=(\\S+)", 1),
+        regexp_extract(col("t"), "dst=(\\S+)", 1), Seq("private")).as("r"))
+    }
+  }
+
+  test("dissect expressions (struct + map)") {
+    check("dissect") {
+      texts.select(dissect(col("t"), "src=%{s} dst=%{d} %{rest}").as("r"))
+    }
+    check("dissect_map") {
+      texts.select(dissect_map(col("t"), "src=%{?k} dst=%{&k} %{rest}").as("r"))
+    }
+  }
+
+  test("scalar expressions: sha256_hex, truncate_utf8_bytes") {
+    check("sha256_hex") { texts.select(sha256_hex(col("t")).as("r")) }
+    check("truncate_utf8_bytes") {
+      texts.select(truncate_utf8_bytes(concat(col("t"), lit("é ü")), 7).as("r"))
+    }
+  }
+
+  test("sketch kernels: minhash_bands_tokens, shingle_jaccard_packed, ordered_topk") {
+    check("minhash_bands_tokens") {
+      texts.select(minhash_bands_tokens(split(col("t"), " "), 3, 32, 16).as("r"))
+    }
+    check("shingle_jaccard_packed") {
+      texts.select(shingle_jaccard_packed(
+        split(col("t"), " "), split(reverse(col("t")), " "), 3).as("r"))
+    }
+    check("ordered_topk") {
+      Seq(("a", 3, "z"), ("a", 1, "x"), ("a", 2, "y"), ("b", 9, "q"))
+        .toDF("k", "o", "v")
+        .groupBy("k").agg(ordered_topk(col("o"), col("v"), 2).as("r"))
+    }
+  }
+}

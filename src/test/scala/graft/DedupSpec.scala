@@ -69,6 +69,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("LSH embedding pairs: full-probe is exact; real config recalls most pairs") {
+    val embeds = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Dedup.embeddingPairs(embeds, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probeHamming = planes → exhaustive → identical to brute force
+    val exact = Dedup.embeddingPairsLsh(embeds, 0.4, planes = 3, tables = 2,
+      probeHamming = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == brute)
+    // real config: bucketed candidates only, subset with high recall
+    val lsh = Dedup.embeddingPairsLsh(embeds, 0.4, planes = 3, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), "LSH must not invent pairs (exact verify)")
+    assert(brute.nonEmpty && lsh.size.toDouble / brute.size >= 0.7,
+      s"recall too low: ${lsh.size}/${brute.size}")
+  }
+
   test("shingles: short docs fall back to whole-text shingle") {
     import spark.implicits._
     val df = Seq((1L, "one two"), (2L, "a b c d e")).toDF("doc_id", "text")

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.TranscriptPipeline
+
+/** Physical-plan quality gates: the properties that make these plans hold at
+  * 100 TB — filter/column pushdown reaching the scan, whole-stage codegen
+  * covering the hot path, no shuffle where none is needed. A plan regression
+  * here is a scale bug even when results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private def events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+  test("filters and column pruning reach the parquet scan") {
+    val q = docs.filter(col("doc_id") > 100).select("doc_id", "text")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("text-stats plan reads only the columns it needs") {
+    val plan = graft.textops.TextOps.stats(docs)
+      .queryExecution.executedPlan.toString
+    // doc_id + text, NOT the full document schema
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"stats should scan 2 columns:\n$plan")
+  }
+
+  test("the full transform is one whole-stage-codegen span over the scan — no shuffle, no UDF") {
+    // transform over a materialized transcript table (no derivation window)
+    val tdir = java.nio.file.Files.createTempDirectory("plan-transcripts").toString
+    graft.sources.Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(tdir)
+    val input = spark.read.parquet(tdir)
+    val plan = TranscriptPipeline.transform(input).queryExecution.executedPlan.toString
+    // `*(1)` is the compact WholeStageCodegen marker; ONE span id = the whole
+    // transform fuses into a single generated loop over the scan
+    assert(plan.contains("*(1)"), s"no codegen span:\n$plan")
+    assert(!plan.contains("*(2)"), s"transform should be ONE codegen span:\n$plan")
+    assert(!plan.contains("Exchange"), s"transform must not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "no UDFs on the hot path")
+    // the parse expression is evaluated once and fields projected from it —
+    // not re-evaluated per extracted field
+    assert("serverlog_parse".r.findAllIn(plan).size == 1,
+      s"serverlog_parse must appear exactly once:\n$plan")
+  }
+
+  test("route-only metrics plan prunes parse down to the status fast path") {
+    val tdir = java.nio.file.Files.createTempDirectory("plan-transcripts2").toString
+    graft.sources.Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(tdir)
+    val input = spark.read.parquet(tdir)
+    val plan = TranscriptPipeline.metrics(input).queryExecution.executedPlan.toString
+    assert(plan.contains("serverlog_status"), "metrics must use the status fast path")
+    assert(!plan.contains("serverlog_parse"), "metrics must NOT run the full field extraction")
+    // only the columns the router needs are read
+    assert(plan.contains("ReadSchema: struct<text:string,tool:string>")
+      || plan.contains("ReadSchema: struct<tool:string,text:string>"),
+      s"metrics should scan (text, tool) only:\n$plan")
+  }
+
+  test("enrich broadcast join never shuffles the fact side") {
+    val parsed = TranscriptPipeline.parse(
+      graft.sources.Transcripts.fromEvents(spark, "/root/testdata/sf0.001"))
+    val plan = graft.enrich.Enrich.enrich(parsed).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("minhash banding plan shuffles only (doc_id, band, bucket) — never text or arrays") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exchanges =
+      try graft.dedup.Dedup.minhashPairs(docs, 80).queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e.output.map(a => (a.name, a.dataType.simpleString)) }
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { cols =>
+      cols.foreach { case (name, tpe) =>
+        assert(name != "text" && name != "a_text" && name != "b_text",
+          s"raw text crosses a shuffle: $cols")
+        assert(!tpe.startsWith("array<string>"),
+          s"a string array (shingles?) crosses a shuffle: $cols")
+      }
+    }
+  }
+}
