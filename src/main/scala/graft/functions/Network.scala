@@ -312,3 +312,106 @@ case class NetworkDirection(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(l: Expression, r: Expression): NetworkDirection =
     copy(left = l, right = r)
 }
+
+/** Community ID v1 flow hash (libbeat/processors/communityid +
+  * libbeat/common/flowhash/communityid.go:49-92): the canonical
+  * `1:` + base64(sha1(seed₂ . saddr . daddr . proto . 0 . sport₂ . dport₂))
+  * with endpoint ordering (smaller (ip, port) first, flow.go:88-91), v4
+  * addresses hashed in 4-byte form (getRawIP), ports appended only for
+  * TCP/UDP/SCTP/ICMP, and the ICMP type↔code port-equivalence tables
+  * (flow.go:58-85) applied for protocols 1/58. Input is a struct column
+  * `(src_ip, dst_ip, src_port, dst_port, protocol)` — for ICMP the port
+  * slots carry (type, code). NULL on unparseable addresses, like the
+  * processor's skipped events.
+  */
+object CommunityIdKernel {
+
+  private val icmpV4 = Map(8 -> 0, 0 -> 8, 13 -> 14, 14 -> 13, 15 -> 16,
+    10 -> 9, 9 -> 10, 17 -> 18, 18 -> 17)
+  private val icmpV6 = Map(128 -> 129, 129 -> 128, 133 -> 134, 134 -> 133,
+    136 -> 135, 135 -> 136, 130 -> 131, 139 -> 140, 140 -> 139,
+    144 -> 145, 145 -> 144)
+
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("SHA-1"))
+
+  /** hashed byte form: 4 bytes for v4 (getRawIP), 16 for v6. */
+  private def raw(b16: Array[Byte]): Array[Byte] =
+    if (IpOps.isV4(b16)) java.util.Arrays.copyOfRange(b16, 12, 16) else b16
+
+  def hash(srcIp: String, dstIp: String, srcPort: Int, dstPort: Int,
+           proto: Int, seed: Int): UTF8String = {
+    val s16 = IpOps.parse(srcIp)
+    val d16 = IpOps.parse(dstIp)
+    if (s16 == null || d16 == null) return null
+
+    var sp = srcPort
+    var dp = dstPort
+    var oneWay = false
+    val hasPorts = proto == 6 || proto == 17 || proto == 132 ||
+      proto == 1 || proto == 58
+    if (proto == 1 || proto == 58) {
+      // ICMP: port slots are (type, code); map type→equivalent when known
+      val table = if (proto == 1) icmpV4 else icmpV6
+      table.get(srcPort) match {
+        case Some(equiv) => dp = equiv
+        case None        => oneWay = true
+      }
+    }
+
+    // endpoint ordering over the 16-byte forms (flow.go:88-91)
+    var (sb, db, sport, dport) = (s16, d16, sp, dp)
+    if (!oneWay) {
+      val cmp = java.util.Arrays.compareUnsigned(s16, d16)
+      val sorted = cmp < 0 || (cmp == 0 && sp < dp)
+      if (!sorted) { sb = d16; db = s16; sport = dp; dport = sp }
+    }
+
+    val md = digests.get()
+    md.reset()
+    md.update(((seed >> 8) & 0xff).toByte)
+    md.update((seed & 0xff).toByte)
+    md.update(raw(sb))
+    md.update(raw(db))
+    md.update(proto.toByte)
+    md.update(0.toByte)
+    if (hasPorts) {
+      md.update(((sport >> 8) & 0xff).toByte)
+      md.update((sport & 0xff).toByte)
+      md.update(((dport >> 8) & 0xff).toByte)
+      md.update((dport & 0xff).toByte)
+    }
+    UTF8String.fromString(
+      "1:" + java.util.Base64.getEncoder.encodeToString(md.digest()))
+  }
+}
+
+/** `community_id(struct(src_ip, dst_ip, src_port, dst_port, protocol))` →
+  * the Community ID v1 flow hash string; NULL on bad addresses. */
+case class CommunityId(child: Expression, seed: Int = 0) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "community_id"
+
+  def evalInput(row: org.apache.spark.sql.catalyst.InternalRow): UTF8String = {
+    if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(2) ||
+      row.isNullAt(3) || row.isNullAt(4)) return null
+    CommunityIdKernel.hash(row.getUTF8String(0).toString,
+      row.getUTF8String(1).toString, row.getInt(2), row.getInt(3),
+      row.getInt(4), seed)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    evalInput(input.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cidExpr", this, classOf[CommunityId].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.evalInput($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CommunityId =
+    copy(child = newChild)
+}

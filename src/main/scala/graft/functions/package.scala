@@ -44,6 +44,14 @@ package object functions {
     ExpressionUtils.column(NetworkDirection(
       ExpressionUtils.expression(src), ExpressionUtils.expression(dst), internal))
 
+  /** Community ID v1 flow hash (processors/communityid, flowhash spec); for
+    * ICMP protocols the port arguments carry (type, code). */
+  def community_id(srcIp: Column, dstIp: Column, srcPort: Column,
+                   dstPort: Column, protocol: Column, seed: Int = 0): Column =
+    ExpressionUtils.column(CommunityId(ExpressionUtils.expression(
+      struct(srcIp, dstIp, srcPort.cast("int"), dstPort.cast("int"),
+        protocol.cast("int"))), seed))
+
   /** level-letter → long-name translation via a map literal
     * (libbeat/processors/parse_common/parser.go:34-42); unknown letters pass
     * through, like the reference's `else` branch (parse_vehicle_trace2trace
@@ -125,4 +133,9 @@ package object functions {
   /** byte-capped UTF-8 truncation (truncate_fields max_bytes variant). */
   def truncate_utf8_bytes(s: Column, maxBytes: Int): Column =
     ExpressionUtils.column(TruncateUtf8Bytes(ExpressionUtils.expression(s), maxBytes))
+
+  /** decode_xml_fields → flattened map<string,string> of dotted leaf paths
+    * (decode_xml + common/encoding/xml/decode.go); null on malformed XML. */
+  def decode_xml_map(xml: Column, toLower: Boolean = false): Column =
+    ExpressionUtils.column(XmlToMap(ExpressionUtils.expression(xml), toLower))
 }

@@ -205,6 +205,31 @@ class ActionsSpec extends SparkSpec {
     assert(reversed == "event=click")
   }
 
+  test("decode_xml_map: nesting, repeated-element lists, attributes, mixed text") {
+    import graft.functions.decode_xml_map
+    val xml =
+      """<order id="7"><item>a</item><item>b</item>
+        |<ship><city>Oslo</city>note</ship></order>""".stripMargin.replace("\n", "")
+    val rows = Seq(xml, "<bad", "<ok>x</ok>").toDF("x")
+      .select(decode_xml_map(col("x")).as("m")).collect()
+    val m = rows(0).getMap[String, String](0)
+    assert(m("order.id") == "7")
+    assert(m("order.item.0") == "a" && m("order.item.1") == "b")
+    assert(m("order.ship.city") == "Oslo")
+    assert(m("order.ship.#text") == "note")
+    assert(rows(1).isNullAt(0)) // malformed → null (dead-letter)
+    assert(rows(2).getMap[String, String](0)("ok") == "x")
+    // to_lower option (decode_xml config)
+    val lower = Seq("<A><B>v</B></A>").toDF("x")
+      .select(decode_xml_map(col("x"), toLower = true).as("m"))
+      .collect()(0).getMap[String, String](0)
+    assert(lower("a.b") == "v")
+    // DTDs are rejected, not resolved (no XXE surface)
+    val dtd = Seq("""<!DOCTYPE foo [<!ENTITY x SYSTEM "file:///etc/passwd">]><foo>&x;</foo>""")
+      .toDF("x").select(decode_xml_map(col("x")).as("m")).collect()(0)
+    assert(dtd.isNullAt(0))
+  }
+
   test("urldecode round-trips percent-encoding") {
     val df = Seq("a%20b%2Fc", "plain").toDF("s")
       .select(Actions.urlDecode(col("s")).as("d")).as[String].collect()

@@ -98,6 +98,36 @@ class NetworkSpec extends SparkSpec {
     assert(got == Seq("internal", "outbound", "inbound", "external", null))
   }
 
+  test("community_id matches the reference's golden vectors") {
+    import graft.functions.community_id
+    // (src, dst, sport/type, dport/code, proto) → expected
+    // vectors from communityid/communityid_test.go:56-125
+    val cases = Seq(
+      (("128.232.110.120", "66.35.250.204", 34855, 80, 6),
+        "1:LQU9qZlK+B5F3KDmev6m5PMibrg="),   // canonical TCP vector
+      (("66.35.250.204", "128.232.110.120", 80, 34855, 6),
+        "1:LQU9qZlK+B5F3KDmev6m5PMibrg="),   // direction-invariant
+      (("128.232.110.120", "66.35.250.204", 3, 3, 1),
+        "1:KF3iG9XD24nhlSy4r1TcYIr5mfE="),   // ICMP type=3 code=3
+      (("128.232.110.120", "66.35.250.204", 0, 0, 2),
+        "1:D3t8Q1aFA6Ev0A/AO4i9PnU3AeI=")    // IGMP: no ports hashed
+    )
+    val df = cases.map(_._1).toDF("s", "d", "sp", "dp", "p")
+      .select(community_id(col("s"), col("d"), col("sp"), col("dp"), col("p")).as("cid"))
+    assert(df.as[String].collect().toSeq == cases.map(_._2))
+    // seed variant (communityid_test.go:60)
+    val seeded = Seq(("128.232.110.120", "66.35.250.204", 34855, 80, 6))
+      .toDF("s", "d", "sp", "dp", "p")
+      .select(community_id(col("s"), col("d"), col("sp"), col("dp"), col("p"),
+        seed = 123).as("cid")).as[String].head()
+    assert(seeded == "1:hTSGlFQnR58UCk+NfKRZzA32dPg=")
+    // bad address → null
+    val bad = Seq(("nope", "66.35.250.204", 1, 2, 6)).toDF("s", "d", "sp", "dp", "p")
+      .select(community_id(col("s"), col("d"), col("sp"), col("dp"), col("p")).as("cid"))
+      .collect()(0)
+    assert(bad.isNullAt(0))
+  }
+
   test("dissect |ip type uses the same validator") {
     import graft.functions.dissect
     val r = Seq("src=10.1.2.3 dst=999.9.9.9")
