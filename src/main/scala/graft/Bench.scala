@@ -83,7 +83,7 @@ object Bench {
     * throughput per core is lower than the few-core one (turbo / bandwidth),
     * which caps ANY job's N→4N efficiency below 1.0; this measures that
     * ceiling so the pipeline's efficiency can be read against it. */
-  private def calibrate(threads: Int, bufBytes: Int, millis: Long = 3000): Double = {
+  private[graft] def calibrate(threads: Int, bufBytes: Int, millis: Long = 3000): Double = {
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val counts = new java.util.concurrent.atomic.AtomicLongArray(threads)
     // start barrier: buffer initialization (64 MB/thread for the DRAM tier)

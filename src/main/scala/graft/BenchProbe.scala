@@ -60,38 +60,10 @@ object BenchProbe {
     )
   }
 
-  /** raw-thread FNV streaming over a buffer of `bufBytes`/thread: L1-resident
-    * buffers measure the CPU/turbo ceiling, DRAM-resident ones the memory
-    * subsystem's N→4N ceiling — the honest comparison point for a
-    * scan-dominated pipeline on a shared VM. */
-  private def calibrate(threads: Int, bufBytes: Int, millis: Long = 3000): Double = {
-    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val counts = new java.util.concurrent.atomic.AtomicLongArray(threads)
-    // start barrier: buffer init must not eat the measurement window
-    val ready = new java.util.concurrent.CountDownLatch(threads)
-    val go = new java.util.concurrent.CountDownLatch(1)
-    val ts = (0 until threads).map { t =>
-      new Thread(() => {
-        val data = new Array[Byte](bufBytes)
-        var j = 0
-        while (j < bufBytes) { data(j) = (j * 31).toByte; j += 1 }
-        ready.countDown(); go.await()
-        var c = 0L
-        var sink = 0L
-        while (!stop.get()) {
-          var h = 0xcbf29ce484222325L
-          var i = 0
-          while (i < data.length) { h ^= data(i); h *= 0x100000001b3L; i += 1 }
-          sink ^= h
-          c += 1
-        }
-        counts.set(t, c ^ (sink & 1L))
-      })
-    }
-    ts.foreach(_.start()); ready.await(); go.countDown(); Thread.sleep(millis)
-    stop.set(true); ts.foreach(_.join())
-    (0 until threads).map(counts.get).sum.toDouble * bufBytes / (millis / 1000.0)
-  }
+  /** hardware-ceiling probe — delegates to [[Bench.calibrate]] so the two
+    * tools can never drift apart and always report comparable ceilings. */
+  private def calibrate(threads: Int, bufBytes: Int, millis: Long): Double =
+    Bench.calibrate(threads, bufBytes, millis)
 
   def main(args: Array[String]): Unit = {
     val rows = if (args.nonEmpty) args(0).toLong else 64000000L

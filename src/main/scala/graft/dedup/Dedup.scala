@@ -96,16 +96,21 @@ object Dedup {
         TextOps.tokens(TextOps.normalized(col("text"))), 3, k, bands))
         .as(Seq("band", "bucket")))
 
-    // degenerate-bucket guard (boilerplate shingles → mega-buckets → skew)
-    val sized = banded.groupBy("band", "bucket")
-      .agg(collect_list("doc_id").as("ids"), count(lit(1)).as("n"))
+    // Degenerate-bucket guard (boilerplate shingles → mega-buckets → skew):
+    // sizes come from a COUNT aggregation (constant-size buffer, map-side
+    // combinable), and oversized buckets are dropped by a semi-join BEFORE
+    // the pair-generating self-join — no task ever materializes a bucket's
+    // membership list, so a mega-bucket costs one counter, not one buffer.
+    val okBuckets = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1 && col("n") <= maxBucket)
-
-    val cands = sized
-      .select(explode(expr(
-        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"))
-        .as("p"))
-      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .select("band", "bucket")
+    val pruned = banded.join(okBuckets, Seq("band", "bucket"))
+    val cands = pruned.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+      .join(pruned.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
+        Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
       .distinct()
 
     // Verification: join candidate ids back to the RAW text first, compute
@@ -145,19 +150,24 @@ object Dedup {
       posexplode(expr(
         s"transform(sequence(0, ${chunks - 1}), c -> shiftrightunsigned(sig, c * $bitsPer) & ${mask}L)"))
         .as(Seq("chunk", "key")))
-    // degenerate-chunk guard, same contract as minhashPairs: a (chunk, key)
-    // bucket with > maxBucket members is boilerplate (e.g. many short docs
-    // sharing a zero sig chunk) and would make the self-join quadratic
-    val sized = banded.groupBy("chunk", "key")
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ms"),
-        count(lit(1)).as("n"))
+    // Degenerate-chunk guard, same contract (and same bounded-memory shape)
+    // as minhashPairs: bucket sizes via a COUNT aggregation, oversized
+    // buckets dropped by semi-join BEFORE the streaming self-join — a
+    // boilerplate chunk key (e.g. many short docs sharing a zero sig chunk)
+    // costs one counter, never one task buffer.
+    val okBuckets = banded.groupBy("chunk", "key")
+      .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1 && col("n") <= maxBucket)
-    sized
-      .select(explode(expr(
-        "filter(flatten(transform(ms, a -> transform(ms, b -> struct(a, b)))), p -> p.a.doc_id < p.b.doc_id)"))
-        .as("p"))
-      .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
-        bit_count(col("p.a.sig").bitwiseXOR(col("p.b.sig"))).as("hamming"))
+      .select("chunk", "key")
+    val pruned = banded.join(okBuckets, Seq("chunk", "key"))
+    val a = pruned.select(col("chunk"), col("key"),
+      col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val b = pruned.select(col("chunk"), col("key"),
+      col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, Seq("chunk", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
       // hamming gate BEFORE the dedup shuffle: candidates that fail the
       // distance test never leave the bucket task
       .filter(col("hamming") <= maxHamming)
@@ -203,11 +213,14 @@ object Dedup {
             b => bit_count(b.bitwiseXOR(col("bucket"))) <= probeHamming))
             .as("bucket"))
     val b = banded.toDF("b_id", "b_v", "table", "bucket")
-    // degenerate-bucket guard on the un-probed side
-    val guarded = b.withColumn("_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("table", "bucket")))
-      .filter(col("_n") <= maxBucket).drop("_n")
+    // degenerate-bucket guard on the un-probed side: COUNT-aggregated sizes
+    // + semi-join (constant-size buffers; a window count would buffer whole
+    // partitions)
+    val okBuckets = b.groupBy("table", "bucket")
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket)
+      .select("table", "bucket")
+    val guarded = b.join(okBuckets, Seq("table", "bucket"))
     a.join(guarded, Seq("table", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), cosine_sim(col("a_v"), col("b_v")).as("cos"))

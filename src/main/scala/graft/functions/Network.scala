@@ -69,7 +69,7 @@ object IpOps {
       if (dcol < 0) (s, null)
       else (s.substring(0, dcol), s.substring(dcol + 2))
 
-    def groups(part: String): Array[Int] = {
+    def groups(part: String, v4Allowed: Boolean): Array[Int] = {
       if (part == null || part.isEmpty) return Array.empty
       val gs = part.split(":", -1)
       val out = new Array[Int](gs.length + 1) // possible v4 expansion
@@ -77,7 +77,9 @@ object IpOps {
       for ((g, gi) <- gs.zipWithIndex) {
         if (g.isEmpty) return null
         if (g.indexOf('.') >= 0) {
-          if (gi != gs.length - 1) return null // v4 tail must be last
+          // an embedded dotted quad is only legal as the LAST group of the
+          // whole address (go net.ParseIP) — never in the head of a "::" form
+          if (!v4Allowed || gi != gs.length - 1) return null
           val v4 = parseV4(g)
           if (v4 == null) return null
           out(n) = ((v4(12) & 0xff) << 8) | (v4(13) & 0xff); n += 1
@@ -99,9 +101,9 @@ object IpOps {
       java.util.Arrays.copyOf(out, n)
     }
 
-    val head = groups(headStr)
+    val head = groups(headStr, v4Allowed = dcol < 0)
     if (head == null) return null
-    val tail = if (dcol < 0) Array.empty[Int] else groups(tailStr)
+    val tail = if (dcol < 0) Array.empty[Int] else groups(tailStr, v4Allowed = true)
     if (tail == null) return null
     val total = head.length + tail.length
     if (dcol < 0 && total != 8) return null

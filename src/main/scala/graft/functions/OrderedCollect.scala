@@ -38,6 +38,19 @@ case class OrderedTopKStrings(left: Expression, right: Expression, k: Int,
   def ord: Expression = left
   def value: Expression = right
 
+  // analysis-time typing: a wrong-typed ordering column must fail the query
+  // plan, not throw ClassCastException mid-job after the shuffle ran
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (left.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"ordered_topk ordering column must be INT, got ${left.dataType.simpleString}")
+    else if (right.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"ordered_topk value column must be STRING, got ${right.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   override def prettyName: String = "ordered_topk_strings"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false

@@ -244,23 +244,13 @@ object ServerlogKernel {
       if (flat != null) {
         vals(11) = flat
       } else {
-        val data = UTF8String.fromBytes(b, idx + 8, idx2 - idx - 8).toString
-        try {
-          val node = mapper.readTree(data)
-          if (node != null && node.isObject) {
-            val ks = scala.collection.mutable.ArrayBuffer.empty[Any]
-            val vs = scala.collection.mutable.ArrayBuffer.empty[Any]
-            val it = node.fields()
-            while (it.hasNext) {
-              val kv = it.next()
-              ks += UTF8String.fromString(kv.getKey)
-              vs += UTF8String.fromString(
-                if (kv.getValue.isTextual) kv.getValue.asText() else kv.getValue.toString)
-            }
-            vals(11) = new ArrayBasedMapData(
-              new GenericArrayData(ks.toArray), new GenericArrayData(vs.toArray))
-          }
-        } catch { case _: Exception => /* json_error — leave extra null */ }
+        // SAME helper as the UnsafeRow writer path — one copy of the merge
+        // semantics, so the PropertySpec parity pin cannot silently drift
+        val kv = jacksonExtra(b, idx + 8, idx2)
+        if (kv != null)
+          vals(11) = new ArrayBasedMapData(
+            new GenericArrayData(kv._1.toArray[Any]),
+            new GenericArrayData(kv._2.toArray[Any]))
       }
     }
     vals(13) = StOk

@@ -41,26 +41,24 @@ object XmlKernel {
         b.parse(new org.xml.sax.InputSource(new java.io.StringReader(xml)))
       } catch { case _: Exception => return null }
 
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // LinkedHashMap: insertion-ordered output with map-overwrite semantics —
+    // the reference builds Go maps, where addAttributes runs at EndElement
+    // and OVERWRITES a same-named child entry (decode.go:104-110); put-last-
+    // wins here reproduces that, and guarantees unique output keys.
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     def key(s: String): String = if (toLower) s.toLowerCase else s
 
-    // reference shape: an element is (attributes ++ children-or-lists) with
+    // reference shape: an element is (children-or-lists ++ attributes) with
     // cdata under #text when children exist, or the scalar itself otherwise
     def walk(e: org.w3c.dom.Element, path: String): Unit = {
       val attrs = e.getAttributes
-      var i = 0
-      while (i < attrs.getLength) {
-        val a = attrs.item(i)
-        out += (s"$path.${key(a.getNodeName)}" -> a.getNodeValue)
-        i += 1
-      }
       // group child elements by name to detect repeats (→ lists)
       val kids = scala.collection.mutable.LinkedHashMap
         .empty[String, scala.collection.mutable.ArrayBuffer[org.w3c.dom.Element]]
       val text = new StringBuilder
       val nodes = e.getChildNodes
-      i = 0
+      var i = 0
       while (i < nodes.getLength) {
         nodes.item(i) match {
           case c: org.w3c.dom.Element =>
@@ -75,15 +73,23 @@ object XmlKernel {
       }
       val cdata = text.toString.trim
       if (kids.isEmpty && attrs.getLength == 0) {
-        out += (path -> cdata) // pure leaf
+        out(path) = cdata // pure leaf
       } else {
-        if (cdata.nonEmpty) out += (s"$path.#text" -> cdata)
+        if (cdata.nonEmpty) out(s"$path.#text") = cdata
         for ((name, es) <- kids) {
           if (es.length == 1) walk(es(0), s"$path.$name")
           else es.zipWithIndex.foreach { case (c, idx) =>
             walk(c, s"$path.$name.$idx")
           }
         }
+      }
+      // attributes LAST: they overwrite same-named children, like the
+      // reference's EndElement addAttributes into the Go map
+      i = 0
+      while (i < attrs.getLength) {
+        val a = attrs.item(i)
+        out(s"$path.${key(a.getNodeName)}") = a.getNodeValue
+        i += 1
       }
     }
 

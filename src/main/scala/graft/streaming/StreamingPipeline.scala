@@ -113,7 +113,9 @@ object StreamingPipeline {
                       maxLines: Int = 1000,
                       idleTimeoutMs: Long = 60000L): Dataset[MultilineEvent] = {
     import input.sparkSession.implicits._
-    val re = startPattern // serialized into the state function
+    // compiled ONCE here; java.util.regex.Pattern is Serializable, so the
+    // closure ships the compiled form — no per-batch/per-group recompile
+    val pattern = java.util.regex.Pattern.compile(startPattern)
     input.groupByKey(_.conv_id)
       .flatMapGroupsWithState[MultilineBuf, MultilineEvent](
         OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
@@ -126,7 +128,6 @@ object StreamingPipeline {
             state.remove()
             out.iterator
           } else {
-            val pattern = java.util.regex.Pattern.compile(re)
             val sorted = turns.toSeq.sortBy(_.turn_idx)
             val done = scala.collection.mutable.ArrayBuffer.empty[MultilineEvent]
             var buf = state.getOption
@@ -138,8 +139,10 @@ object StreamingPipeline {
                 buf = Some(MultilineBuf(t.turn_idx, 1L, List(t.text)))
               } else buf = buf match {
                 case Some(b) =>
-                  // maxLines caps the KEPT lines; the count stays exact
-                  val kept = if (b.lines.length < maxLines) t.text :: b.lines else b.lines
+                  // maxLines caps the KEPT lines (we keep the first maxLines,
+                  // so kept-count == min(n_lines, maxLines) — O(1) check, no
+                  // O(length) list walk per line); the count stays exact
+                  val kept = if (b.n_lines < maxLines) t.text :: b.lines else b.lines
                   Some(b.copy(n_lines = b.n_lines + 1, lines = kept))
                 case None => Some(MultilineBuf(t.turn_idx, 1L, List(t.text)))
               }

@@ -224,6 +224,12 @@ class ActionsSpec extends SparkSpec {
       .select(decode_xml_map(col("x"), toLower = true).as("m"))
       .collect()(0).getMap[String, String](0)
     assert(lower("a.b") == "v")
+    // attribute vs same-named child: attribute wins (reference addAttributes
+    // overwrites at EndElement, decode.go:104-110) and keys stay UNIQUE
+    val clash = Seq("""<a x="attr"><x>child</x><y>k</y></a>""").toDF("x")
+      .select(decode_xml_map(col("x")).as("m")).collect()(0).getMap[String, String](0)
+    assert(clash("a.x") == "attr" && clash("a.y") == "k")
+    assert(clash.keys.toSeq.distinct.size == clash.keys.size)
     // DTDs are rejected, not resolved (no XXE surface)
     val dtd = Seq("""<!DOCTYPE foo [<!ENTITY x SYSTEM "file:///etc/passwd">]><foo>&x;</foo>""")
       .toDF("x").select(decode_xml_map(col("x")).as("m")).collect()(0)

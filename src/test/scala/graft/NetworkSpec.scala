@@ -32,6 +32,7 @@ class NetworkSpec extends SparkSpec {
     assert(p("::ffff:192.168.1.1") != null)
     assert(p("fd00::abcd") != null)
     assert(p("1:2:3:4:5:6:7:8:9") == null)  // too many groups
+    assert(p("1.2.3.4::1") == null)          // v4 quad only legal at the END
     assert(p("1::2::3") == null)            // two ::
     assert(p("12345::") == null)            // group too long
     assert(p("1:2:3:4:5:6:7") == null)      // too few without ::
