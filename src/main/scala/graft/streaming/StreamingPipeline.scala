@@ -158,6 +158,52 @@ object StreamingPipeline {
       }
   }
 
+  /** per-key token-bucket state (ratelimit/token_bucket.go:40-44). */
+  final case class RateLimitBucket(tokens: Double, lastMs: Long)
+
+  /** Streaming token-bucket rate limit — the reference's ACTUAL algorithm
+    * (ratelimit/token_bucket.go:109-153: bucket starts at `depth` tokens,
+    * withdraw 1 per event, replenish elapsed-seconds × rate on access, no
+    * cap — an idle key accrues burst, faithfully), applied per conv_id with
+    * EVENT-time replenishment so a replay of the same stream admits exactly
+    * the same events (wall-clock replenishment would make recovery
+    * non-deterministic). Emits only the admitted events; idle keys are
+    * garbage-collected by processing-time timeout (≈ runGC,
+    * token_bucket.go:155-170). The batch analogue is
+    * [[graft.operators.Actions.rateLimitCounts]]. */
+  def rateLimitStream(input: Dataset[TranscriptEvent], limitPerSec: Double,
+                      depth: Double,
+                      idleTimeoutMs: Long = 3600000L): Dataset[TranscriptEvent] = {
+    import input.sparkSession.implicits._
+    input.groupByKey(_.conv_id)
+      .flatMapGroupsWithState[RateLimitBucket, TranscriptEvent](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (_: String, turns: Iterator[TranscriptEvent],
+         state: GroupState[RateLimitBucket]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = turns.toSeq.sortBy(t => (t.ts.getTime, t.turn_idx))
+            val out = scala.collection.mutable.ArrayBuffer.empty[TranscriptEvent]
+            var bucket = state.getOption.getOrElse(
+              RateLimitBucket(depth, sorted.headOption.map(_.ts.getTime).getOrElse(0L)))
+            for (t <- sorted) {
+              val nowMs = t.ts.getTime
+              val replenished = bucket.tokens +
+                math.max(0L, nowMs - bucket.lastMs) / 1000.0 * limitPerSec
+              val allowed = replenished >= 1.0
+              bucket = RateLimitBucket(
+                if (allowed) replenished - 1.0 else replenished, nowMs)
+              if (allowed) out += t
+            }
+            state.update(bucket)
+            state.setTimeoutDuration(idleTimeoutMs)
+            out.iterator
+          }
+      }
+  }
+
   /** convenience: tail a directory of parquet transcript files as a stream
     * (the harvester/prospector analogue — the table format does the file
     * discovery and offset bookkeeping that prospector.go hand-rolls). */

@@ -123,6 +123,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming token-bucket rate limit: depth burst, replenishment, determinism") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def ev(idx: Int, tMs: Long) =
+      graft.model.TranscriptEvent("c1", idx, "user", s"line$idx", "",
+        new java.sql.Timestamp(1704067200000L + tMs))
+    val mem = MemoryStream[graft.model.TranscriptEvent]
+    // depth=2, rate=1/s: t=0ms and t=100ms spend the burst; t=200ms is
+    // rejected (0.1 tokens); t=1500ms has replenished 1.3 → allowed;
+    // t=1600ms rejected (0.4); t=3000ms has 1.8 → allowed
+    mem.addData(ev(0, 0), ev(1, 100), ev(2, 200), ev(3, 1500),
+      ev(4, 1600), ev(5, 3000))
+    val q = StreamingPipeline.rateLimitStream(mem.toDS(), limitPerSec = 1.0, depth = 2.0)
+      .writeStream.format("memory").queryName("rl")
+      .outputMode("append").trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("rl").count() < 4 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(300)
+      val got = spark.table("rl").select("turn_idx").as[Int].collect().sorted.toSeq
+      assert(got == Seq(0, 1, 3, 5), s"admitted: $got")
+    } finally q.stop()
+  }
+
   test("windowed metrics stream aggregates per window × sink") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
