@@ -119,6 +119,90 @@ object SparkEntry {
         base64(col("role").cast("binary")).as("role_b64"))
     }),
 
+    // --- actions family round 2: copy/rename/labels/locale/data_stream,
+    //     urldecode, base64+csv decode, extract_array, byte-truncate,
+    //     Go-layout timestamps — every op oracle-gated in one chain ---
+    "q_actions_chain2" -> ((s, dir) => {
+      import graft.operators.Actions
+      val base = Actions.chain(t(s, dir), Seq(
+        d => Actions.copyField(d, "role", "role_copy"),
+        d => Actions.renameField(d, "tool", "tool_name"),
+        d => Actions.addLabels(d, Map("env" -> "prod", "tier" -> Seq("a", "b"))),
+        d => Actions.addLocale(d),
+        d => Actions.addDataStream(d, "logs", dataset = col("role"),
+          namespace = lit("default")),
+        d => d.withColumn("arr", split(col("text"), " ")),
+        d => Actions.extractArray(d, "arr", Map("w0" -> 0, "w2" -> 2))))
+      base.select(
+          col("conv_id"), col("turn_idx"), col("role_copy"), col("tool_name"),
+          col("`labels.env`").as("label_env"),
+          col("`labels.tier.0`").as("label_tier0"),
+          col("`labels.tier.1`").as("label_tier1"),
+          col("`event.timezone`").as("event_tz"),
+          col("`data_stream.type`").as("ds_type"),
+          col("raw_index"), col("w0"), col("w2"),
+          Actions.urlDecode(concat(lit("msg%20"), col("role"), lit("%2Fx")))
+            .as("url_dec"),
+          Actions.decodeBase64(base64(col("text").cast("binary"))).as("b64_rt"),
+          Actions.truncateFieldBytes(concat(lit("héllo—"), col("text")), 16)
+            .as("trunc16"),
+          Actions.parseTimestampGoLayouts(
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+            Seq("01/02 15:04:05 2006", "2006-01-02 15:04:05")).as("ts_rt"),
+          Actions.decodeCsv(
+            concat(col("role"), lit(",\""), col("conv_id"), lit("\","),
+              col("turn_idx").cast("string")),
+            Seq("c1", "c2", "c3")).as("_csv"))
+        .select(col("*"), col("_csv.c1").as("csv1"), col("_csv.c2").as("csv2"),
+          col("_csv.c3").as("csv3"))
+        .drop("_csv")
+    }),
+
+    // --- kafka round_robin partitioner (per-producer rotation) ---
+    "q_kafka_rr" -> ((s, dir) =>
+      graft.operators.Actions.kafkaPartitionRoundRobin(t(s, dir),
+          "conv_id", "turn_idx", 7)
+        .groupBy("part_id").agg(count(lit(1)).as("events"))),
+
+    // --- count-mode multiline (type: count — fixed n-line groups) ---
+    "q_multiline_count" -> ((s, dir) =>
+      graft.operators.Actions.multilineCount(t(s, dir), 4)),
+
+    // --- decode_xml_fields: structural decode + dotted-path flatten ---
+    "q_decode_xml" -> ((s, dir) => {
+      val base = t(s, dir)
+      val xml = when(col("turn_idx") % 11 === 0, lit("<ev><broken></ev>"))
+        .otherwise(concat(lit("<ev id=\""), col("turn_idx").cast("string"),
+          lit("\"><role>"), col("role"), lit("</role><t>"), col("tool"),
+          lit("</t><t>x</t></ev>")))
+      base.withColumn("m", graft.functions.decode_xml_map(xml))
+        .select(col("conv_id"), col("turn_idx"),
+          element_at(col("m"), "ev.id").as("xid"),
+          element_at(col("m"), "ev.role").as("xrole"),
+          element_at(col("m"), "ev.t.0").as("xt0"),
+          element_at(col("m"), "ev.t.1").as("xt1"))
+    }),
+
+    // --- registered_domain: PSL eTLD+1 over synthesized domains covering
+    //     exact, multi-label, private, wildcard, exception, and default
+    //     rules plus the bare-suffix NULL case ---
+    "q_registered_domain" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val e = col("event_id")
+      val fam = (e % 8).cast("int")
+      val x = (e % 50).cast("string")
+      val domain = when(fam === 0, concat(lit("a"), x, lit(".example.com")))
+        .when(fam === 1, concat(lit("svc"), x, lit(".co.uk")))
+        .when(fam === 2, concat(lit("www.svc"), x, lit(".co.uk")))
+        .when(fam === 3, concat(lit("app"), x, lit(".github.io")))
+        .when(fam === 4, concat(lit("b"), x, lit(".foo.ck")))
+        .when(fam === 5, lit("www.ck"))
+        .when(fam === 6, concat(lit("host"), x, lit(".unknowntld")))
+        .otherwise(lit("com"))
+      ev.select(e.as("event_id"), domain.as("domain"),
+        graft.functions.registered_domain(domain).as("rd"))
+    }),
+
     // --- ratelimit (token-bucket batch analogue: first-N per key) ---
     "q_ratelimit" -> ((s, dir) =>
       graft.operators.Actions.rateLimitCounts(t(s, dir), "conv_id", "turn_idx", 5)),
@@ -418,6 +502,67 @@ object SparkEntry {
           | array_to_string(list_sort(list_distinct([role, 'graft', 'beats'])), ',') AS tags_str,
           | to_base64(CAST(role AS BLOB)) AS role_b64
           | FROM transcripts""".stripMargin),
+
+    "q_actions_chain2" ->
+      (OracleCte.transcripts +
+        """ SELECT conv_id, turn_idx,
+          | role AS role_copy, tool AS tool_name,
+          | 'prod' AS label_env, 'a' AS label_tier0, 'b' AS label_tier1,
+          | 'UTC' AS event_tz, 'logs' AS ds_type,
+          | 'logs-' || role || '-default' AS raw_index,
+          | string_split(text, ' ')[1] AS w0,
+          | string_split(text, ' ')[3] AS w2,
+          | 'msg ' || role || '/x' AS url_dec,
+          | text AS b64_rt,
+          | 'héllo—' || substr(text, 1, 7) AS trunc16,
+          | date_trunc('second', ts) AS ts_rt,
+          | role AS csv1, conv_id AS csv2,
+          | CAST(turn_idx AS VARCHAR) AS csv3
+          | FROM transcripts""".stripMargin),
+
+    "q_kafka_rr" ->
+      (OracleCte.transcripts +
+        """, rn AS (
+          |  SELECT conv_id,
+          |    CAST((row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1) % 7 AS INTEGER) AS part_id
+          |  FROM transcripts)
+          | SELECT part_id, count(*) AS events FROM rn GROUP BY 1""".stripMargin),
+
+    "q_multiline_count" ->
+      (OracleCte.transcripts +
+        """, g AS (
+          |  SELECT conv_id, turn_idx, text,
+          |    CAST((row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1) // 4 AS INTEGER) AS event_idx
+          |  FROM transcripts)
+          | SELECT conv_id, event_idx, min(turn_idx) AS first_turn,
+          |  count(*) AS n_lines,
+          |  string_agg(text, chr(10) ORDER BY turn_idx) AS event_text
+          | FROM g GROUP BY conv_id, event_idx""".stripMargin),
+
+    "q_decode_xml" ->
+      (OracleCte.transcripts +
+        """ SELECT conv_id, turn_idx,
+          |  CASE WHEN turn_idx % 11 = 0 THEN NULL ELSE CAST(turn_idx AS VARCHAR) END AS xid,
+          |  CASE WHEN turn_idx % 11 = 0 THEN NULL ELSE role END AS xrole,
+          |  CASE WHEN turn_idx % 11 = 0 THEN NULL ELSE tool END AS xt0,
+          |  CASE WHEN turn_idx % 11 = 0 THEN NULL ELSE 'x' END AS xt1
+          | FROM transcripts""".stripMargin),
+
+    "q_registered_domain" ->
+      """WITH d AS (
+        |  SELECT event_id, CAST(event_id % 8 AS INT) AS fam,
+        |    CAST(event_id % 50 AS VARCHAR) AS x
+        |  FROM events)
+        | SELECT event_id,
+        |  CASE fam WHEN 0 THEN 'a'||x||'.example.com' WHEN 1 THEN 'svc'||x||'.co.uk'
+        |    WHEN 2 THEN 'www.svc'||x||'.co.uk' WHEN 3 THEN 'app'||x||'.github.io'
+        |    WHEN 4 THEN 'b'||x||'.foo.ck' WHEN 5 THEN 'www.ck'
+        |    WHEN 6 THEN 'host'||x||'.unknowntld' ELSE 'com' END AS domain,
+        |  CASE fam WHEN 0 THEN 'example.com' WHEN 1 THEN 'svc'||x||'.co.uk'
+        |    WHEN 2 THEN 'svc'||x||'.co.uk' WHEN 3 THEN 'app'||x||'.github.io'
+        |    WHEN 4 THEN 'b'||x||'.foo.ck' WHEN 5 THEN 'www.ck'
+        |    WHEN 6 THEN 'host'||x||'.unknowntld' ELSE NULL END AS rd
+        | FROM d""".stripMargin,
 
     "q_ratelimit" ->
       (OracleCte.transcripts +

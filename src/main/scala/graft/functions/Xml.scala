@@ -32,12 +32,22 @@ object XmlKernel {
       f.newDocumentBuilder()
     }
 
+  /** Quiet handler: malformed XML is an EXPECTED per-row outcome (→ null
+    * map), so nothing may reach stderr — the JDK default handler prints a
+    * "[Fatal Error]" line per failure, which at 10^12 rows is an I/O flood. */
+  private object SilentErrors extends org.xml.sax.ErrorHandler {
+    def warning(e: org.xml.sax.SAXParseException): Unit = ()
+    def error(e: org.xml.sax.SAXParseException): Unit = ()
+    def fatalError(e: org.xml.sax.SAXParseException): Unit = throw e
+  }
+
   /** decode + flatten; null on malformed XML. */
   def toFlatMap(xml: String, toLower: Boolean): Seq[(String, String)] = {
     val doc =
       try {
         val b = factories.get()
         b.reset()
+        b.setErrorHandler(SilentErrors) // reset() restores the printing default
         b.parse(new org.xml.sax.InputSource(new java.io.StringReader(xml)))
       } catch { case _: Exception => return null }
 

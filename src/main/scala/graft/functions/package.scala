@@ -138,4 +138,11 @@ package object functions {
     * (decode_xml + common/encoding/xml/decode.go); null on malformed XML. */
   def decode_xml_map(xml: Column, toLower: Boolean = false): Column =
     ExpressionUtils.column(XmlToMap(ExpressionUtils.expression(xml), toLower))
+
+  /** registered_domain (processors/registered_domain): eTLD+1 via the Public
+    * Suffix List algorithm over a plan-time-compiled rule set; NULL for
+    * malformed domains and for domains that ARE a public suffix. */
+  def registered_domain(domain: Column,
+                        rules: Seq[String] = PslKernel.DefaultRules): Column =
+    ExpressionUtils.column(RegisteredDomain(ExpressionUtils.expression(domain), rules))
 }

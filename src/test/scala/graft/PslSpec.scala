@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** registered_domain: the PSL algorithm (exact / wildcard / exception /
+  * default rules) against the publicsuffix.org checkPublicSuffix-style
+  * vectors that fall inside the embedded rule subset. */
+class PslSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rd(domains: Seq[String]): Seq[Option[String]] =
+    domains.toDF("d")
+      .select(registered_domain(col("d")).as("rd"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+
+  test("exact rules: eTLD+1 for com / co.uk family") {
+    assert(rd(Seq("example.com", "a.example.com", "b.a.example.com")) ===
+      Seq(Some("example.com"), Some("example.com"), Some("example.com")))
+    assert(rd(Seq("svc.co.uk", "www.svc.co.uk")) ===
+      Seq(Some("svc.co.uk"), Some("svc.co.uk")))
+    // longest matching rule prevails: co.uk (2 labels) beats uk (1)
+    assert(rd(Seq("uk", "co.uk")) === Seq(None, None))
+  }
+
+  test("private-domain rules: github.io / s3.amazonaws.com") {
+    assert(rd(Seq("app.github.io", "x.app.github.io")) ===
+      Seq(Some("app.github.io"), Some("app.github.io")))
+    assert(rd(Seq("bucket.s3.amazonaws.com")) === Seq(Some("bucket.s3.amazonaws.com")))
+    // amazonaws.com itself resolves under the plain com rule
+    assert(rd(Seq("amazonaws.com")) === Seq(Some("amazonaws.com")))
+  }
+
+  test("wildcard *.ck and exception !www.ck") {
+    // *.ck: any single label under ck is a public suffix
+    assert(rd(Seq("foo.ck")) === Seq(None))
+    assert(rd(Seq("b.foo.ck", "c.b.foo.ck")) ===
+      Seq(Some("b.foo.ck"), Some("b.foo.ck")))
+    // exception: www.ck is NOT a public suffix — its suffix is plain ck
+    assert(rd(Seq("www.ck", "sub.www.ck")) ===
+      Seq(Some("www.ck"), Some("www.ck")))
+  }
+
+  test("default rule *: unknown TLD behaves as a 1-label suffix") {
+    assert(rd(Seq("example.unknowntld", "a.example.unknowntld")) ===
+      Seq(Some("example.unknowntld"), Some("example.unknowntld")))
+    assert(rd(Seq("unknowntld")) === Seq(None))
+  }
+
+  test("normalization and malformed inputs") {
+    // case-insensitive + FQDN trailing dot (reference normalizes both)
+    assert(rd(Seq("Example.COM", "example.com.")) ===
+      Seq(Some("example.com"), Some("example.com")))
+    // a bare public suffix, empty labels, leading dot → NULL
+    assert(rd(Seq("com", ".com", "a..com")) === Seq(None, None, None))
+  }
+
+  test("custom rule list overrides the embedded subset") {
+    val out = Seq("x.internal.corp", "internal.corp")
+      .toDF("d")
+      .select(registered_domain(col("d"), Seq("corp", "internal.corp")).as("rd"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(out === Seq(Some("x.internal.corp"), None))
+  }
+
+  test("codegen and interpreted paths agree") {
+    val domains = Seq("a.example.com", "www.ck", "b.foo.ck", "x.github.io",
+      "svc.co.uk", "com", "weird..x", "Example.COM.")
+    val df = domains.toDF("d").select(registered_domain(col("d")).as("rd"))
+    val viaCodegen = df.collect().map(r => Option(r.getString(0))).toSeq
+    val compiled = new PslKernel.Compiled(PslKernel.DefaultRules)
+    val direct = domains.map(d => Option(compiled.registeredDomain(d)))
+    assert(viaCodegen === direct)
+  }
+}
