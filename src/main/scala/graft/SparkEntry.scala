@@ -203,6 +203,29 @@ object SparkEntry {
         graft.functions.registered_domain(domain).as("rd"))
     }),
 
+    // --- Community ID v1 flow hash over the reference's golden flows
+    //     (communityid_test.go:56-125): each family replays one published
+    //     vector, so the oracle is the reference's own expected string —
+    //     non-circular, and it pins ordering-invariance (fam 1 is fam 0
+    //     reversed) and ICMP/IGMP port semantics at driver-data scale ---
+    "q_communityid" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val e = col("event_id")
+      val fam = (e % 5).cast("int")
+      val src = when(fam === 1, lit("66.35.250.204"))
+        .when(fam === 4, lit("not.an.ip"))
+        .otherwise(lit("128.232.110.120"))
+      val dst = when(fam === 1, lit("128.232.110.120"))
+        .otherwise(lit("66.35.250.204"))
+      val sp = when(fam === 0, lit(34855)).when(fam === 1, lit(80))
+        .when(fam === 2, lit(3)).otherwise(lit(0))
+      val dp = when(fam === 0, lit(80)).when(fam === 1, lit(34855))
+        .when(fam === 2, lit(3)).otherwise(lit(0))
+      val proto = when(fam === 2, lit(1)).when(fam === 3, lit(2)).otherwise(lit(6))
+      ev.select(e.as("event_id"), fam.as("fam"),
+        graft.functions.community_id(src, dst, sp, dp, proto).as("cid"))
+    }),
+
     // --- ratelimit (token-bucket batch analogue: first-N per key) ---
     "q_ratelimit" -> ((s, dir) =>
       graft.operators.Actions.rateLimitCounts(t(s, dir), "conv_id", "turn_idx", 5)),
@@ -563,6 +586,18 @@ object SparkEntry {
         |    WHEN 4 THEN 'b'||x||'.foo.ck' WHEN 5 THEN 'www.ck'
         |    WHEN 6 THEN 'host'||x||'.unknowntld' ELSE NULL END AS rd
         | FROM d""".stripMargin,
+
+    // expected values are the published golden hashes from the reference's
+    // communityid_test.go:56-125 — fam 4 is an unparseable address → NULL
+    "q_communityid" ->
+      """SELECT event_id, CAST(event_id % 5 AS INT) AS fam,
+        | CASE CAST(event_id % 5 AS INT)
+        |   WHEN 0 THEN '1:LQU9qZlK+B5F3KDmev6m5PMibrg='
+        |   WHEN 1 THEN '1:LQU9qZlK+B5F3KDmev6m5PMibrg='
+        |   WHEN 2 THEN '1:KF3iG9XD24nhlSy4r1TcYIr5mfE='
+        |   WHEN 3 THEN '1:D3t8Q1aFA6Ev0A/AO4i9PnU3AeI='
+        |   ELSE NULL END AS cid
+        | FROM events""".stripMargin,
 
     "q_ratelimit" ->
       (OracleCte.transcripts +

@@ -100,6 +100,15 @@ object Actions {
       d.withColumn(name, try_element_at(col(arrCol), lit(idx + 1))) // reference is 0-based
     }
 
+  /** extract_field (deprecated, actions/extract_field.go:75-109): split a
+    * field on a separator and take the index'th part; missing index → null
+    * (the reference errors per event and leaves the field absent). */
+  def extractField(df: DataFrame, src: String, separator: String, index: Int,
+                   target: String): DataFrame =
+    df.withColumn(target,
+      try_element_at(split(col(src), java.util.regex.Pattern.quote(separator)),
+        lit(index + 1))) // reference is 0-based
+
   /** include/exclude line filters (filebeat harvester.go:498-518). */
   def includeLines(df: DataFrame, textCol: String, pattern: String): DataFrame =
     df.filter(col(textCol).rlike(pattern))

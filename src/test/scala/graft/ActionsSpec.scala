@@ -256,6 +256,14 @@ class ActionsSpec extends SparkSpec {
     assert(out.getString(0) == "x" && out.isNullAt(1))
   }
 
+  test("extractField splits on a literal separator, 0-based, null past end") {
+    val df = Seq("a|b|c").toDF("s")
+    val out = Actions.extractField(df, "s", "|", 1, "mid")
+    assert(out.select("mid").collect()(0).getString(0) == "b")
+    val past = Actions.extractField(df, "s", "|", 9, "none")
+    assert(past.select("none").collect()(0).isNullAt(0))
+  }
+
   test("gunzip round-trips and null-routes corrupt streams") {
     import graft.functions.{gunzip, detect_mime}
     val payload = "graft gzip payload ".repeat(10)

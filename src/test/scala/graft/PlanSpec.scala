@@ -64,6 +64,31 @@ class PlanSpec extends SparkSpec {
       s"metrics should scan (text, tool) only:\n$plan")
   }
 
+  test("the actions chain (chain2 shape) stays one shuffle-free codegen span") {
+    // copy/rename/labels/locale/data_stream + url/base64/csv decodes,
+    // extract_array, byte truncate, Go-layout timestamp: all narrow
+    // projections — the whole chain must fuse into a single generated loop
+    // with no exchange, or per-processor overhead multiplies at 10^12 rows
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // unwrap AdaptiveSparkPlan
+    val exec =
+      try SparkEntry.queries("q_actions_chain2")(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val plan = exec.toString
+    // the transcripts derivation itself carries one window (turn_idx); no
+    // OTHER exchange may appear, and the action columns must be codegen'd.
+    // Node-collect, not string-count: another suite may have cached the
+    // derivation (InMemoryRelation), whose stored plan string would
+    // double-count the window's own exchange.
+    assert(plan.contains("*("), s"no codegen span:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "no UDFs in the actions chain")
+    val exchanges = exec.collect { case e: ShuffleExchangeExec => e }.size
+    assert(exchanges <= 1, // at most the derivation window's shuffle
+      s"actions chain must not add shuffles beyond the source window:\n$plan")
+  }
+
   test("enrich broadcast join never shuffles the fact side") {
     val parsed = TranscriptPipeline.parse(
       graft.sources.Transcripts.fromEvents(spark, "/root/testdata/sf0.001"))
