@@ -149,6 +149,11 @@ object SparkEntry {
           Actions.parseTimestampGoLayouts(
             date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
             Seq("01/02 15:04:05 2006", "2006-01-02 15:04:05")).as("ts_rt"),
+          Actions.fingerprint(Seq(col("role"), col("conv_id")), "md5")
+            .as("fp_md5"),
+          Actions.convertField(
+            when(col("turn_idx") % 3 === 0, lit("10.1.2.3"))
+              .otherwise(lit("999.9.9.9")), "ip").as("ip_ok"),
           Actions.decodeCsv(
             concat(col("role"), lit(",\""), col("conv_id"), lit("\","),
               col("turn_idx").cast("string")),
@@ -539,6 +544,8 @@ object SparkEntry {
           | text AS b64_rt,
           | 'héllo—' || substr(text, 1, 7) AS trunc16,
           | date_trunc('second', ts) AS ts_rt,
+          | md5(role || '|' || conv_id) AS fp_md5,
+          | CASE WHEN turn_idx % 3 = 0 THEN '10.1.2.3' END AS ip_ok,
           | role AS csv1, conv_id AS csv2,
           | CAST(turn_idx AS VARCHAR) AS csv3
           | FROM transcripts""".stripMargin),

@@ -122,17 +122,24 @@ case class TruncateUtf8Bytes(child: Expression, maxBytes: Int) extends UnaryExpr
     copy(child = newChild)
 }
 
-/** `sha256_hex(s)` → lowercase hex digest, identical output to Spark's
-  * `sha2(s, 256)` but with a thread-local reused MessageDigest: the built-in
-  * routes through commons-codec DigestUtils, which constructs a fresh
-  * MessageDigest + intermediate arrays per row — measurable garbage on the
-  * deterministic-id path at 10^12 rows. */
-case class Sha256Hex(child: Expression) extends UnaryExpression {
+/** `digest_hex(s, algo)` → lowercase hex digest over any JDK MessageDigest
+  * algorithm — the fingerprint processor's hash-method set
+  * (fingerprint/hash.go:33-40: md5 / sha1 / sha256 / sha512). Output is
+  * identical to Spark's `md5` / `sha1` / `sha2(…, n)` built-ins (parity
+  * pinned in spec) but with a thread-local reused MessageDigest: the
+  * built-ins route through commons-codec DigestUtils, which constructs a
+  * fresh MessageDigest + intermediate arrays per row — measurable garbage on
+  * the deterministic-id path at 10^12 rows. The algorithm is validated at
+  * plan time, like the reference's config check (fingerprint/config.go). */
+case class DigestHex(child: Expression, algo: String = "SHA-256")
+    extends UnaryExpression {
+  java.security.MessageDigest.getInstance(algo) // plan-time config validation
+
   override def dataType: DataType = StringType
-  override def prettyName: String = "sha256_hex"
+  override def prettyName: String = "digest_hex"
 
   @transient private lazy val digests: ThreadLocal[java.security.MessageDigest] =
-    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("SHA-256"))
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance(algo))
 
   private val HexChars = "0123456789abcdef".getBytes
 
@@ -141,9 +148,9 @@ case class Sha256Hex(child: Expression) extends UnaryExpression {
     md.reset()
     md.update(s.getBytes)
     val d = md.digest()
-    val out = new Array[Byte](64)
+    val out = new Array[Byte](2 * d.length)
     var i = 0
-    while (i < 32) {
+    while (i < d.length) {
       out(2 * i) = HexChars((d(i) >> 4) & 0xf)
       out(2 * i + 1) = HexChars(d(i) & 0xf)
       i += 1
@@ -155,10 +162,10 @@ case class Sha256Hex(child: Expression) extends UnaryExpression {
     evalInput(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("sha256Expr", this, classOf[Sha256Hex].getName)
+    val ref = ctx.addReferenceObj("digestExpr", this, classOf[DigestHex].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalInput($c);")
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Sha256Hex =
+  override protected def withNewChildInternal(newChild: Expression): DigestHex =
     copy(child = newChild)
 }

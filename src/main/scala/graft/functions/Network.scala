@@ -240,6 +240,27 @@ object IpOps {
   }
 }
 
+/** `is_valid_ip(s)` → boolean: the string parses as a strict IPv4/IPv6
+  * literal (Go `net.ParseIP` semantics — the convert processor's `ip` type
+  * check and the dissect `|ip` suffix). */
+case class IsValidIp(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "is_valid_ip"
+
+  def evalInput(input: UTF8String): Boolean = IpOps.isValidIp(input.toString)
+
+  override protected def nullSafeEval(input: Any): Any =
+    evalInput(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("validIp", this, classOf[IsValidIp].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalInput($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IsValidIp =
+    copy(child = newChild)
+}
+
 /** `ip_in_networks(ip, networks...)` → boolean: true iff the string column
   * parses as an IP contained in ANY of the networks (named or CIDR) — the
   * `network` condition leaf (conditions/network.go:158-178; invalid IP →

@@ -65,12 +65,36 @@ package object functions {
   /** sha2(s, 256) drop-in with a thread-local digest (no per-row
     * MessageDigest construction); output identical, pinned by spec. */
   def sha256_hex(s: Column): Column =
-    ExpressionUtils.column(Sha256Hex(ExpressionUtils.expression(s)))
+    ExpressionUtils.column(DigestHex(ExpressionUtils.expression(s), "SHA-256"))
 
-  /** fingerprint of selected columns (≈ processors/fingerprint: sha256 of
-    * key=value joined fields, hex-encoded — fingerprint/fingerprint.go:70-120). */
-  def fingerprint_cols(cols: Seq[Column]): Column =
-    sha256_hex(concat_ws("|", cols: _*))
+  /** lowercase hex digest for any JDK algorithm — the fingerprint
+    * processor's method set (fingerprint/hash.go:33-40). */
+  def digest_hex(s: Column, algo: String): Column =
+    ExpressionUtils.column(DigestHex(ExpressionUtils.expression(s), algo))
+
+  /** fingerprint of selected columns (≈ processors/fingerprint: hash of
+    * joined fields, hex-encoded — fingerprint/fingerprint.go:70-120).
+    * `method` mirrors the reference's config values (fingerprint/hash.go):
+    * md5 | sha1 | sha256 (default) | sha512 | xxhash. xxhash maps to Spark's
+    * codegen'd XXH64 (seed 42) rather than the Go library's seed-0 variant —
+    * same family, not bit-identical to the reference. */
+  def fingerprint_cols(cols: Seq[Column], method: String = "sha256"): Column = {
+    val joined = concat_ws("|", cols: _*)
+    method match {
+      case "md5"    => digest_hex(joined, "MD5")
+      case "sha1"   => digest_hex(joined, "SHA-1")
+      case "sha256" => digest_hex(joined, "SHA-256")
+      case "sha512" => digest_hex(joined, "SHA-512")
+      case "xxhash" => lower(hex(xxhash64(joined)))
+      case m => throw new IllegalArgumentException(s"unknown fingerprint method: $m")
+    }
+  }
+
+  /** strict IP-literal validation (Go net.ParseIP semantics) — the convert
+    * processor's `type: ip` check (convert/convert.go transformType) and the
+    * dissect `|ip` suffix share this validator. */
+  def is_valid_ip(s: Column): Column =
+    ExpressionUtils.column(IsValidIp(ExpressionUtils.expression(s)))
 
   /** deterministic document id (≈ add_id, but replay-idempotent by design:
     * derived from identity columns, not random — add_id/add_id.go:64-90). */

@@ -58,16 +58,23 @@ object Actions {
     substring(c, 1, maxChars)
 
   /** convert (convert/convert.go:74-115): safe cast — null on failure
-    * (mirrors fail_on_error=false + ignore_missing). */
-  def convertField(c: Column, to: String): Column = c.cast(to)
+    * (mirrors fail_on_error=false + ignore_missing). The reference's type
+    * set includes `ip` (transformType): a validated string, nulled when it
+    * is not a strict IP literal. */
+  def convertField(c: Column, to: String): Column = to match {
+    case "ip" => when(is_valid_ip(c), c)
+    case t    => c.cast(t)
+  }
 
   /** timestamp (timestamp/timestamp.go:86-185): first-matching-layout parse. */
   def parseTimestamp(c: Column, formats: Seq[String]): Column =
     coalesce(formats.map(f => try_to_timestamp(c, lit(f))): _*)
 
-  /** fingerprint (fingerprint/fingerprint.go:70-120): sha256 of joined
-    * key=value fields, hex. Field order is the config order, join is "|". */
-  def fingerprint(cols: Seq[Column]): Column = fingerprint_cols(cols)
+  /** fingerprint (fingerprint/fingerprint.go:70-120): hash of joined fields,
+    * hex. Field order is the config order, join is "|"; `method` is the
+    * reference's md5|sha1|sha256|sha512|xxhash set (fingerprint/hash.go). */
+  def fingerprint(cols: Seq[Column], method: String = "sha256"): Column =
+    fingerprint_cols(cols, method)
 
   /** decode_base64_field (actions/decode_base64_field.go:76-130). */
   def decodeBase64(c: Column): Column = unbase64(c).cast("string")

@@ -256,6 +256,35 @@ class ActionsSpec extends SparkSpec {
     assert(out.getString(0) == "x" && out.isNullAt(1))
   }
 
+  test("fingerprint methods: digest_hex parity with Spark built-ins; xxhash; bad method rejected") {
+    import graft.functions.digest_hex
+    val df = Seq("alpha", "", "héllo—wörld").toDF("s")
+    val r = df.select(
+      digest_hex(col("s"), "MD5").as("m"), md5(col("s")).as("m2"),
+      digest_hex(col("s"), "SHA-1").as("s1"), sha1(col("s")).as("s12"),
+      digest_hex(col("s"), "SHA-256").as("s2"), sha2(col("s"), 256).as("s22"),
+      digest_hex(col("s"), "SHA-512").as("s5"), sha2(col("s"), 512).as("s52"),
+      Actions.fingerprint(Seq(col("s")), "xxhash").as("xx"),
+      lower(hex(xxhash64(col("s")))).as("xx2")).collect()
+    r.foreach { row =>
+      assert(row.getString(0) == row.getString(1))
+      assert(row.getString(2) == row.getString(3))
+      assert(row.getString(4) == row.getString(5))
+      assert(row.getString(6) == row.getString(7))
+      assert(row.getString(8) == row.getString(9))
+    }
+    intercept[IllegalArgumentException] {
+      Actions.fingerprint(Seq(col("s")), "crc32")
+    }
+  }
+
+  test("convert type ip keeps valid literals, nulls the rest") {
+    val df = Seq("10.1.2.3", "2001:db8::1", "999.9.9.9", "nope", "10.1.2")
+      .toDF("s").select(Actions.convertField(col("s"), "ip").as("ip"))
+    val got = df.collect().map(r => Option(r.getString(0))).toSeq
+    assert(got === Seq(Some("10.1.2.3"), Some("2001:db8::1"), None, None, None))
+  }
+
   test("extractField splits on a literal separator, 0-based, null past end") {
     val df = Seq("a|b|c").toDF("s")
     val out = Actions.extractField(df, "s", "|", 1, "mid")
