@@ -841,7 +841,9 @@ object SparkEntry {
     // SimHash mirrored bit-exactly in DuckDB: FNV-1a-64 per token in HUGEINT
     // wrap-mod arithmetic, per-bit ±1 tallies, sign bits, then brute-force
     // hamming pairs (pigeonhole guarantees the Spark plan generates every
-    // hamming≤3 candidate; maxBucket never binds at verify scale).
+    // hamming≤3 candidate; maxBucket never binds at verify scale). The fold
+    // walks UTF-8 BYTES (hex(encode(t)) pairs), exactly like the kernel —
+    // an ord()-per-codepoint fold would silently diverge on non-ASCII text.
     "q_dedup_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -850,7 +852,9 @@ object SparkEntry {
         |), th AS (
         |  SELECT doc_id, unnest(list_transform(toks, t ->
         |    list_reduce(list_prepend(14695981039346656037::HUGEINT,
-        |      list_transform(string_split(t, ''), c -> ord(c)::HUGEINT)),
+        |      list_transform(generate_series(1, strlen(t)), i ->
+        |        (16 * (strpos('0123456789ABCDEF', substr(hex(encode(t)), 2*i-1, 1)) - 1)
+        |           + strpos('0123456789ABCDEF', substr(hex(encode(t)), 2*i, 1)) - 1)::HUGEINT)),
         |      (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
         |                 % 18446744073709551616::HUGEINT))) AS h
         |  FROM tok

@@ -96,16 +96,10 @@ object Dedup {
         TextOps.tokens(TextOps.normalized(col("text"))), 3, k, bands))
         .as(Seq("band", "bucket")))
 
-    // Degenerate-bucket guard (boilerplate shingles → mega-buckets → skew):
-    // sizes come from a COUNT aggregation (constant-size buffer, map-side
-    // combinable), and oversized buckets are dropped by a semi-join BEFORE
-    // the pair-generating self-join — no task ever materializes a bucket's
-    // membership list, so a mega-bucket costs one counter, not one buffer.
-    val okBuckets = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1 && col("n") <= maxBucket)
-      .select("band", "bucket")
-    val pruned = banded.join(okBuckets, Seq("band", "bucket"))
+    // Degenerate-bucket guard (boilerplate shingles → mega-buckets → skew)
+    // via the shared Lsh helper; minSize=2 drops pair-less singleton buckets
+    val pruned = graft.similarity.Lsh.guardBuckets(
+      banded, Seq("band", "bucket"), maxBucket, minSize = 2)
     val cands = pruned.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
       .join(pruned.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
         Seq("band", "bucket"))
@@ -150,16 +144,10 @@ object Dedup {
       posexplode(expr(
         s"transform(sequence(0, ${chunks - 1}), c -> shiftrightunsigned(sig, c * $bitsPer) & ${mask}L)"))
         .as(Seq("chunk", "key")))
-    // Degenerate-chunk guard, same contract (and same bounded-memory shape)
-    // as minhashPairs: bucket sizes via a COUNT aggregation, oversized
-    // buckets dropped by semi-join BEFORE the streaming self-join — a
-    // boilerplate chunk key (e.g. many short docs sharing a zero sig chunk)
-    // costs one counter, never one task buffer.
-    val okBuckets = banded.groupBy("chunk", "key")
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1 && col("n") <= maxBucket)
-      .select("chunk", "key")
-    val pruned = banded.join(okBuckets, Seq("chunk", "key"))
+    // Degenerate-chunk guard, same contract as minhashPairs (shared Lsh
+    // helper — a boilerplate chunk key costs one counter, never one buffer)
+    val pruned = graft.similarity.Lsh.guardBuckets(
+      banded, Seq("chunk", "key"), maxBucket, minSize = 2)
     val a = pruned.select(col("chunk"), col("key"),
       col("doc_id").as("a_id"), col("sig").as("a_sig"))
     val b = pruned.select(col("chunk"), col("key"),
@@ -198,29 +186,15 @@ object Dedup {
   def embeddingPairsLsh(embeds: DataFrame, tau: Double, planes: Int = 3,
                         tables: Int = 8, probeHamming: Int = 0,
                         maxBucket: Int = 10000): DataFrame = {
-    val banded = embeds.select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until tables).map(t =>
-        hyperplane_bucket(col("embedding"), planes, t)): _*))
-        .as(Seq("table", "bucket")))
-    val a =
-      if (probeHamming <= 0)
-        banded.toDF("a_id", "a_v", "table", "bucket")
-      else banded
-        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"),
-          col("table"),
-          explode(filter(
-            sequence(lit(0), lit((1 << planes) - 1)),
-            b => bit_count(b.bitwiseXOR(col("bucket"))) <= probeHamming))
-            .as("bucket"))
-    val b = banded.toDF("b_id", "b_v", "table", "bucket")
-    // degenerate-bucket guard on the un-probed side: COUNT-aggregated sizes
-    // + semi-join (constant-size buffers; a window count would buffer whole
-    // partitions)
-    val okBuckets = b.groupBy("table", "bucket")
-      .agg(count(lit(1)).as("_n"))
-      .filter(col("_n") <= maxBucket)
-      .select("table", "bucket")
-    val guarded = b.join(okBuckets, Seq("table", "bucket"))
+    import graft.similarity.Lsh
+    val a = Lsh.multiprobe(
+      Lsh.hyperplaneBanded(embeds, "a_id", "a_v", planes, tables),
+      Seq("a_id", "a_v"), planes, probeHamming)
+    // degenerate-bucket guard on the un-probed side (shared Lsh helper:
+    // COUNT-aggregated sizes + semi-join, constant-size buffers)
+    val guarded = Lsh.guardBuckets(
+      Lsh.hyperplaneBanded(embeds, "b_id", "b_v", planes, tables),
+      Seq("table", "bucket"), maxBucket)
     a.join(guarded, Seq("table", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), cosine_sim(col("a_v"), col("b_v")).as("cos"))

@@ -92,8 +92,6 @@ object Dissect {
       parts.foreach(p => if (p.saveable) seen += p.key)
       seen.toArray
     }
-    private val keyIndex: Map[String, Int] = outKeys.zipWithIndex.toMap
-
     val hasDynamicKeys: Boolean = parts.exists(_.kind == Indirect)
 
     /** per-outKey declared type (first saveable part with that key wins). */
@@ -180,112 +178,163 @@ object Dissect {
       -1
     }
 
-    /** trim a captured (start,end) range per trim mode (trim.go:60-70). */
-    @inline private def trim(b: Array[Byte], s0: Int, e0: Int): (Int, Int) = {
-      var s = s0; var e = e0
+    /** trim a captured range in posArr per trim mode (trim.go:60-70). */
+    @inline private def trimAt(b: Array[Byte], posArr: Array[Int], i: Int): Unit = {
+      var s = posArr(2 * i); var e = posArr(2 * i + 1)
       if (trimMode == TrimLeft || trimMode == TrimAll) {
         while (s < e && (b(s) & 0xff) < 128 && trimChars(b(s))) s += 1
       }
       if (trimMode == TrimRight || trimMode == TrimAll) {
         while (s < e && (b(e - 1) & 0xff) < 128 && trimChars(b(e - 1))) e -= 1
       }
-      (s, e)
+      posArr(2 * i) = s; posArr(2 * i + 1) = e
     }
 
-    /** shared resolve: returns (names, values) with reference keys already
-      * dropped, or null on parse failure. Values are zero-copy slices of `b`
-      * except appends (materialized join). */
-    private def resolve(b: Array[Byte], n: Int): (Array[String], Array[UTF8String]) = {
+    // ---- compile-time resolve plan -----------------------------------------
+    // All key→slot resolution happens HERE, once: the per-row path below
+    // fills a fixed-size slot array with zero lookup structures — no
+    // ArrayBuffer, no Set, no linear name scans per field (the allocation
+    // profile that inverts thread scaling at 32 cores; SURVEY §4).
+    /** static keys: saveable outputs (outKeys order) then named references. */
+    private val staticKeys: Array[String] = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      outKeys.foreach(seen += _)
+      parts.foreach(p => if (p.kind == Skip && p.key.nonEmpty) seen += p.key)
+      seen.toArray
+    }
+    private val staticKeyUtf8: Array[UTF8String] =
+      staticKeys.map(UTF8String.fromString)
+    private val staticSlot: Map[String, Int] = staticKeys.zipWithIndex.toMap
+    /** per-part slot: ≥0 static, -1 anonymous skip, -2 indirect (dynamic). */
+    private val partSlot: Array[Int] = parts.map { p =>
+      if (p.kind == Indirect) -2
+      else if (p.key.isEmpty) -1
+      else staticSlot(p.key)
+    }
+    /** indirect parts: slot of the `?`/`*` reference whose VALUE names the
+      * output (compile-validated to exist). */
+    private val indirectRef: Array[Int] =
+      parts.map(p => if (p.kind == Indirect) staticSlot.getOrElse(p.key, -1) else -1)
+    private val nIndirect: Int = parts.count(_.kind == Indirect)
+    /** reference-only keys are dropped from the output (dissect.go:191-194). */
+    private val refKeySet: Set[String] =
+      parts.collect { case p if p.kind == Skip && p.key.nonEmpty => p.key }.toSet
+    /** emitted static slots (all < outKeys.length by construction). */
+    private val emitSlots: Array[Int] =
+      outKeys.indices.filterNot(i => refKeySet.contains(outKeys(i))).toArray
+
+    /** per-row resolve into `slotVals` (length staticKeys) + optional dynamic
+      * (name, value) arrays; returns false on parse failure. */
+    private def resolveInto(b: Array[Byte], n: Int, slotVals: Array[UTF8String],
+                            dynNames: Array[UTF8String], dynVals: Array[UTF8String]): Int = {
       val posArr = matchPositions(b, n)
-      if (posArr == null) return null
+      if (posArr == null) return -1
 
       // apply trimmer to every position (dissect.go:71-76)
       if (trimMode != TrimNone) {
         var i = 0
-        while (i < parts.length) {
-          val (s, e) = trim(b, posArr(2 * i), posArr(2 * i + 1))
-          posArr(2 * i) = s; posArr(2 * i + 1) = e
-          i += 1
-        }
+        while (i < parts.length) { trimAt(b, posArr, i); i += 1 }
       }
 
-      // ordered apply into an insertion-ordered map (dissect.go:184-195)
-      val names = scala.collection.mutable.ArrayBuffer.empty[String]
-      val vals = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
-      val refKeys = scala.collection.mutable.Set.empty[String]
-      @inline def get(k: String): Int = names.indexOf(k)
-      @inline def put(k: String, v: UTF8String): Unit = {
-        val at = get(k)
-        if (at >= 0) vals(at) = v else { names += k; vals += v }
-      }
       @inline def slice(i: Int): UTF8String =
         UTF8String.fromBytes(b, posArr(2 * i), posArr(2 * i + 1) - posArr(2 * i))
 
-      for (pi <- applyOrder) {
+      var nDyn = 0
+      var oi = 0
+      while (oi < applyOrder.length) {
+        val pi = applyOrder(oi)
         val p = parts(pi)
-        p.kind match {
-          case Normal => put(p.key, slice(pi))
-          case Skip =>
-            if (p.key.nonEmpty) { put(p.key, slice(pi)); refKeys += p.key }
-          case Indirect =>
-            val at = get(p.key)
-            if (at >= 0) put(vals(at).toString, slice(pi))
-          case Append =>
-            val at = get(p.key)
-            if (at < 0) put(p.key, slice(pi))
-            else {
-              val prev = vals(at)
-              val sep =
-                if (p.delimBefore.length == 0) DefaultJoinBytes else p.delimBefore
-              val vLen = posArr(2 * pi + 1) - posArr(2 * pi)
-              val out = new Array[Byte](prev.numBytes + sep.length + vLen)
-              prev.writeToMemory(out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
-              System.arraycopy(sep, 0, out, prev.numBytes, sep.length)
-              System.arraycopy(b, posArr(2 * pi), out, prev.numBytes + sep.length, vLen)
-              vals(at) = UTF8String.fromBytes(out)
+        val slot = partSlot(pi)
+        if (slot >= 0) {
+          if (p.kind == Append && slotVals(slot) != null) {
+            val prev = slotVals(slot)
+            val sep =
+              if (p.delimBefore.length == 0) DefaultJoinBytes else p.delimBefore
+            val vLen = posArr(2 * pi + 1) - posArr(2 * pi)
+            val out = new Array[Byte](prev.numBytes + sep.length + vLen)
+            prev.writeToMemory(out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+            System.arraycopy(sep, 0, out, prev.numBytes, sep.length)
+            System.arraycopy(b, posArr(2 * pi), out, prev.numBytes + sep.length, vLen)
+            slotVals(slot) = UTF8String.fromBytes(out)
+          } else slotVals(slot) = slice(pi)
+        } else if (slot == -2) {
+          // indirect: output name = captured value of the reference slot;
+          // overwrite-by-name semantics like the reference's Go-map put
+          val ref = indirectRef(pi)
+          val name = if (ref >= 0) slotVals(ref) else null
+          if (name != null) {
+            val v = slice(pi)
+            var hit = -1
+            var j = 0
+            while (hit < 0 && j < staticKeyUtf8.length) {
+              if (staticKeyUtf8(j).equals(name)) hit = j
+              j += 1
             }
+            if (hit >= 0) slotVals(hit) = v
+            else {
+              var d = 0
+              var dup = -1
+              while (dup < 0 && d < nDyn) {
+                if (dynNames(d).equals(name)) dup = d
+                d += 1
+              }
+              if (dup >= 0) dynVals(dup) = v
+              else { dynNames(nDyn) = name; dynVals(nDyn) = v; nDyn += 1 }
+            }
+          }
         }
+        oi += 1
       }
-
-      // drop reference-only keys (dissect.go:191-194)
-      val keep = names.indices.filterNot(i => refKeys.contains(names(i)))
-      (keep.map(names(_)).toArray, keep.map(vals(_)).toArray)
+      nDyn
     }
 
-    /** map<string,string> output — the reference's `Dissect()` shape. */
-    def runMap(input: UTF8String): ArrayBasedMapData = {
+    @inline private def copyBytes(input: UTF8String): Array[Byte] = {
       val n = input.numBytes
       val b = new Array[Byte](n)
       org.apache.spark.unsafe.Platform.copyMemory(
         input.getBaseObject, input.getBaseOffset, b,
         org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, n.toLong)
-      val r = resolve(b, n)
-      if (r == null) return null
-      val (names, vals) = r
-      new ArrayBasedMapData(
-        new GenericArrayData(names.map(UTF8String.fromString).toArray[Any]),
-        new GenericArrayData(vals.toArray[Any]))
+      b
+    }
+
+    /** map<string,string> output — the reference's `Dissect()` shape. */
+    def runMap(input: UTF8String): ArrayBasedMapData = {
+      val b = copyBytes(input)
+      val slotVals = new Array[UTF8String](staticKeys.length)
+      val dynNames = if (nIndirect > 0) new Array[UTF8String](nIndirect) else null
+      val dynVals = if (nIndirect > 0) new Array[UTF8String](nIndirect) else null
+      val nDyn = resolveInto(b, input.numBytes, slotVals, dynNames, dynVals)
+      if (nDyn < 0) return null
+      val m = emitSlots.length + nDyn
+      val keys = new Array[Any](m)
+      val vals = new Array[Any](m)
+      var i = 0
+      while (i < emitSlots.length) {
+        keys(i) = staticKeyUtf8(emitSlots(i))
+        vals(i) = slotVals(emitSlots(i))
+        i += 1
+      }
+      var d = 0
+      while (d < nDyn) {
+        keys(i) = dynNames(d); vals(i) = dynVals(d); i += 1; d += 1
+      }
+      new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
     }
 
     /** typed-struct output — the reference's `DissectConvert()` shape;
       * conversion failure nulls the field (log-and-continue, the columnar
       * analogue of convertData's string passthrough, dissect.go:278-286). */
     def runStruct(input: UTF8String): InternalRow = {
-      val n = input.numBytes
-      val b = new Array[Byte](n)
-      org.apache.spark.unsafe.Platform.copyMemory(
-        input.getBaseObject, input.getBaseOffset, b,
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, n.toLong)
-      val r = resolve(b, n)
-      if (r == null) return null
-      val (names, vals) = r
+      val b = copyBytes(input)
+      val slotVals = new Array[UTF8String](staticKeys.length)
+      // dynamic keys impossible in struct mode (compile-checked)
+      val nDyn = resolveInto(b, input.numBytes, slotVals, null, null)
+      if (nDyn < 0) return null
       val out = new Array[Any](outKeys.length)
       var i = 0
-      while (i < names.length) {
-        keyIndex.get(names(i)) match {
-          case Some(k) => out(k) = convert(vals(i), typeNames(k))
-          case None    => // dynamic key in struct mode cannot happen (compile-checked)
-        }
+      while (i < emitSlots.length) {
+        val k = emitSlots(i)
+        if (slotVals(k) != null) out(k) = convert(slotVals(k), typeNames(k))
         i += 1
       }
       new GenericInternalRow(out)
@@ -391,7 +440,10 @@ object Dissect {
             else if (key0.startsWith("+")) (key0.substring(1), Append)
             else if (key0.startsWith("&")) (key0.substring(1), Indirect)
             else (key0, Normal)
-          Part(key, kind, ordinal, length, greedy, typ,
+          // only normal/append fields carry the greedy flag — the reference's
+          // skip/pointer/indirect constructors discard it (field.go:263-278)
+          val greedyEff = greedy && (kind == Normal || kind == Append)
+          Part(key, kind, ordinal, length, greedyEff, typ,
             delimBefore.getBytes("UTF-8"), delimAfter.getBytes("UTF-8"))
         }
     }

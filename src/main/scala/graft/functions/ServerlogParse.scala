@@ -194,17 +194,25 @@ object ServerlogKernel {
     // line number parse from bytes ([%{line}] → long)
     val lnFrom = if (ends(8) - starts(8) < 2) starts(8) else starts(8) + 1
     val lnUntil = if (ends(8) - starts(8) < 2) ends(8) else ends(8) - 1
-    var lineOk = lnUntil > lnFrom && lnUntil - lnFrom <= 19 // no silent overflow
-    var lineNo = 0L
+    var lineOk = lnUntil > lnFrom && lnUntil - lnFrom <= 20
     var neg = false
     var k = lnFrom
     if (lineOk && (b(k) == '-' || b(k) == '+')) { neg = b(k) == '-'; k += 1; lineOk = k < lnUntil }
+    // negative accumulation (JDK Long.parseLong shape): Long.MinValue parses,
+    // and overflow is an EXPLICIT parse failure → script_error, matching Go
+    // strconv's ErrRange (a 19-digit wrap must not yield status=ok garbage)
+    val lnLimit = if (neg) Long.MinValue else -Long.MaxValue
+    var lineNeg = 0L
     while (lineOk && k < lnUntil) {
       val c = b(k)
       if (c < '0' || c > '9') lineOk = false
-      else { lineNo = lineNo * 10 + (c - '0'); k += 1 }
+      else {
+        val d = c - '0'
+        if (lineNeg < lnLimit / 10 || lineNeg * 10 < lnLimit + d) lineOk = false
+        else { lineNeg = lineNeg * 10 - d; k += 1 }
+      }
     }
-    if (neg) lineNo = -lineNo
+    val lineNo = if (neg) lineNeg else -lineNeg
 
     // ##JIDU## marker scan (byte indexOf)
     var idx = -1
@@ -517,17 +525,24 @@ final class ServerlogRowWriter {
     // line number parse ([%{line}] → long)
     val lnFrom = if (ends(8) - starts(8) < 2) starts(8) else starts(8) + 1
     val lnUntil = if (ends(8) - starts(8) < 2) ends(8) else ends(8) - 1
-    var lineOk = lnUntil > lnFrom && lnUntil - lnFrom <= 19
-    var lineNo = 0L
+    var lineOk = lnUntil > lnFrom && lnUntil - lnFrom <= 20
     var neg = false
     var k = lnFrom
     if (lineOk && (at(k) == '-' || at(k) == '+')) { neg = at(k) == '-'; k += 1; lineOk = k < lnUntil }
+    // overflow-checked negative accumulation — must stay in lockstep with
+    // ServerlogKernel.parse (PropertySpec pins writer↔kernel parity)
+    val lnLimit = if (neg) Long.MinValue else -Long.MaxValue
+    var lineNeg = 0L
     while (lineOk && k < lnUntil) {
       val c = at(k)
       if (c < '0' || c > '9') lineOk = false
-      else { lineNo = lineNo * 10 + (c - '0'); k += 1 }
+      else {
+        val d = c - '0'
+        if (lineNeg < lnLimit / 10 || lineNeg * 10 < lnLimit + d) lineOk = false
+        else { lineNeg = lineNeg * 10 - d; k += 1 }
+      }
     }
-    if (neg) lineNo = -lineNo
+    val lineNo = if (neg) lineNeg else -lineNeg
 
     // ##JIDU## marker scan
     var idx = -1

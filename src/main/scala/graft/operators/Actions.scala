@@ -292,10 +292,20 @@ object Actions {
   /** Go reference-time layout → Spark datetime pattern. Covers the layout
     * vocabulary Beats ships (timestamp/timestamp.go docs): 2006/01/02,
     * 15/03/04/05, .000/.999 fractions, Jan/January, Mon/Monday, PM,
-    * -0700/-07:00/Z07:00, MST. */
+    * -0700/-07:00/Z07:00, MST.
+    *
+    * Fractions follow Go's parse semantics (time/format.go): a `.999`/`,999`
+    * run is ELIDABLE — input without a fraction still parses — so it maps to
+    * a Java optional section `[.SSS]`; a `.000` run is required. (Go
+    * additionally accepts a fraction of any LENGTH; here the digit count
+    * must match the layout's, the documented approximation.) */
   def goLayoutToPattern(layout: String): String = {
-    // ordered longest-first so "2006" wins over "06", "15" over "1", etc.
+    // ordered longest-first so "2006" wins over "06", "15" over "1", etc.;
+    // dotted/comma 9-fractions precede the bare runs so the separator joins
+    // the optional section
     val subs = Seq(
+      ".999999999" -> "[.SSSSSSSSS]", ".999999" -> "[.SSSSSS]", ".999" -> "[.SSS]",
+      ",999999999" -> "[,SSSSSSSSS]", ",999999" -> "[,SSSSSS]", ",999" -> "[,SSS]",
       "January" -> "MMMM", "Jan" -> "MMM",
       "Monday" -> "EEEE", "Mon" -> "EEE",
       "2006" -> "yyyy", "06" -> "yy",

@@ -94,26 +94,12 @@ object Ann {
   def lshNeighbors(corpus: DataFrame, queries: DataFrame, k: Int,
                    planes: Int = 3, tables: Int = 12,
                    probeHamming: Int = 0): DataFrame = {
-    def banded(df: DataFrame, idCol: String, vCol: String) =
-      df.select(col("vec_id").as(idCol), col("embedding").as(vCol),
-        posexplode(array((0 until tables).map(t =>
-          hyperplane_bucket(col("embedding"), planes, t)): _*))
-          .as(Seq("table", "bucket")))
-    val c = banded(corpus, "neighbor_id", "c_v")
-    // multiprobe (the standard table-count reducer): the query additionally
-    // probes every bucket within `probeHamming` sign-bit flips of its own —
-    // probeHamming = planes probes ALL buckets, which degenerates the search
-    // to exact brute force, the same oracle trick as IVF's nprobe = nlist
-    val q0 = banded(queries, "query_id", "q_v")
-    val q =
-      if (probeHamming <= 0) q0
-      else q0
-        .withColumnRenamed("bucket", "bucket0")
-        .select(col("query_id"), col("q_v"), col("table"),
-          explode(filter(
-            sequence(lit(0), lit((1 << planes) - 1)),
-            b => bit_count(b.bitwiseXOR(col("bucket0"))) <= probeHamming))
-            .as("bucket"))
+    val c = Lsh.hyperplaneBanded(corpus, "neighbor_id", "c_v", planes, tables)
+    // query side: banding + multiprobe via the shared Lsh helpers (one
+    // definition of probe enumeration across search and near-dup paths)
+    val q = Lsh.multiprobe(
+      Lsh.hyperplaneBanded(queries, "query_id", "q_v", planes, tables),
+      Seq("query_id", "q_v"), planes, probeHamming)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("table", "bucket"))

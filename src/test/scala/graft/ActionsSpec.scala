@@ -141,12 +141,20 @@ class ActionsSpec extends SparkSpec {
 
   test("go layout translation covers the Beats layout vocabulary") {
     assert(Actions.goLayoutToPattern("2006-01-02 15:04:05") == "yyyy-MM-dd HH:mm:ss")
-    assert(Actions.goLayoutToPattern("2006-01-02T15:04:05.999") == "yyyy-MM-dd'T'HH:mm:ss.SSS")
+    // Go parse semantics: a .999 fraction is elidable → optional section
+    assert(Actions.goLayoutToPattern("2006-01-02T15:04:05.999") == "yyyy-MM-dd'T'HH:mm:ss[.SSS]")
+    assert(Actions.goLayoutToPattern("2006-01-02 15:04:05.000") == "yyyy-MM-dd HH:mm:ss.SSS")
     assert(Actions.goLayoutToPattern("02/Jan/2006 03:04 PM") == "dd/MMM/yyyy hh:mm a")
     val df = Seq("2024-01-02 03:04:05", "02/Jan/2024 03:04 PM", "junk").toDF("s")
     val parsed = df.select(Actions.parseTimestampGoLayouts(col("s"),
       Seq("2006-01-02 15:04:05", "02/Jan/2006 03:04 PM")).as("ts"))
     assert(parsed.filter(col("ts").isNotNull).count() == 2)
+    // .999 layout accepts BOTH fraction-carrying and whole-second inputs
+    // (Go time.Parse does; a required .SSS would null every whole-second row)
+    val frac = Seq("2024-01-02 03:04:05.123", "2024-01-02 03:04:05").toDF("s")
+      .select(Actions.parseTimestampGoLayouts(col("s"),
+        Seq("2006-01-02 15:04:05.999")).as("ts"))
+    assert(frac.filter(col("ts").isNotNull).count() == 2)
   }
 
   test("kafka round_robin rotates through partitions per group") {

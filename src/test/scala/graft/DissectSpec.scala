@@ -68,6 +68,17 @@ class DissectSpec extends SparkSpec {
     assert(r.getAs[String]("b") == "two")
   }
 
+  test("greedy is discarded on skip/pointer/indirect fields (field.go:263-278)") {
+    // the reference's named-skip/pointer/indirect constructors never receive
+    // the greedy flag — only normal/append fields pad-strip. With %{?pad->}
+    // the padding stays part of the following capture.
+    val m = runMap("%{?pad->} %{b}", "a   b")
+    assert(m("b") == "  b")
+    // same pattern with a NORMAL field does strip the padding
+    val r = fields("%{pad->} %{b}", "a   b")
+    assert(r.getAs[String]("b") == "b")
+  }
+
   test("fixed length %{key#n} consumes exactly n bytes, no delimiter") {
     val r = fields("%{cls#1}%{month#2}%{day#2}", "A0118")
     assert(r.getAs[String]("cls") == "A")

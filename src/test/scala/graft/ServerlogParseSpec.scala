@@ -95,6 +95,20 @@ class ServerlogParseSpec extends SparkSpec {
     assert(parseOne(okLine).getAs[String]("script_error") == null)
   }
 
+  test("line number overflow is a script_error, not wrapped garbage") {
+    // 19 digits > Long.MaxValue would silently wrap with an unchecked fold;
+    // Go strconv errors (ErrRange) → the reference tags script_error
+    val r = parseOne(okLine.replace("[41]", "[9999999999999999999]"))
+    assert(r.getAs[String]("status") == "ok")
+    assert(r.isNullAt(r.fieldIndex("line")))
+    assert(r.getAs[String]("script_error") == "line_parse_error")
+    // boundary values still parse
+    val max = parseOne(okLine.replace("[41]", "[9223372036854775807]"))
+    assert(max.getAs[Long]("line") == Long.MaxValue)
+    val min = parseOne(okLine.replace("[41]", "[-9223372036854775808]"))
+    assert(min.getAs[Long]("line") == Long.MinValue)
+  }
+
   test("null input → null struct") {
     val df = Seq[String](null).toDF("text").select(serverlog_parse(col("text")).as("p"))
     assert(df.collect()(0).isNullAt(0))
