@@ -366,6 +366,20 @@ object SparkEntry {
           col("m.payload_len"))
     }),
 
+    // --- multimodal: every-Nth frame sampling → exploded frames table;
+    //     frames are byte slices of the deterministic payload, so the
+    //     oracle reconstructs them as hex-string slices (byte-exact, no
+    //     ASCII assumption) ---
+    "q_media_frames" -> ((s, dir) => {
+      import graft.multimodal.functions.media_frames
+      graft.multimodal.Multimodal.synthesizeMedia(docs(s, dir)).toDF()
+        .select(col("doc_id"),
+          posexplode(media_frames(col("content"), 2)).as(Seq("frame_idx", "frame")))
+        .select(col("doc_id"), col("frame_idx"),
+          octet_length(col("frame")).as("frame_bytes"),
+          lower(hex(col("frame"))).as("frame_hex"))
+    }),
+
     // --- fork parse_vehicle_trace2trace: anchored-regex + @-path family ---
     "q_parse_trace2trace" -> ((s, dir) => {
       import graft.sources.Transcripts.tstr
@@ -683,6 +697,31 @@ object SparkEntry {
         | CAST(CASE WHEN doc_id % 3 = 2 THEN 8 + (doc_id % 16) ELSE 1 END AS INTEGER) AS n_frames,
         | CAST(least(strlen(text), 256) AS INTEGER) AS payload_len
         | FROM documents""".stripMargin,
+
+    // frame sampling: payload = first ≤256 BYTES of text; n_frames and the
+    // slice geometry are closed-form in doc_id; frames compared as hex
+    // slices of encode(text) so multi-byte characters cannot diverge
+    "q_media_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    least(strlen(text), 256) AS plen,
+        |    substr(hex(encode(text)), 1, 2 * least(strlen(text), 256)) AS hx,
+        |    CAST(CASE WHEN doc_id % 3 = 2 THEN 8 + doc_id % 16 ELSE 1 END AS INT) AS nf
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, plen, hx, nf,
+        |    greatest(1, plen // nf) AS flen,
+        |    unnest(generate_series(0, nf - 1)) AS f
+        |  FROM m WHERE plen > 0
+        |), kept AS (
+        |  SELECT doc_id, f, f * flen AS start,
+        |    least((f + 1) * flen, plen) - f * flen AS blen, hx
+        |  FROM fr WHERE f % 2 = 0 AND f * flen < plen)
+        | SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY f) - 1 AS INT) AS frame_idx,
+        |  CAST(blen AS INT) AS frame_bytes,
+        |  lower(substr(hx, 2 * start + 1, 2 * blen)) AS frame_hex
+        | FROM kept""".stripMargin,
 
     // direct expected-output oracles for the two fork-parser families: the
     // input lines are deterministic constructions over `events`, so the
