@@ -631,11 +631,16 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN r > 5 THEN 1 ELSE 0 END) AS BIGINT) AS dropped
           | FROM rn GROUP BY conv_id""".stripMargin),
 
+    // FNV-1a-32 folded over UTF-8 BYTES (hex(encode()) pairs), matching the
+    // kernel exactly — same hardening as the simhash oracle; a per-codepoint
+    // ord() fold would silently diverge on non-ASCII keys
     "q_kafka_partition" ->
       (OracleCte.transcripts +
         """ SELECT CAST(list_reduce(
           |    list_prepend(2166136261::BIGINT,
-          |      list_transform(string_split(conv_id, ''), c -> ord(c)::BIGINT)),
+          |      list_transform(generate_series(1, strlen(conv_id)), i ->
+          |        (16 * (strpos('0123456789ABCDEF', substr(hex(encode(conv_id)), 2*i-1, 1)) - 1)
+          |           + strpos('0123456789ABCDEF', substr(hex(encode(conv_id)), 2*i, 1)) - 1)::BIGINT)),
           |    (h, c) -> (xor(h, c) * 16777619) % 4294967296) % 16 AS INTEGER) AS part_id,
           |  count(*) AS events
           | FROM transcripts GROUP BY 1""".stripMargin),
