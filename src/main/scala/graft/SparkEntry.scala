@@ -231,6 +231,37 @@ object SparkEntry {
         graft.functions.community_id(src, dst, sp, dp, proto).as("cid"))
     }),
 
+    // --- script processor (beatEventV0 API as a typed Scala escape hatch):
+    //     a deterministic script exercising Get/Put/Rename/Delete/Cancel/
+    //     Tag/AppendTo, mirrored in SQL because the script is pure column
+    //     logic — arbitrary scripts are spec-gated (ScriptSpec) ---
+    "q_script" -> ((s, dir) => {
+      import graft.operators.Script
+      val ev = Script.events(t(s, dir), "conv_id", "turn_idx", "role", "tool")
+      val out = Script.run(ev) { e =>
+        if (e.get("role") == "system") e.cancel()
+        else {
+          e.put("role_upper", e.get("role").toUpperCase)
+          e.rename("tool", "tool_name")
+          if (e.get("tool_name") == null || e.get("tool_name").isEmpty) {
+            e.delete("tool_name")
+            e.tag("no_tool")
+          }
+          e.tag("scripted")
+          e.appendTo("path", "stage1")
+          e.appendTo("path", "stage1") // dedup: no-op
+          e.appendTo("path", "stage2")
+        }
+      }
+      out.toDF().select(
+        element_at(col("fields"), "conv_id").as("conv_id"),
+        element_at(col("fields"), "turn_idx").cast("int").as("turn_idx"),
+        element_at(col("fields"), "role_upper").as("role_upper"),
+        element_at(col("fields"), "tool_name").as("tool_name"),
+        array_join(element_at(col("lists"), "tags"), ",").as("tags_str"),
+        array_join(element_at(col("lists"), "path"), ",").as("path_str"))
+    }),
+
     // --- ratelimit (token-bucket batch analogue: first-N per key) ---
     "q_ratelimit" -> ((s, dir) =>
       graft.operators.Actions.rateLimitCounts(t(s, dir), "conv_id", "turn_idx", 5)),
@@ -619,6 +650,14 @@ object SparkEntry {
         |   WHEN 3 THEN '1:D3t8Q1aFA6Ev0A/AO4i9PnU3AeI='
         |   ELSE NULL END AS cid
         | FROM events""".stripMargin,
+
+    "q_script" ->
+      (OracleCte.transcripts +
+        """ SELECT conv_id, turn_idx, upper(role) AS role_upper,
+          | CASE WHEN tool <> '' THEN tool END AS tool_name,
+          | CASE WHEN tool = '' THEN 'no_tool,scripted' ELSE 'scripted' END AS tags_str,
+          | 'stage1,stage2' AS path_str
+          | FROM transcripts WHERE role <> 'system'""".stripMargin),
 
     "q_ratelimit" ->
       (OracleCte.transcripts +
