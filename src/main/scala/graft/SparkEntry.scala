@@ -241,7 +241,7 @@ object SparkEntry {
       val out = Script.run(ev) { e =>
         if (e.get("role") == "system") e.cancel()
         else {
-          e.put("role_upper", e.get("role").toUpperCase)
+          e.put("role_upper", e.get("role").toUpperCase(java.util.Locale.ROOT))
           e.rename("tool", "tool_name")
           if (e.get("tool_name") == null || e.get("tool_name").isEmpty) {
             e.delete("tool_name")

@@ -85,7 +85,9 @@ package object functions {
       case "sha1"   => digest_hex(joined, "SHA-1")
       case "sha256" => digest_hex(joined, "SHA-256")
       case "sha512" => digest_hex(joined, "SHA-512")
-      case "xxhash" => lower(hex(xxhash64(joined)))
+      // lpad: Spark's hex() drops leading zeros for non-negative longs; the
+      // reference hex-encodes the 8 digest bytes to a FIXED 16 chars
+      case "xxhash" => lpad(lower(hex(xxhash64(joined))), 16, "0")
       case m => throw new IllegalArgumentException(s"unknown fingerprint method: $m")
     }
   }

@@ -34,11 +34,21 @@ object Script {
     ev.lists.foreach { case (k, v) => lists(k) = v.toVector }
     private var cancelled = false
 
-    /** Get(key) → value or null (get, :114-135). */
+    // fields and lists are ONE namespace (the reference has a single event
+    // map — a key must never exist in both shapes at once); the typed API
+    // splits storage by shape only.
+
+    /** Get(key) → scalar value, or null when missing or array-valued (use
+      * [[getList]] for array fields) (get, :114-135). */
     def get(key: String): String = fields.getOrElse(key, null)
 
-    /** Put(key, value) → previous value or null; overwrites (put, :137-150). */
+    /** array-field read — the typed accessor for `AppendTo`/`Tag` targets. */
+    def getList(key: String): Seq[String] = lists.getOrElse(key, null)
+
+    /** Put(key, value) → previous scalar or null; overwrites, replacing an
+      * array-valued key like the reference's map put (put, :137-150). */
     def put(key: String, value: String): String = {
+      lists.remove(key)
       val old = fields.getOrElse(key, null)
       fields(key) = value
       old
@@ -58,9 +68,13 @@ object Script {
       }
     }
 
-    /** Delete(key) → success (delete, :193-205). */
-    def delete(key: String): Boolean =
-      fields.remove(key).isDefined || lists.remove(key).isDefined
+    /** Delete(key) → success; removes the key whichever shape holds it
+      * (delete, :193-205). */
+    def delete(key: String): Boolean = {
+      val a = fields.remove(key).isDefined
+      val b = lists.remove(key).isDefined
+      a || b
+    }
 
     /** Cancel(): the event is dropped when the script returns (:213-226). */
     def cancel(): Unit = cancelled = true
@@ -69,15 +83,21 @@ object Script {
     /** Tag(t): append to the `tags` array unless present (tag, :228-246). */
     def tag(t: String): Unit = appendTo("tags", t)
 
-    /** AppendTo(field, value): array-converting append, skipped when the
-      * value is already present (appendTo, :248-260). An existing scalar
-      * value becomes the array's first element. */
-    def appendTo(field: String, value: String): Unit = {
-      val base = lists.getOrElse(field,
-        fields.remove(field).map(Vector(_)).getOrElse(Vector.empty))
-      if (!base.contains(value)) lists(field) = base :+ value
-      else lists(field) = base
-    }
+    /** AppendTo(field, value): array-converting append, a strict NO-OP when
+      * the value is already present — an equal scalar stays scalar, like the
+      * reference's appendString skip (appendTo, :248-260). Otherwise an
+      * existing scalar becomes the array's first element. */
+    def appendTo(field: String, value: String): Unit =
+      lists.get(field) match {
+        case Some(l) =>
+          if (!l.contains(value)) lists(field) = l :+ value
+        case None =>
+          val scalar = fields.get(field)
+          if (!scalar.contains(value)) {
+            fields.remove(field)
+            lists(field) = scalar.map(Vector(_)).getOrElse(Vector.empty) :+ value
+          }
+      }
 
     private[Script] def result: Event = Event(fields.toMap, lists.toMap)
   }

@@ -273,13 +273,15 @@ class ActionsSpec extends SparkSpec {
       digest_hex(col("s"), "SHA-256").as("s2"), sha2(col("s"), 256).as("s22"),
       digest_hex(col("s"), "SHA-512").as("s5"), sha2(col("s"), 512).as("s52"),
       Actions.fingerprint(Seq(col("s")), "xxhash").as("xx"),
-      lower(hex(xxhash64(col("s")))).as("xx2")).collect()
+      lpad(lower(hex(xxhash64(col("s")))), 16, "0").as("xx2")).collect()
     r.foreach { row =>
       assert(row.getString(0) == row.getString(1))
       assert(row.getString(2) == row.getString(3))
       assert(row.getString(4) == row.getString(5))
       assert(row.getString(6) == row.getString(7))
       assert(row.getString(8) == row.getString(9))
+      // fixed-width digest like the reference's hex encoding of 8 bytes
+      assert(row.getString(8).length == 16)
     }
     intercept[IllegalArgumentException] {
       Actions.fingerprint(Seq(col("s")), "crc32")

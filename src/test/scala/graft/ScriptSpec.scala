@@ -40,6 +40,27 @@ class ScriptSpec extends SparkSpec {
     assert(out.lists("tags") == Seq("t1", "t2"))
   }
 
+  test("appendTo of an equal scalar is a strict no-op (shape preserved)") {
+    val out = Script.run(Seq(oneEvent("err" -> "x")).toDS()) { e =>
+      e.appendTo("err", "x")           // value already present as a scalar
+      assert(e.get("err") == "x")      // NOT converted to an array
+    }.collect()(0)
+    assert(out.fields("err") == "x" && !out.lists.contains("err"))
+  }
+
+  test("fields and lists are one namespace: put replaces an array key, delete clears both") {
+    val out = Script.run(Seq(oneEvent()).toDS()) { e =>
+      e.tag("x")
+      e.put("tags", "y")               // put over an array key replaces it
+      assert(e.getList("tags") == null && e.get("tags") == "y")
+      e.appendTo("p", "1")
+      assert(e.delete("p"))            // delete removes array-shaped keys too
+      assert(e.getList("p") == null)
+    }.collect()(0)
+    assert(out.fields("tags") == "y" && !out.lists.contains("tags"))
+    assert(!out.lists.contains("p"))
+  }
+
   test("cancel drops the event, like the processor's nil return") {
     val ds = Seq(oneEvent("k" -> "keep"), oneEvent("k" -> "drop")).toDS()
     val out = Script.run(ds)(e => if (e.get("k") == "drop") e.cancel())
