@@ -144,6 +144,8 @@ object SparkEntry {
           Actions.urlDecode(concat(lit("msg%20"), col("role"), lit("%2Fx")))
             .as("url_dec"),
           Actions.decodeBase64(base64(col("text").cast("binary"))).as("b64_rt"),
+          Actions.decodeCharset(encode(col("text"), "UTF-16LE"), "UTF-16LE")
+            .as("utf16_rt"),
           Actions.truncateFieldBytes(concat(lit("héllo—"), col("text")), 16)
             .as("trunc16"),
           Actions.parseTimestampGoLayouts(
@@ -587,6 +589,7 @@ object SparkEntry {
           | string_split(text, ' ')[3] AS w2,
           | 'msg ' || role || '/x' AS url_dec,
           | text AS b64_rt,
+          | text AS utf16_rt,
           | 'héllo—' || substr(text, 1, 7) AS trunc16,
           | date_trunc('second', ts) AS ts_rt,
           | md5(role || '|' || conv_id) AS fp_md5,

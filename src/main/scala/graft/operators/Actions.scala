@@ -116,6 +116,17 @@ object Actions {
       try_element_at(split(col(src), java.util.regex.Pattern.quote(separator)),
         lit(index + 1))) // reference is 0-based
 
+  /** line-reader charset decode (libbeat/reader/readfile/encoding — the
+    * reference decodes ~30 encodings via x/text before any processor runs):
+    * binary line bytes → string for the JVM charset set (UTF-8, UTF-16/LE/BE,
+    * ISO-8859-1, US-ASCII via Spark's codegen'd `decode`). In the table-first
+    * model most sources arrive decoded; this is the operator for binary
+    * ingest columns. Unknown charset fails at plan time. */
+  def decodeCharset(bin: Column, charset: String): Column = {
+    java.nio.charset.Charset.forName(charset) // plan-time config validation
+    decode(bin, charset)
+  }
+
   /** include/exclude line filters (filebeat harvester.go:498-518). */
   def includeLines(df: DataFrame, textCol: String, pattern: String): DataFrame =
     df.filter(col(textCol).rlike(pattern))

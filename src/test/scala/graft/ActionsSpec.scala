@@ -288,6 +288,18 @@ class ActionsSpec extends SparkSpec {
     }
   }
 
+  test("decodeCharset round-trips JVM charsets, rejects unknown at plan time") {
+    val df = Seq("héllo wörld — ascii too").toDF("s")
+    for (cs <- Seq("UTF-8", "UTF-16LE", "UTF-16BE")) {
+      val rt = df.select(Actions.decodeCharset(encode(col("s"), cs), cs).as("r"))
+        .collect()(0).getString(0)
+      assert(rt == "héllo wörld — ascii too", cs)
+    }
+    intercept[Exception] {
+      Actions.decodeCharset(col("s").cast("binary"), "NOT-A-CHARSET")
+    }
+  }
+
   test("convert type ip keeps valid literals, nulls the rest") {
     val df = Seq("10.1.2.3", "2001:db8::1", "999.9.9.9", "nope", "10.1.2")
       .toDF("s").select(Actions.convertField(col("s"), "ip").as("ip"))
