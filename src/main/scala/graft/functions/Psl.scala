@@ -82,7 +82,9 @@ object PslKernel {
       * form), like the reference's normalization. */
     def registeredDomain(domainRaw: String): String = {
       if (domainRaw == null || domainRaw.isEmpty) return null
-      var domain = domainRaw.toLowerCase
+      // Locale.ROOT: Go strings.ToLower is locale-independent; the default
+      // JVM locale would fold 'I' to dotless 'ı' under Turkish locales
+      var domain = domainRaw.toLowerCase(java.util.Locale.ROOT)
       if (domain.charAt(domain.length - 1) == '.')
         domain = domain.substring(0, domain.length - 1)
       if (domain.isEmpty || domain.charAt(0) == '.' || domain.contains(".."))

@@ -57,7 +57,10 @@ object XmlKernel {
     // wins here reproduces that, and guarantees unique output keys.
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-    def key(s: String): String = if (toLower) s.toLowerCase else s
+    // Locale.ROOT: the reference lowercases with Go strings.ToLower, which
+    // is locale-independent (decode.go to_lower option)
+    def key(s: String): String =
+      if (toLower) s.toLowerCase(java.util.Locale.ROOT) else s
 
     // reference shape: an element is (children-or-lists ++ attributes) with
     // cdata under #text when children exist, or the scalar itself otherwise
