@@ -12,8 +12,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Commit protocol (Iceberg-snapshot-style, implemented over any
   * HDFS-compatible FS):
-  *   1. sinks for group g are written under  <sink>/group=<g>/   (overwrite —
-  *      a re-run of an uncommitted group replaces its partial output)
+  *   1. sinks for group g are written under  data/group=<g>/sink=<sink>/
+  *      in ONE dynamic-partitioned write (overwrite — a re-run of an
+  *      uncommitted group replaces its partial output)
   *   2. checkpoint rows parquet under        <root>/registry/group=<g>/
   *   3. a commit marker                      <root>/_commits/group-<g>
   *      is created via create-then-rename — the atomicity point (the ACK:
@@ -73,20 +74,24 @@ final class Registry(root: String, spark: SparkSession) {
 
   /** Sink paths covered by commit markers — the snapshot-isolated read view. */
   def committedSinkPaths(sink: String): Seq[String] =
-    committedGroups().map(g => s"$root/$sink/group=$g")
+    committedGroups().map(g => s"$root/data/group=$g/sink=$sink")
       .filter(p => fs.exists(new Path(p)))
 
-  /** Snapshot-isolated read of one sink table. */
+  /** Snapshot-isolated read of one sink table. The `sink` value is a
+    * partition directory, recovered as a column via basePath; the internal
+    * `group` partition column is not part of the sink schema. */
   def readSink(sink: String): Option[DataFrame] = {
     val paths = committedSinkPaths(sink)
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    if (paths.isEmpty) None
+    else Some(spark.read.option("basePath", s"$root/data")
+      .parquet(paths: _*).drop("group"))
   }
 
   /** On-disk (bytes, files) of one sink group's write — the per-write output
     * stats the reference tracks per output worker (libbeat/outputs/metrics.go:
     * events/bytes acked per batch). */
   def sinkGroupStats(sink: String, group: Int): (Long, Long) = {
-    val p = new Path(s"$root/$sink/group=$group")
+    val p = new Path(s"$root/data/group=$group/sink=$sink")
     if (!fs.exists(p)) return (0L, 0L)
     var bytes = 0L
     var files = 0L

@@ -180,3 +180,171 @@ object OrderedTopKStrings {
     }
   }
 }
+
+/** Bounded best-k by score: keep the `k` (score, id) pairs with the LARGEST
+  * score (ties broken by smallest id) and return them as an
+  * array<struct<neighbor_id:long, cos:double>> sorted by (score desc, id).
+  *
+  * This is the skew-safe per-query top-k for the ANN paths: `row_number()
+  * .over(Window.partitionBy(query_id))` sorts EVERY candidate of a query in
+  * one task — at 10^12 corpus vectors a query's candidate set (LSH ~L/2^b of
+  * the corpus, IVF ~nprobe/nlist) is millions of rows, a guaranteed
+  * straggler/spill. This aggregate holds at most k entries per buffer, merges
+  * partially (map-side combine bounds every partial too), and the shuffle
+  * carries one ≤k-entry buffer per (partition, query) instead of every
+  * candidate row.
+  */
+case class TopKByScore(left: Expression, right: Expression, k: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKByScore.Buf]
+    with BinaryLike[Expression] {
+  require(k > 0, s"topk_by_score: k must be positive, got $k")
+
+  import TopKByScore._
+
+  def score: Expression = left
+  def id: Expression = right
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (left.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_by_score score column must be DOUBLE, got ${left.dataType.simpleString}")
+    else if (right.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_by_score id column must be BIGINT, got ${right.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def prettyName: String = "topk_by_score"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("neighbor_id", LongType, nullable = false),
+      StructField("cos", DoubleType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Buf = new Buf(k)
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val s = score.eval(input)
+    val v = id.eval(input)
+    if (s != null && v != null)
+      buf.offer(s.asInstanceOf[Double], v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: Buf, other: Buf): Buf = { buf.absorb(other); buf }
+
+  override def eval(buf: Buf): Any = new GenericArrayData(buf.sortedEntries)
+
+  override def serialize(buf: Buf): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): Buf = Buf.fromBytes(bytes, k)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TopKByScore =
+    copy(left = l, right = r)
+}
+
+object TopKByScore {
+
+  /** size-bounded min-heap over (score desc, id asc) preference: the root is
+    * the WORST entry kept, evicted when a better candidate arrives. */
+  final class Buf(val k: Int) {
+    private var scores = new Array[Double](math.min(k, 16))
+    private var ids = new Array[Long](math.min(k, 16))
+    private var n = 0
+
+    // entry i is WORSE than (s, id): lower score, or same score + larger id
+    @inline private def worse(i: Int, s: Double, id: Long): Boolean = {
+      val c = java.lang.Double.compare(scores(i), s)
+      c < 0 || (c == 0 && ids(i) > id)
+    }
+
+    def offer(s: Double, id: Long): Unit = {
+      if (n == k && !worse(0, s, id)) return // not better than current worst
+      if (n < k) {
+        if (n == scores.length) {
+          val cap = math.min(k.toLong, scores.length * 2L).toInt
+          scores = java.util.Arrays.copyOf(scores, cap)
+          ids = java.util.Arrays.copyOf(ids, cap)
+        }
+        scores(n) = s; ids(n) = id; n += 1
+        siftUp(n - 1)
+      } else {
+        scores(0) = s; ids(0) = id
+        siftDown(0)
+      }
+    }
+
+    private def siftUp(i0: Int): Unit = {
+      var i = i0
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (worse(i, scores(p), ids(p))) { swap(i, p); i = p } else return
+      }
+    }
+
+    private def siftDown(i0: Int): Unit = {
+      var i = i0
+      while (true) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        if (l < n && worse(l, scores(m), ids(m))) m = l
+        if (r < n && worse(r, scores(m), ids(m))) m = r
+        if (m == i) return
+        swap(i, m); i = m
+      }
+    }
+
+    @inline private def swap(a: Int, b: Int): Unit = {
+      val ts = scores(a); scores(a) = scores(b); scores(b) = ts
+      val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+    }
+
+    def absorb(other: Buf): Unit = {
+      var i = 0
+      while (i < other.n) { offer(other.scores(i), other.ids(i)); i += 1 }
+    }
+
+    def sortedEntries: Array[Any] = {
+      val idx = (0 until n).sortBy(i => (-scores(i), ids(i)))
+      idx.map { i =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](ids(i), scores(i))): Any
+      }.toArray
+    }
+
+    def toBytes: Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(n)
+      var i = 0
+      while (i < n) {
+        out.writeDouble(scores(i))
+        out.writeLong(ids(i))
+        i += 1
+      }
+      out.flush()
+      bos.toByteArray
+    }
+  }
+
+  object Buf {
+    def fromBytes(bytes: Array[Byte], k: Int): Buf = {
+      val in = ByteBuffer.wrap(bytes)
+      val buf = new Buf(k)
+      val n = in.getInt
+      var i = 0
+      while (i < n) {
+        val s = in.getDouble
+        val id = in.getLong
+        buf.offer(s, id)
+        i += 1
+      }
+      buf
+    }
+  }
+}

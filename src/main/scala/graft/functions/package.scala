@@ -72,24 +72,41 @@ package object functions {
   def digest_hex(s: Column, algo: String): Column =
     ExpressionUtils.column(DigestHex(ExpressionUtils.expression(s), algo))
 
+  /** hex digest of one string column under the fingerprint processor's
+    * method vocabulary (fingerprint/hash.go:33-41): md5 | sha1 | sha256 |
+    * sha384 | sha512 | xxhash. xxhash is the from-spec XXH64 seed-0 kernel
+    * ([[Xxh64Kernel]]) — bit-identical to the reference's Go
+    * `cespare/xxhash` (golden vectors pinned in ActionsSpec). */
+  def method_digest(joined: Column, method: String): Column = method match {
+    case "md5"    => digest_hex(joined, "MD5")
+    case "sha1"   => digest_hex(joined, "SHA-1")
+    case "sha256" => digest_hex(joined, "SHA-256")
+    case "sha384" => digest_hex(joined, "SHA-384")
+    case "sha512" => digest_hex(joined, "SHA-512")
+    case "xxhash" =>
+      ExpressionUtils.column(Xxh64Hex(ExpressionUtils.expression(joined)))
+    case m => throw new IllegalArgumentException(s"unknown fingerprint method: $m")
+  }
+
   /** fingerprint of selected columns (≈ processors/fingerprint: hash of
     * joined fields, hex-encoded — fingerprint/fingerprint.go:70-120).
-    * `method` mirrors the reference's config values (fingerprint/hash.go):
-    * md5 | sha1 | sha256 (default) | sha512 | xxhash. xxhash maps to Spark's
-    * codegen'd XXH64 (seed 42) rather than the Go library's seed-0 variant —
-    * same family, not bit-identical to the reference. */
-  def fingerprint_cols(cols: Seq[Column], method: String = "sha256"): Column = {
-    val joined = concat_ws("|", cols: _*)
-    method match {
-      case "md5"    => digest_hex(joined, "MD5")
-      case "sha1"   => digest_hex(joined, "SHA-1")
-      case "sha256" => digest_hex(joined, "SHA-256")
-      case "sha512" => digest_hex(joined, "SHA-512")
-      // lpad: Spark's hex() drops leading zeros for non-negative longs; the
-      // reference hex-encodes the 8 digest bytes to a FIXED 16 chars
-      case "xxhash" => lpad(lower(hex(xxhash64(joined))), 16, "0")
-      case m => throw new IllegalArgumentException(s"unknown fingerprint method: $m")
-    }
+    * `method` mirrors the reference's config values (fingerprint/hash.go).
+    * The joined layout here is value-only `a|b|c`; for byte-parity with the
+    * reference's `|key|value|…|` encoding use [[fingerprint_fields]]. */
+  def fingerprint_cols(cols: Seq[Column], method: String = "sha256"): Column =
+    method_digest(concat_ws("|", cols: _*), method)
+
+  /** exact reference fingerprint: named fields, sorted+deduped by name
+    * (fingerprint.go:55-58 MakeStringSet.ToSlice), encoded `|k|v` per field
+    * with a trailing `|` (fingerprint.go:91-115 writeFields) — bit-identical
+    * output to the reference processor for every hash method, pinned against
+    * fingerprint_test.go:95-101's golden vectors in ActionsSpec. */
+  def fingerprint_fields(fields: Seq[(String, Column)],
+                         method: String = "sha256"): Column = {
+    val parts = fields.distinctBy(_._1).sortBy(_._1).flatMap {
+      case (k, v) => Seq(lit(s"|$k|"), v.cast("string"))
+    } :+ lit("|")
+    method_digest(concat(parts: _*), method)
   }
 
   /** strict IP-literal validation (Go net.ParseIP semantics) — the convert
@@ -145,6 +162,15 @@ package object functions {
   def ordered_topk(ord: Column, value: Column, k: Int): Column =
     ExpressionUtils.column(OrderedTopKStrings(
       ExpressionUtils.expression(ord), ExpressionUtils.expression(value), k)
+      .toAggregateExpression())
+
+  /** bounded best-k by (score desc, id asc) → sorted
+    * array<struct<neighbor_id,cos>> — the skew-safe per-query top-k for the
+    * ANN paths (constant memory per group, map-side combinable); see
+    * [[TopKByScore]]. */
+  def topk_by_score(score: Column, id: Column, k: Int): Column =
+    ExpressionUtils.column(TopKByScore(
+      ExpressionUtils.expression(score), ExpressionUtils.expression(id), k)
       .toAggregateExpression())
 
   /** gunzip a binary column (decompress_gzip_field.go:69-133); null on

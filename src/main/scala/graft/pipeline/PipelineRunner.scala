@@ -14,10 +14,12 @@ import graft.model.Sinks
   *    queue batches, libbeat/publisher/queue/memqueue/broker.go:114-184);
   *    each group is processed and committed independently, so a kill between
   *    groups loses no acknowledged work
-  *  - per-group: transform → fan-out write to sink_es / sink_ls / dropped
-  *    (partitioned parquet, sortWithinPartitions(conv_id, turn_idx) so the
+  *  - per-group: ONE transform pass fans out to sink_es / sink_ls / dropped
+  *    via a dynamic `partitionBy(sink)` parquet write with observe()-attached
+  *    per-sink counters (sortWithinPartitions(sink, conv_id, turn_idx) so the
   *    north-rule per-turn ordering is physically materialized — never a
-  *    global sort) → offsets parquet → ATOMIC commit marker (the ACK)
+  *    global sort), then a status-only fast-path pass writes the offsets
+  *    parquet → ATOMIC commit marker (the ACK)
   *  - resume = rerun the same command; committed groups are skipped
   *    (filebeat registrar semantics: offsets persisted only after ACK,
   *    filebeat/beater/acker.go:37-68), uncommitted partial output is
@@ -49,39 +51,55 @@ object PipelineRunner {
     var done = 0
     for (g <- 0 until groups if !reg.isCommitted(g)) {
       val slice = bucketed.filter(col("_grp") === g).drop("_grp")
-      val routed = TranscriptPipeline.transform(slice)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        // fan-out: one filtered write per real sink (outil selector fan-out,
-        // libbeat/outputs/outil/select.go:90-93); `filtered` rows are counted
-        // but never written (monitoring.go:139)
-        for (s <- Sinks.All) {
-          routed.filter(col("sink") === s)
-            .sortWithinPartitions("conv_id", "turn_idx")
-            .write.mode("overwrite").parquet(s"$root/$s/group=$g")
-        }
-        // offsets/lineage rows (file.State analogue)
-        val offsets = routed.groupBy(col("conv_id").as("partition_key"))
-          .agg(max("turn_idx").as("max_turn_idx"),
-            count(lit(1)).as("row_count"),
-            sum(when(col("sink") === TranscriptPipeline.Filtered, 1L).otherwise(0L)).as("filtered"),
-            sum(when(col("sink") === Sinks.Dropped, 1L).otherwise(0L)).as("dropped"))
-          .withColumn("group", lit(g))
-          .withColumn("committed_at", current_timestamp())
-        reg.writeOffsets(g, offsets)
+      // ONE pass over the transformed group (no persist — at 100 TB a
+      // MEMORY_AND_DISK persist is a full extra copy of the group):
+      // dynamic fan-out write partitioned by sink (outil selector fan-out,
+      // libbeat/outputs/outil/select.go:90-93), with the per-sink counts
+      // attached to the SAME job via observe() accumulators, so counting
+      // costs no extra scan. `filtered` rows are counted but never written
+      // (monitoring.go:139). The sortWithinPartitions leads with `sink` so
+      // the dynamic-partition writer's required task ordering is already
+      // satisfied (no extra sort inserted) and rows inside each sink file
+      // stay in the north-rule (conv_id, turn_idx) order.
+      val obs = org.apache.spark.sql.Observation()
+      val sinkNames = Sinks.All :+ TranscriptPipeline.Filtered
+      val countCols = sinkNames.map(s =>
+        sum(when(col("sink") === s, 1L).otherwise(0L)).as(s))
+      TranscriptPipeline.transform(slice)
+        .observe(obs, countCols.head, countCols.tail: _*)
+        .filter(col("sink") =!= TranscriptPipeline.Filtered)
+        .sortWithinPartitions("sink", "conv_id", "turn_idx")
+        .write.mode("overwrite").partitionBy("sink")
+        .parquet(s"$root/data/group=$g")
+      val counts = {
+        val m = obs.get
+        sinkNames.map(s => s -> m(s).asInstanceOf[Long])
+          .filter(_._2 > 0).toMap
+      }
 
-        val counts = routed.groupBy("sink").count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        // per-write output stats (bytes/files landed per sink — the
-        // reference's per-output-worker metrics, libbeat/outputs/metrics.go)
-        val writeStats = Sinks.All.map(s => s -> reg.sinkGroupStats(s, g)).toMap
-        val lineage = counts.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-        val bytesJson = writeStats
-          .map { case (k, (b, f)) => s""""$k":{"bytes":$b,"files":$f}""" }
-          .mkString("{", ",", "}")
-        reg.commit(g, s"""{"group":$g,"counts":$lineage,"writes":$bytesJson}""")
-        results += GroupResult(g, counts, writeStats.map { case (k, (b, _)) => k -> b })
-      } finally routed.unpersist()
+      // offsets/lineage rows (file.State analogue): a second, CHEAP pass via
+      // the status-only routing fast path — identical sink decision to the
+      // full transform (pinned by PipelineSpec) without the 13-field
+      // extraction, so the group is never materialized twice at full width
+      val offsets = TranscriptPipeline.sinkFast(slice)
+        .groupBy(col("conv_id").as("partition_key"))
+        .agg(max("turn_idx").as("max_turn_idx"),
+          count(lit(1)).as("row_count"),
+          sum(when(col("sink") === TranscriptPipeline.Filtered, 1L).otherwise(0L)).as("filtered"),
+          sum(when(col("sink") === Sinks.Dropped, 1L).otherwise(0L)).as("dropped"))
+        .withColumn("group", lit(g))
+        .withColumn("committed_at", current_timestamp())
+      reg.writeOffsets(g, offsets)
+
+      // per-write output stats (bytes/files landed per sink — the
+      // reference's per-output-worker metrics, libbeat/outputs/metrics.go)
+      val writeStats = Sinks.All.map(s => s -> reg.sinkGroupStats(s, g)).toMap
+      val lineage = counts.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      val bytesJson = writeStats
+        .map { case (k, (b, f)) => s""""$k":{"bytes":$b,"files":$f}""" }
+        .mkString("{", ",", "}")
+      reg.commit(g, s"""{"group":$g,"counts":$lineage,"writes":$bytesJson}""")
+      results += GroupResult(g, counts, writeStats.map { case (k, (b, _)) => k -> b })
 
       done += 1
       if (done > failAfterGroup) // test hook: simulate a crash between commits

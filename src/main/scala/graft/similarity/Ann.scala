@@ -19,19 +19,30 @@ import graft.functions._
   */
 object Ann {
 
+  /** Per-query top-k over a (query_id, neighbor_id, cos) candidate frame via
+    * the bounded [[graft.functions.TopKByScore]] heap aggregate — NOT a
+    * `row_number` window. The window shape sorts every candidate of a query
+    * in ONE task (at 10^12 corpus vectors that is millions of rows per
+    * query: a guaranteed straggler/spill); the aggregate holds ≤ k entries
+    * per buffer, combines map-side, and its shuffle carries one ≤k-entry
+    * buffer per (partition, query) instead of every candidate row. Ordering
+    * is identical: (cos desc, neighbor_id asc), rank = position. */
+  private def perQueryTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(topk_by_score(col("cos"), col("neighbor_id"), k).as("nb"))
+      .select(col("query_id"), posexplode(col("nb")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("s.neighbor_id").as("neighbor_id"),
+        round(col("s.cos"), 4).as("cos"))
+
   /** exact top-k: broadcast the (small) query set against the corpus. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_v"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine_sim(col("q_v"), col("c_v")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 4).as("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("q_v"), col("c_v")).as("cos"))
+    perQueryTopK(scored, k)
   }
 
   /** IVF-flat coarse quantizer: deterministic seed centroids (the first
@@ -69,15 +80,11 @@ object Ann {
       element_at(nearest_centroids(col("embedding"), cents, 1), 1).as("cell"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"),
       explode(nearest_centroids(col("embedding"), cents, nprobe)).as("cell"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(broadcast(q), Seq("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine_sim(col("q_v"), col("c_v")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 4).as("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("q_v"), col("c_v")).as("cos"))
+    perQueryTopK(scored, k)
   }
 
   /** Multi-table LSH neighbor search (the classic L-tables × b-planes
@@ -100,9 +107,7 @@ object Ann {
     val q = Lsh.multiprobe(
       Lsh.hyperplaneBanded(queries, "query_id", "q_v", planes, tables),
       Seq("query_id", "q_v"), planes, probeHamming)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(broadcast(q), Seq("table", "bucket"))
+    val scored = c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       // score BEFORE deduplicating across tables: the dedup shuffle then
       // carries (ids, cos) — 20 bytes — instead of two full embedding
@@ -110,9 +115,6 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         cosine_sim(col("q_v"), col("c_v")).as("cos"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 4).as("cos"))
+    perQueryTopK(scored, k)
   }
 }

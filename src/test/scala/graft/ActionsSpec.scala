@@ -272,19 +272,55 @@ class ActionsSpec extends SparkSpec {
       digest_hex(col("s"), "SHA-1").as("s1"), sha1(col("s")).as("s12"),
       digest_hex(col("s"), "SHA-256").as("s2"), sha2(col("s"), 256).as("s22"),
       digest_hex(col("s"), "SHA-512").as("s5"), sha2(col("s"), 512).as("s52"),
-      Actions.fingerprint(Seq(col("s")), "xxhash").as("xx"),
-      lpad(lower(hex(xxhash64(col("s")))), 16, "0").as("xx2")).collect()
+      Actions.fingerprint(Seq(col("s")), "xxhash").as("xx")).collect()
     r.foreach { row =>
       assert(row.getString(0) == row.getString(1))
       assert(row.getString(2) == row.getString(3))
       assert(row.getString(4) == row.getString(5))
       assert(row.getString(6) == row.getString(7))
-      assert(row.getString(8) == row.getString(9))
       // fixed-width digest like the reference's hex encoding of 8 bytes
       assert(row.getString(8).length == 16)
     }
     intercept[IllegalArgumentException] {
       Actions.fingerprint(Seq(col("s")), "crc32")
+    }
+  }
+
+  test("XXH64 kernel: branch parity with Spark's XXH64 at seed 42, spec vector at seed 0") {
+    import graft.functions.Xxh64Kernel
+    // every input length 0..130 (empty, <4, <8, <32, ≥32 stripes + all tail
+    // combinations) must agree with Spark's own XXH64 at Spark's seed
+    for (n <- 0 to 130) {
+      val bytes = Array.tabulate[Byte](n)(i => ((i * 131) ^ (i >> 3)).toByte)
+      val expected = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, n, 42L)
+      assert(Xxh64Kernel.hash(bytes, n, 42L) == expected, s"len=$n")
+    }
+    // the published spec vector for seed 0 pins the seed handling
+    assert(Xxh64Kernel.hash(Array.emptyByteArray, 0, 0L) == 0xEF46DB3751D8E999L)
+  }
+
+  test("fingerprint_fields is bit-identical to the reference processor (fingerprint_test.go goldens)") {
+    import graft.functions.fingerprint_fields
+    val df = Seq(("foo", "bar", "baz")).toDF("field1", "field2", "unused_field")
+    // golden vectors: reference fingerprint_test.go TestHashMethods (:95-101)
+    // over fields [field1, field2] → writeFields layout `|field1|foo|field2|bar|`
+    val goldens = Map(
+      "md5" -> "4c45df4792f3ef850c928ec5f5232538",
+      "sha1" -> "22f76427d626516d3f7a05785165b99617683b22",
+      "sha256" -> "1208288932231e313b369bae587ff574cd3016a408e52e7128d7bee752674003",
+      "sha384" -> ("295adfe0bc03908948e4b0b6a54f441767867e426dda590430459c8a147fbba2" +
+        "42a38cba282adee78335b9e08877b86c"),
+      "sha512" -> ("f50ad51b63c92a0ed0c910527119b81806f3110f0afaa1dcb93506a78371ea76" +
+        "1e50c0fc09b08c441d832dd2da1b45e5d8361adfb240e1fffc2695122a23e183"),
+      "xxhash" -> "37bc50682fba6686")
+    for ((method, want) <- goldens) {
+      // fields passed UNsorted: the processor sorts+dedups by name
+      // (fingerprint.go:55-58)
+      val got = df.select(fingerprint_fields(
+        Seq("field2" -> col("field2"), "field1" -> col("field1"),
+          "field1" -> col("field1")), method).as("fp")).head().getString(0)
+      assert(got == want, s"method=$method")
     }
   }
 

@@ -97,6 +97,29 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("ANN top-k plans contain no per-query window and no global sort") {
+    // the per-query top-k must be the bounded TopKByScore aggregate: a
+    // row_number window sorts EVERY candidate of a query in one task — a
+    // straggler/spill at 10^12 corpus scale
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plans = Seq(
+        "brute" -> graft.similarity.Ann.bruteTopK(e, e.limit(4), 5),
+        "lsh" -> graft.similarity.Ann.lshNeighbors(e, e.limit(4), 5),
+        "ivf" -> graft.similarity.Ann.ivfTopK(e, e.limit(4), 5))
+      for ((name, df) <- plans) {
+        val p = df.queryExecution.executedPlan
+        assert(p.collect { case w: WindowExec => w }.isEmpty,
+          s"$name: window operator in ANN plan:\n$p")
+        assert(p.collect { case s: SortExec if s.global => s }.isEmpty,
+          s"$name: global sort in ANN plan:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("minhash banding plan shuffles only (doc_id, band, bucket) — never text or arrays") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")

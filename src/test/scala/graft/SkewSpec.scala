@@ -64,6 +64,34 @@ class SkewSpec extends SparkSpec {
     assert(unguarded.count() == 50L * 49 / 2)
   }
 
+  test("topk_by_score: buffer stays ≤ k on a 1M-candidate group; agg equals the window") {
+    import graft.functions.{topk_by_score, TopKByScore}
+    // bound: 1M offers into a k=10 buffer never grow it past k entries
+    // (serialized size proves it: 4-byte count + 16 bytes/entry)
+    val buf = new TopKByScore.Buf(10)
+    var i = 0
+    while (i < 1000000) { buf.offer((i % 9973) / 9973.0, i.toLong); i += 1 }
+    assert(buf.toBytes.length <= 4 + 10 * 16)
+
+    // distributed equivalence: identical output to the row_number window it
+    // replaced, on a skewed candidate set (one query holds 90% of rows)
+    val cands = (0 until 20000).map { i =>
+      val q = if (i % 10 == 0) ((i / 10) % 3 + 1).toLong else 0L
+      (q, (i * 2654435761L % 100000) / 100000.0, i.toLong)
+    }.toDF("query_id", "cos", "neighbor_id").repartition(16)
+    val viaAgg = cands.groupBy("query_id")
+      .agg(topk_by_score(col("cos"), col("neighbor_id"), 7).as("nb"))
+      .select(col("query_id"), posexplode(col("nb")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("s.neighbor_id").as("neighbor_id"), col("s.cos").as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val viaWindow = cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7)
+      .select("query_id", "rank", "neighbor_id", "cos")
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+
   test("LSH dedup exchange carries scalars, not embedding vectors") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
