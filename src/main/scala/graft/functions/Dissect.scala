@@ -108,15 +108,17 @@ object Dissect {
     private val applyOrder: Array[Int] =
       parts.indices.sortBy(i => parts(i).ordinal).toArray
 
-    /** Byte-level position extraction (dissect.go:104-181). Returns flat
+    /** Byte-level position extraction (dissect.go:104-181) over
+      * `b[base, base+n)` — `base` lets the struct path run directly on the
+      * input column buffer with zero copy. Returns flat input-RELATIVE
       * [start0, end0, start1, end1, ...] or null on parse failure. */
-    def matchPositions(b: Array[Byte], n: Int): Array[Int] = {
+    def matchPositions(b: Array[Byte], base: Int, n: Int): Array[Int] = {
       val m = parts.length
       val pos = new Array[Int](2 * m)
 
       // hard match on the leading literal (dissect.go:112-119)
       val first = parts(0).delimBefore
-      if (!regionMatches(b, n, 0, first)) return null
+      if (!regionMatches(b, base, n, 0, first)) return null
       var off = first.length
 
       var i = 0
@@ -136,7 +138,7 @@ object Dissect {
         } else if (terminal) {
           end = n
         } else {
-          end = indexOf(b, n, p.delimAfter, off)
+          end = indexOf(b, base, n, p.delimAfter, off)
           if (end < 0) return null
         }
         off = end
@@ -144,7 +146,7 @@ object Dissect {
         // (dissect.go:150-161; value end is NOT extended)
         if (p.greedy && p.delimAfter.length > 0) {
           while (off + 1 + p.delimAfter.length <= n &&
-            regionMatches(b, n, off + 1, p.delimAfter)) off += 1
+            regionMatches(b, base, n, off + 1, p.delimAfter)) off += 1
         }
         pos(2 * i) = start
         pos(2 * i + 1) = end
@@ -154,38 +156,39 @@ object Dissect {
       pos
     }
 
-    @inline private def regionMatches(b: Array[Byte], n: Int, at: Int,
-                                      needle: Array[Byte]): Boolean = {
+    @inline private def regionMatches(b: Array[Byte], base: Int, n: Int,
+                                      at: Int, needle: Array[Byte]): Boolean = {
       if (at + needle.length > n) return false
       var i = 0
       while (i < needle.length) {
-        if (b(at + i) != needle(i)) return false
+        if (b(base + at + i) != needle(i)) return false
         i += 1
       }
       true
     }
 
-    private def indexOf(b: Array[Byte], n: Int, needle: Array[Byte],
-                        from: Int): Int = {
+    private def indexOf(b: Array[Byte], base: Int, n: Int,
+                        needle: Array[Byte], from: Int): Int = {
       if (needle.length == 0) return from // zeroByte delimiter: empty capture
       val c0 = needle(0)
       var i = from
       val limit = n - needle.length
       while (i <= limit) {
-        if (b(i) == c0 && regionMatches(b, n, i, needle)) return i
+        if (b(base + i) == c0 && regionMatches(b, base, n, i, needle)) return i
         i += 1
       }
       -1
     }
 
     /** trim a captured range in posArr per trim mode (trim.go:60-70). */
-    @inline private def trimAt(b: Array[Byte], posArr: Array[Int], i: Int): Unit = {
+    @inline private def trimAt(b: Array[Byte], base: Int, posArr: Array[Int],
+                               i: Int): Unit = {
       var s = posArr(2 * i); var e = posArr(2 * i + 1)
       if (trimMode == TrimLeft || trimMode == TrimAll) {
-        while (s < e && (b(s) & 0xff) < 128 && trimChars(b(s))) s += 1
+        while (s < e && (b(base + s) & 0xff) < 128 && trimChars(b(base + s))) s += 1
       }
       if (trimMode == TrimRight || trimMode == TrimAll) {
-        while (s < e && (b(e - 1) & 0xff) < 128 && trimChars(b(e - 1))) e -= 1
+        while (s < e && (b(base + e - 1) & 0xff) < 128 && trimChars(b(base + e - 1))) e -= 1
       }
       posArr(2 * i) = s; posArr(2 * i + 1) = e
     }
@@ -224,20 +227,22 @@ object Dissect {
       outKeys.indices.filterNot(i => refKeySet.contains(outKeys(i))).toArray
 
     /** per-row resolve into `slotVals` (length staticKeys) + optional dynamic
-      * (name, value) arrays; returns false on parse failure. */
-    private def resolveInto(b: Array[Byte], n: Int, slotVals: Array[UTF8String],
+      * (name, value) arrays; returns false on parse failure. Slot values are
+      * SLICES of `b` — valid only while `b` is. */
+    private def resolveInto(b: Array[Byte], base: Int, n: Int,
+                            slotVals: Array[UTF8String],
                             dynNames: Array[UTF8String], dynVals: Array[UTF8String]): Int = {
-      val posArr = matchPositions(b, n)
+      val posArr = matchPositions(b, base, n)
       if (posArr == null) return -1
 
       // apply trimmer to every position (dissect.go:71-76)
       if (trimMode != TrimNone) {
         var i = 0
-        while (i < parts.length) { trimAt(b, posArr, i); i += 1 }
+        while (i < parts.length) { trimAt(b, base, posArr, i); i += 1 }
       }
 
       @inline def slice(i: Int): UTF8String =
-        UTF8String.fromBytes(b, posArr(2 * i), posArr(2 * i + 1) - posArr(2 * i))
+        UTF8String.fromBytes(b, base + posArr(2 * i), posArr(2 * i + 1) - posArr(2 * i))
 
       var nDyn = 0
       var oi = 0
@@ -254,7 +259,7 @@ object Dissect {
             val out = new Array[Byte](prev.numBytes + sep.length + vLen)
             prev.writeToMemory(out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
             System.arraycopy(sep, 0, out, prev.numBytes, sep.length)
-            System.arraycopy(b, posArr(2 * pi), out, prev.numBytes + sep.length, vLen)
+            System.arraycopy(b, base + posArr(2 * pi), out, prev.numBytes + sep.length, vLen)
             slotVals(slot) = UTF8String.fromBytes(out)
           } else slotVals(slot) = slice(pi)
         } else if (slot == -2) {
@@ -297,13 +302,15 @@ object Dissect {
       b
     }
 
-    /** map<string,string> output — the reference's `Dissect()` shape. */
+    /** map<string,string> output — the reference's `Dissect()` shape.
+      * Works on a defensive copy: the emitted map holds slices that ESCAPE
+      * this call, so they must not alias a reusable column buffer. */
     def runMap(input: UTF8String): ArrayBasedMapData = {
       val b = copyBytes(input)
       val slotVals = new Array[UTF8String](staticKeys.length)
       val dynNames = if (nIndirect > 0) new Array[UTF8String](nIndirect) else null
       val dynVals = if (nIndirect > 0) new Array[UTF8String](nIndirect) else null
-      val nDyn = resolveInto(b, input.numBytes, slotVals, dynNames, dynVals)
+      val nDyn = resolveInto(b, 0, input.numBytes, slotVals, dynNames, dynVals)
       if (nDyn < 0) return null
       val m = emitSlots.length + nDyn
       val keys = new Array[Any](m)
@@ -321,23 +328,74 @@ object Dissect {
       new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
     }
 
+    /** per-outKey type dispatch tag for the UnsafeRow writer: 0 = raw
+      * string, 1..5 = int/long/float/double/boolean, 6 = ip (validated,
+      * written as string). */
+    private val typeTags: Array[Byte] = typeNames.map {
+      case "" | "string" => 0: Byte
+      case "integer"     => 1: Byte
+      case "long"        => 2: Byte
+      case "float"       => 3: Byte
+      case "double"      => 4: Byte
+      case "boolean"     => 5: Byte
+      case "ip"          => 6: Byte
+    }
+    private val emitMask: Array[Boolean] = {
+      val m = new Array[Boolean](outKeys.length)
+      emitSlots.foreach(m(_) = true)
+      m
+    }
+
+    def newStructState: StructState =
+      new StructState(outKeys.length, staticKeys.length)
+
     /** typed-struct output — the reference's `DissectConvert()` shape;
       * conversion failure nulls the field (log-and-continue, the columnar
-      * analogue of convertData's string passthrough, dissect.go:278-286). */
-    def runStruct(input: UTF8String): InternalRow = {
-      val b = copyBytes(input)
-      val slotVals = new Array[UTF8String](staticKeys.length)
-      // dynamic keys impossible in struct mode (compile-checked)
-      val nDyn = resolveInto(b, input.numBytes, slotVals, null, null)
-      if (nDyn < 0) return null
-      val out = new Array[Any](outKeys.length)
-      var i = 0
-      while (i < emitSlots.length) {
-        val k = emitSlots(i)
-        if (slotVals(k) != null) out(k) = convert(slotVals(k), typeNames(k))
-        i += 1
+      * analogue of convertData's string passthrough, dissect.go:278-286).
+      *
+      * Runs DIRECTLY on the input column buffer (no defensive copy — the
+      * UnsafeRow writer copies each emitted slice into its own buffer, so
+      * nothing escaping the call aliases the input) and writes into the
+      * caller's reused [[StructState]]. The returned row aliases the state's
+      * writer and is valid until the next call with the same state — the
+      * standard projection-output contract (same as [[ServerlogRowWriter]]). */
+    def runStruct(input: UTF8String, st: StructState): InternalRow = {
+      var b: Array[Byte] = null
+      var base = 0
+      input.getBaseObject match {
+        case arr: Array[Byte] =>
+          b = arr
+          base = (input.getBaseOffset - org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET).toInt
+        case _ => b = copyBytes(input) // off-heap input: one copy, rare
       }
-      new GenericInternalRow(out)
+      val slotVals = st.slots
+      java.util.Arrays.fill(slotVals.asInstanceOf[Array[AnyRef]], null)
+      // dynamic keys impossible in struct mode (compile-checked)
+      val nDyn = resolveInto(b, base, input.numBytes, slotVals, null, null)
+      if (nDyn < 0) return null
+      val w = st.writer
+      w.reset()
+      w.zeroOutNullBytes()
+      var k = 0
+      while (k < outKeys.length) {
+        val v = if (emitMask(k)) slotVals(k) else null
+        if (v == null) w.setNullAt(k)
+        else if (typeTags(k) == 0) w.write(k, v)
+        else {
+          val a = convert(v, typeNames(k))
+          if (a == null) w.setNullAt(k)
+          else typeTags(k) match {
+            case 1 => w.write(k, a.asInstanceOf[Int])
+            case 2 => w.write(k, a.asInstanceOf[Long])
+            case 3 => w.write(k, a.asInstanceOf[Float])
+            case 4 => w.write(k, a.asInstanceOf[Double])
+            case 5 => w.write(k, a.asInstanceOf[Boolean])
+            case 6 => w.write(k, a.asInstanceOf[UTF8String])
+          }
+        }
+        k += 1
+      }
+      w.getRow
     }
 
     private def convert(v: UTF8String, typ: String): Any = {
@@ -381,6 +439,14 @@ object Dissect {
   }
 
   private val DefaultJoinBytes = " ".getBytes("UTF-8")
+
+  /** Per-thread reusable state for the struct fast path: the UnsafeRow
+    * writer the row is built into plus the resolve-slot scratch array.
+    * One per (expression, thread) via ThreadLocal — never shared. */
+  final class StructState(nFields: Int, nSlots: Int) {
+    val writer = new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(nFields, 64)
+    val slots = new Array[UTF8String](nSlots)
+  }
 
   /** Compile a dissect pattern. Throws IllegalArgumentException on: no
     * `%{}` blocks, unbalanced braces, empty key with modifiers, missing or
@@ -467,25 +533,38 @@ object Dissect {
 
 /** `dissect(text, pattern)` Catalyst expression → typed struct; NULL struct
   * on mismatch. Indirect/pointer keys are dynamic names and cannot have a
-  * static struct schema — compile rejects them here (use [[DissectMapExpr]]). */
-case class DissectExpr(child: Expression, pattern: String) extends UnaryExpression {
-  @transient private lazy val compiled = Dissect.compile(pattern)
+  * static struct schema — compile rejects them here (use [[DissectMapExpr]]).
+  * Supports the reference's trim modes on captured values (trim.go,
+  * dissect.go:71-76) — same knobs as [[DissectMapExpr]].
+  *
+  * Rows are built in a per-thread reused `UnsafeRowWriter` straight off the
+  * input column bytes — no defensive copy, no `GenericInternalRow`, no
+  * boxing on the string fields (the round-1 lesson: per-row allocation
+  * inverts thread scaling on a memory-bound host). */
+case class DissectExpr(child: Expression, pattern: String,
+                       trimMode: Dissect.TrimMode = Dissect.TrimNone,
+                       trimChars: String = " ") extends UnaryExpression {
+  @transient private lazy val compiled = Dissect.compile(pattern, trimMode, trimChars)
   // compile eagerly on the driver too, so bad patterns fail at plan time
   private val planTimeSchema: StructType = {
-    val c = Dissect.compile(pattern)
+    val c = Dissect.compile(pattern, trimMode, trimChars)
     require(!c.hasDynamicKeys,
       s"dissect: indirect '&key' produces dynamic keys; use dissect_map for '$pattern'")
     c.schema
   }
+
+  @transient private lazy val states: ThreadLocal[Dissect.StructState] =
+    ThreadLocal.withInitial(() => compiled.newStructState)
 
   override def dataType: DataType = planTimeSchema
   override def nullable: Boolean = true
   override def prettyName: String = "dissect"
 
   override protected def nullSafeEval(input: Any): Any =
-    compiled.runStruct(input.asInstanceOf[UTF8String])
+    compiled.runStruct(input.asInstanceOf[UTF8String], states.get())
 
-  def evalInput(input: UTF8String): InternalRow = compiled.runStruct(input)
+  def evalInput(input: UTF8String): InternalRow =
+    compiled.runStruct(input, states.get())
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("dissectExpr", this, classOf[DissectExpr].getName)
@@ -501,7 +580,12 @@ case class DissectExpr(child: Expression, pattern: String) extends UnaryExpressi
 
 /** `dissect_map(text, pattern)` → map<string,string>: the reference's
   * string-map output (dissect.go:58-78) with the full modifier set including
-  * indirect/pointer dynamic keys and trim modes; NULL map on mismatch. */
+  * indirect/pointer dynamic keys and trim modes; NULL map on mismatch.
+  *
+  * Key ORDER is static keys in pattern (outKeys) order, then dynamic
+  * (indirect) keys in apply order — a deliberate choice, observable via
+  * `map_keys`/`to_json` but semantics-free in the reference too (Go map
+  * iteration order is unspecified); `element_at` lookups are unaffected. */
 case class DissectMapExpr(child: Expression, pattern: String,
                           trimMode: Dissect.TrimMode = Dissect.TrimNone,
                           trimChars: String = " ") extends UnaryExpression {

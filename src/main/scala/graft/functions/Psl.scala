@@ -39,47 +39,71 @@ object PslKernel {
     "github.io", "gitlab.io", "s3.amazonaws.com", "blogspot.com",
     "*.ck", "!www.ck")
 
-  final class Compiled(ruleSpecs: Seq[String]) extends Serializable {
-    // rules as label arrays in domain order; wildcard keeps its "*" label
-    private val exceptions: Array[Array[String]] = ruleSpecs
-      .filter(_.startsWith("!")).map(_.substring(1).split('.')).toArray
-    private val rules: Array[Array[String]] = ruleSpecs
-      .filterNot(_.startsWith("!")).map(_.split('.')).toArray
+  /** Parse publicsuffix.org list-format content into rule specs: one rule
+    * per line, `//` comment lines and blanks skipped, everything after the
+    * first whitespace ignored (the upstream file's inline annotations).
+    * Both the ICANN and PRIVATE sections are kept — same behavior as the
+    * reference's generated table (publicsuffix/table.go bakes the whole
+    * list). */
+  def parseRuleList(content: String): Seq[String] =
+    content.linesIterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+      .map(l => l.takeWhile(!_.isWhitespace))
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+      .toSeq
 
-    /** rule labels match the TAIL of the domain labels; "*" matches any ONE
-      * label (wildcards are leftmost-only in the PSL). */
-    private def tailMatches(labels: Array[String], rule: Array[String]): Boolean = {
-      if (rule.length > labels.length) return false
-      var i = 0
-      while (i < rule.length) {
-        val rl = rule(rule.length - 1 - i)
-        if (rl != "*" && rl != labels(labels.length - 1 - i)) return false
-        i += 1
-      }
-      true
+  /** Load the full downloaded PSL (≈9k rules) from a local file at PLAN
+    * time — the compiled set ships to executors once inside the expression,
+    * never per row. */
+  def loadRules(path: String): Seq[String] =
+    parseRuleList(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Hash-compiled rule set. Lookup walks the domain's label suffixes
+    * right-to-left — O(#labels) hash probes per row, INDEPENDENT of rule
+    * count (the naive per-rule tail-compare is O(#rules) per row: unusable
+    * with the real ~9k-rule list at 100 TB). */
+  final class Compiled(ruleSpecs: Seq[String]) extends Serializable {
+    private val exceptions = new java.util.HashSet[String]() // "www.ck" (no '!')
+    private val exacts = new java.util.HashSet[String]()     // "co.uk"
+    private val wildcardParents = new java.util.HashSet[String]() // "ck" for "*.ck"
+    ruleSpecs.foreach { r =>
+      if (r.startsWith("!")) exceptions.add(r.substring(1))
+      else if (r.startsWith("*.")) wildcardParents.add(r.substring(2))
+      else if (r != "*") exacts.add(r)
     }
 
     /** number of labels in the public suffix of `labels`, per the PSL
-      * algorithm (≥1 — the default rule "*" always matches). */
+      * algorithm (≥1 — the default rule "*" always matches). Exception rules
+      * prevail; otherwise the matching rule with the most labels wins, which
+      * right-to-left suffix growth finds naturally. */
     def suffixLabels(labels: Array[String]): Int = {
-      var i = 0
-      while (i < exceptions.length) {
-        if (tailMatches(labels, exceptions(i))) return exceptions(i).length - 1
-        i += 1
-      }
+      val n = labels.length
       var best = 1 // default rule "*"
-      i = 0
-      while (i < rules.length) {
-        val r = rules(i)
-        if (r.length > best && tailMatches(labels, r)) best = r.length
-        i += 1
+      var suffix: String = null
+      var i = n - 1
+      while (i >= 0) {
+        suffix = if (suffix == null) labels(i) else labels(i) + "." + suffix
+        val len = n - i
+        // an exception rule's public suffix is the rule minus its leftmost
+        // label (prevails over everything)
+        if (exceptions.contains(suffix)) return len - 1
+        if (exacts.contains(suffix)) { if (len > best) best = len }
+        // "*.parent": the wildcard consumes labels(i-1), one more label left
+        if (i > 0 && wildcardParents.contains(suffix) && len + 1 > best)
+          best = len + 1
+        i -= 1
       }
       best
     }
 
     /** eTLD+1, or null when the domain is malformed or is itself a public
-      * suffix. Input is lowercased; one trailing dot is tolerated (FQDN
-      * form), like the reference's normalization. */
+      * suffix. Deliberately MORE LENIENT than the reference on input shape:
+      * publicsuffix.EffectiveTLDPlusOne performs no normalization and errors
+      * on empty labels, while this lowercases and tolerates exactly one
+      * trailing dot (FQDN form); any remaining empty label still nulls. */
     def registeredDomain(domainRaw: String): String = {
       if (domainRaw == null || domainRaw.isEmpty) return null
       // Locale.ROOT: Go strings.ToLower is locale-independent; the default
@@ -87,7 +111,8 @@ object PslKernel {
       var domain = domainRaw.toLowerCase(java.util.Locale.ROOT)
       if (domain.charAt(domain.length - 1) == '.')
         domain = domain.substring(0, domain.length - 1)
-      if (domain.isEmpty || domain.charAt(0) == '.' || domain.contains(".."))
+      if (domain.isEmpty || domain.charAt(0) == '.' || domain.contains("..") ||
+          domain.charAt(domain.length - 1) == '.')
         return null
       val labels = domain.split('.')
       val k = suffixLabels(labels)

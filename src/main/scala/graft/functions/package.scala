@@ -21,9 +21,13 @@ package object functions {
   def grok_struct(text: Column, pattern: String, fields: Seq[String]): Column =
     ExpressionUtils.column(GrokStruct(ExpressionUtils.expression(text), pattern, fields))
 
-  /** dissect positional tokenizer → struct column (null struct on miss). */
-  def dissect(text: Column, pattern: String): Column =
-    ExpressionUtils.column(DissectExpr(ExpressionUtils.expression(text), pattern))
+  /** dissect positional tokenizer → struct column (null struct on miss);
+    * trim modes per the reference's processor config (trim.go). */
+  def dissect(text: Column, pattern: String,
+              trimMode: Dissect.TrimMode = Dissect.TrimNone,
+              trimChars: String = " "): Column =
+    ExpressionUtils.column(
+      DissectExpr(ExpressionUtils.expression(text), pattern, trimMode, trimChars))
 
   /** dissect with the full modifier set (indirect/pointer dynamic keys, trim
     * modes) → map<string,string> column (null map on miss). */
@@ -197,4 +201,9 @@ package object functions {
   def registered_domain(domain: Column,
                         rules: Seq[String] = PslKernel.DefaultRules): Column =
     ExpressionUtils.column(RegisteredDomain(ExpressionUtils.expression(domain), rules))
+
+  /** registered_domain against a downloaded publicsuffix.org list file, read
+    * once at plan time (the deployment path for the real ~9k-rule list). */
+  def registered_domain_from_file(domain: Column, rulesFile: String): Column =
+    registered_domain(domain, PslKernel.loadRules(rulesFile))
 }

@@ -305,25 +305,28 @@ object Actions {
     * 15/03/04/05, .000/.999 fractions, Jan/January, Mon/Monday, PM,
     * -0700/-07:00/Z07:00, MST.
     *
-    * Fractions follow Go's parse semantics (time/format.go): a `.999`/`,999`
-    * run is ELIDABLE — input without a fraction still parses — so it maps to
-    * a Java optional section `[.SSS]`; a `.000` run is required. (Go
-    * additionally accepts a fraction of any LENGTH; here the digit count
-    * must match the layout's, the documented approximation.) */
+    * Fractions follow Go's parse semantics (time/format.go, stdFracSecond9
+    * parse: maximal digit run of ANY length): a `.999`/`,999` run is
+    * ELIDABLE and length-flexible — it maps to an optional 9-'S' section
+    * `[.SSSSSSSSS]`, which Spark parses as 1–9 fraction digits (the
+    * datetime-pattern contract: "the acceptable fraction length can be
+    * [1, the number of contiguous 'S']") — so a `.999` layout parses
+    * microsecond or nanosecond inputs exactly like Go. A `.000` run keeps
+    * Go's exact-digit-count requirement (std0xFraction parse). */
   def goLayoutToPattern(layout: String): String = {
     // ordered longest-first so "2006" wins over "06", "15" over "1", etc.;
     // dotted/comma 9-fractions precede the bare runs so the separator joins
     // the optional section
     val subs = Seq(
-      ".999999999" -> "[.SSSSSSSSS]", ".999999" -> "[.SSSSSS]", ".999" -> "[.SSS]",
-      ",999999999" -> "[,SSSSSSSSS]", ",999999" -> "[,SSSSSS]", ",999" -> "[,SSS]",
+      ".999999999" -> "[.SSSSSSSSS]", ".999999" -> "[.SSSSSSSSS]", ".999" -> "[.SSSSSSSSS]",
+      ",999999999" -> "[,SSSSSSSSS]", ",999999" -> "[,SSSSSSSSS]", ",999" -> "[,SSSSSSSSS]",
       "January" -> "MMMM", "Jan" -> "MMM",
       "Monday" -> "EEEE", "Mon" -> "EEE",
       "2006" -> "yyyy", "06" -> "yy",
       "15" -> "HH", "01" -> "MM", "02" -> "dd", "03" -> "hh", "04" -> "mm",
       "05" -> "ss",
       "000000000" -> "SSSSSSSSS", "000000" -> "SSSSSS", "000" -> "SSS",
-      "999999999" -> "SSSSSSSSS", "999999" -> "SSSSSS", "999" -> "SSS",
+      "999999999" -> "SSSSSSSSS", "999999" -> "SSSSSSSSS", "999" -> "SSSSSSSSS",
       "Z07:00" -> "XXX", "Z0700" -> "XX",
       "-07:00" -> "xxx", "-0700" -> "xx", "-07" -> "x",
       "MST" -> "zzz",

@@ -46,7 +46,11 @@ object Script {
     def getList(key: String): Seq[String] = lists.getOrElse(key, null)
 
     /** Put(key, value) → previous scalar or null; overwrites, replacing an
-      * array-valued key like the reference's map put (put, :137-150). */
+      * array-valued key like the reference's map put (put, :137-150).
+      * Typed-API divergence (deliberate): the reference's Put returns the
+      * previous value whatever its type; this String-typed signature cannot
+      * carry a removed array, so replacing an array-valued key returns null —
+      * read [[getList]] first when the prior array matters. */
     def put(key: String, value: String): String = {
       lists.remove(key)
       val old = fields.getOrElse(key, null)
@@ -80,22 +84,34 @@ object Script {
     def cancel(): Unit = cancelled = true
     def isCancelled: Boolean = cancelled
 
-    /** Tag(t): append to the `tags` array unless present (tag, :228-246). */
-    def tag(t: String): Unit = appendTo("tags", t)
+    /** Tag(t): append to the `tags` array unless present; an absent `tags`
+      * becomes a one-element ARRAY (appendString alwaysArray=true,
+      * beatevent_v0.go:236 + :264-268). */
+    def tag(t: String): Unit = appendString("tags", t, alwaysArray = true)
 
     /** AppendTo(field, value): array-converting append, a strict NO-OP when
       * the value is already present — an equal scalar stays scalar, like the
-      * reference's appendString skip (appendTo, :248-260). Otherwise an
-      * existing scalar becomes the array's first element. */
+      * reference's appendString skip (appendTo, :248-260). An existing
+      * different scalar becomes the array's first element; a fully ABSENT
+      * field stores a plain scalar (appendString alwaysArray=false, case nil,
+      * beatevent_v0.go:262-270). */
     def appendTo(field: String, value: String): Unit =
+      appendString(field, value, alwaysArray = false)
+
+    private def appendString(field: String, value: String,
+                             alwaysArray: Boolean): Unit =
       lists.get(field) match {
         case Some(l) =>
           if (!l.contains(value)) lists(field) = l :+ value
         case None =>
-          val scalar = fields.get(field)
-          if (!scalar.contains(value)) {
-            fields.remove(field)
-            lists(field) = scalar.map(Vector(_)).getOrElse(Vector.empty) :+ value
+          fields.get(field) match {
+            case Some(`value`) => // equal scalar stays scalar
+            case Some(prev) =>
+              fields.remove(field)
+              lists(field) = Vector(prev, value)
+            case None =>
+              if (alwaysArray) lists(field) = Vector(value)
+              else fields(field) = value
           }
       }
 

@@ -22,8 +22,14 @@ import graft.model.Sinks
   *    parquet → ATOMIC commit marker (the ACK)
   *  - resume = rerun the same command; committed groups are skipped
   *    (filebeat registrar semantics: offsets persisted only after ACK,
-  *    filebeat/beater/acker.go:37-68), uncommitted partial output is
-  *    overwritten deterministically → effectively-once end-to-end
+  *    filebeat/beater/acker.go:37-68); a crashed run's uncommitted staging
+  *    is simply unreachable (readers resolve through commit markers) →
+  *    effectively-once end-to-end
+  *  - CONCURRENT runners on the same root are safe: each stages into its
+  *    own run-fenced directory and the atomic marker rename decides the
+  *    winner per group; the loser abandons its staging cleanly (the
+  *    Registry scaladoc documents the protocol; PipelineRunnerSpec races
+  *    two runners to pin it)
   *
   * At cluster scale each group is a full distributed job over one bucket
   * range; `groups` trades failure-domain granularity against job overhead
@@ -65,12 +71,14 @@ object PipelineRunner {
       val sinkNames = Sinks.All :+ TranscriptPipeline.Filtered
       val countCols = sinkNames.map(s =>
         sum(when(col("sink") === s, 1L).otherwise(0L)).as(s))
+      // the write lands in THIS run's fenced directory (Registry protocol):
+      // concurrent runners stage conflict-free and the commit marker decides
       TranscriptPipeline.transform(slice)
         .observe(obs, countCols.head, countCols.tail: _*)
         .filter(col("sink") =!= TranscriptPipeline.Filtered)
         .sortWithinPartitions("sink", "conv_id", "turn_idx")
         .write.mode("overwrite").partitionBy("sink")
-        .parquet(s"$root/data/group=$g")
+        .parquet(reg.dataGroupDir(g))
       val counts = {
         val m = obs.get
         sinkNames.map(s => s -> m(s).asInstanceOf[Long])
@@ -98,8 +106,13 @@ object PipelineRunner {
       val bytesJson = writeStats
         .map { case (k, (b, f)) => s""""$k":{"bytes":$b,"files":$f}""" }
         .mkString("{", ",", "}")
-      reg.commit(g, s"""{"group":$g,"counts":$lineage,"writes":$bytesJson}""")
-      results += GroupResult(g, counts, writeStats.map { case (k, (b, _)) => k -> b })
+      val won = reg.commit(g, s"""{"group":$g,"counts":$lineage,"writes":$bytesJson}""")
+      if (won)
+        results += GroupResult(g, counts, writeStats.map { case (k, (b, _)) => k -> b })
+      else
+        // fence lost: a concurrent runner committed this group first — its
+        // output is the one readers resolve; drop our orphaned staging
+        reg.abandonGroup(g)
 
       done += 1
       if (done > failAfterGroup) // test hook: simulate a crash between commits

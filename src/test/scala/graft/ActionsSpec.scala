@@ -141,8 +141,10 @@ class ActionsSpec extends SparkSpec {
 
   test("go layout translation covers the Beats layout vocabulary") {
     assert(Actions.goLayoutToPattern("2006-01-02 15:04:05") == "yyyy-MM-dd HH:mm:ss")
-    // Go parse semantics: a .999 fraction is elidable → optional section
-    assert(Actions.goLayoutToPattern("2006-01-02T15:04:05.999") == "yyyy-MM-dd'T'HH:mm:ss[.SSS]")
+    // Go parse semantics: a .999 fraction is elidable AND length-flexible
+    // (stdFracSecond9: maximal digit run) → optional 9-'S' section, which
+    // Spark parses as 1-9 fraction digits
+    assert(Actions.goLayoutToPattern("2006-01-02T15:04:05.999") == "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]")
     assert(Actions.goLayoutToPattern("2006-01-02 15:04:05.000") == "yyyy-MM-dd HH:mm:ss.SSS")
     assert(Actions.goLayoutToPattern("02/Jan/2006 03:04 PM") == "dd/MMM/yyyy hh:mm a")
     val df = Seq("2024-01-02 03:04:05", "02/Jan/2024 03:04 PM", "junk").toDF("s")
@@ -155,6 +157,16 @@ class ActionsSpec extends SparkSpec {
       .select(Actions.parseTimestampGoLayouts(col("s"),
         Seq("2006-01-02 15:04:05.999")).as("ts"))
     assert(frac.filter(col("ts").isNotNull).count() == 2)
+    // length-flexible: a .999 layout parses micro- and nanosecond inputs
+    // (Go accepts any fraction length; the old fixed-width mapping nulled
+    // everything but exactly 3 digits)
+    val lens = Seq("2024-01-02 03:04:05.1", "2024-01-02 03:04:05.123456",
+        "2024-01-02 03:04:05.123456789").toDF("s")
+      .select(Actions.parseTimestampGoLayouts(col("s"),
+        Seq("2006-01-02 15:04:05.999")).as("ts"))
+    assert(lens.filter(col("ts").isNotNull).count() == 3)
+    assert(lens.select(date_format(col("ts"), "SSSSSS")).as[String].collect()
+      .toSeq == Seq("100000", "123456", "123456")) // micros kept (ns truncated)
   }
 
   test("kafka round_robin rotates through partitions per group") {

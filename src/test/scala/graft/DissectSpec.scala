@@ -108,6 +108,27 @@ class DissectSpec extends SparkSpec {
     assert(got == Map("a" -> "one", "b" -> "two"))
   }
 
+  test("trim modes on the struct path (trim.go via DissectExpr)") {
+    val df = Seq("  one\t, two  ", "x,y").toDF("t")
+      .select(dissect(col("t"), "%{a},%{b}", Dissect.TrimAll, " \t").as("d"))
+      .select(col("d.a"), col("d.b")).collect()
+    assert(df(0).getString(0) == "one" && df(0).getString(1) == "two")
+    assert(df(1).getString(0) == "x" && df(1).getString(1) == "y")
+    // left/right-only variants
+    val lr = Seq(" a , b ").toDF("t").select(
+      dissect(col("t"), "%{x},%{y}", Dissect.TrimLeft).as("l"),
+      dissect(col("t"), "%{x},%{y}", Dissect.TrimRight).as("r")).head()
+    assert(lr.getStruct(0).getString(0) == "a " && lr.getStruct(0).getString(1) == "b ")
+    assert(lr.getStruct(1).getString(0) == " a" && lr.getStruct(1).getString(1) == " b")
+  }
+
+  test("struct path trims before typed conversion") {
+    val r = Seq(" 7 , 2.5 ").toDF("t")
+      .select(dissect(col("t"), "%{n|integer},%{d|double}", Dissect.TrimAll).as("s"))
+      .select(col("s.n"), col("s.d")).head()
+    assert(r.getInt(0) == 7 && r.getDouble(1) == 2.5)
+  }
+
   test("type conversion %{key|integer} / long / double / boolean / ip") {
     val r = fields("%{n|integer} %{l|long} %{d|double} %{b|boolean} %{i|ip}",
       "7 0x1F 2.5 true 10.1.2.3")

@@ -84,6 +84,46 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(actual == expected)
   }
 
+  test("two concurrent runners on one root: fence decides, loser exits clean") {
+    val root = tmpDir()
+    // race two full runs of the SAME input over the same checkpoint root
+    // (the reference's concurrent-access story: filestream store
+    // ref-counting, input-logfile/store.go:37-300)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(PipelineRunner.run(input, root, groups = 4))
+    val fb = Future(PipelineRunner.run(input, root, groups = 4))
+    val (ra, rb) = (Await.result(fa, 5.minutes), Await.result(fb, 5.minutes))
+
+    // every group committed exactly once; each was WON by at most one runner
+    // (a runner that saw the marker early skips; one that raced loses the
+    // rename and abandons) — no group double-counted, none lost
+    val reg = new Registry(root, spark)
+    assert(reg.committedGroups() == Seq(0, 1, 2, 3))
+    val wonGroups = (ra ++ rb).map(_.group)
+    assert(wonGroups.distinct.size == wonGroups.size)
+    assert(wonGroups.toSet.subsetOf((0 until 4).toSet))
+
+    // the combined result equals a clean single-runner run: no dupes, right counts
+    val rootClean = tmpDir()
+    PipelineRunner.run(input, rootClean, groups = 4)
+    assert(PipelineRunner.observedMetrics(root, spark) ==
+      PipelineRunner.observedMetrics(rootClean, spark))
+    val es = reg.readSink(Sinks.Es).get
+    assert(es.select("doc_id").distinct().count() == es.count())
+
+    // losers left no stray run-scoped staging behind markers' winners:
+    // every surviving data/run dir is referenced by some marker
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
+    val liveRuns = fs.listStatus(dataDir).map(_.getPath.getName)
+      .filter(_.startsWith("run=")).map(_.stripPrefix("run=")).toSet
+    val winners = (0 until 4).flatMap(reg.markerRun).toSet
+    assert(liveRuns.subsetOf(winners))
+  }
+
   test("commit marker is the atomicity point: uncommitted output is invisible") {
     val root = tmpDir()
     intercept[RuntimeException] {

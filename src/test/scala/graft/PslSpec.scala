@@ -53,6 +53,9 @@ class PslSpec extends SparkSpec {
       Seq(Some("example.com"), Some("example.com")))
     // a bare public suffix, empty labels, leading dot → NULL
     assert(rd(Seq("com", ".com", "a..com")) === Seq(None, None, None))
+    // only ONE trailing dot is tolerated: a dot remaining after the single
+    // FQDN strip is an empty label, not normalized away
+    assert(rd(Seq("example.com..", "example.com...")) === Seq(None, None))
   }
 
   test("custom rule list overrides the embedded subset") {
@@ -61,6 +64,39 @@ class PslSpec extends SparkSpec {
       .select(registered_domain(col("d"), Seq("corp", "internal.corp")).as("rd"))
       .collect().map(r => Option(r.getString(0))).toSeq
     assert(out === Seq(Some("x.internal.corp"), None))
+  }
+
+  test("file loader: list-format parsing (comments, sections, annotations)") {
+    val path = getClass.getResource("/public_suffix_fixture.dat").getPath
+    val rules = PslKernel.loadRules(path)
+    assert(rules.length > 400)
+    assert(!rules.exists(_.startsWith("//")) && !rules.exists(_.isEmpty))
+    assert(rules.contains("co.uk") && rules.contains("*.ck") &&
+      rules.contains("!www.ck") && rules.contains("xn--p1ai"))
+  }
+
+  test("file-based registered_domain: real-list rules incl. punycode, " +
+    "multi-label wildcards, and exception families") {
+    val path = getClass.getResource("/public_suffix_fixture.dat").getPath
+    def rdf(domains: Seq[String]): Seq[Option[String]] =
+      domains.toDF("d")
+        .select(registered_domain_from_file(col("d"), path).as("rd"))
+        .collect().map(r => Option(r.getString(0))).toSeq
+    // punycode TLDs are exact string labels
+    assert(rdf(Seq("xn--e1afmkfd.xn--p1ai", "www.xn--e1afmkfd.xn--p1ai")) ===
+      Seq(Some("xn--e1afmkfd.xn--p1ai"), Some("xn--e1afmkfd.xn--p1ai")))
+    assert(rdf(Seq("xn--55qx5d.xn--j6w193g")) === Seq(None)) // IS a suffix
+    // 3-label private rule + multi-label wildcard (*.compute.amazonaws.com)
+    assert(rdf(Seq("bucket.s3.amazonaws.com")) === Seq(Some("bucket.s3.amazonaws.com")))
+    assert(rdf(Seq("vm.ec2-1-2-3-4.compute.amazonaws.com")) ===
+      Seq(Some("vm.ec2-1-2-3-4.compute.amazonaws.com")))
+    assert(rdf(Seq("ec2-1-2-3-4.compute.amazonaws.com")) === Seq(None))
+    // jp city wildcards with exception (!city.kawasaki.jp)
+    assert(rdf(Seq("a.b.kawasaki.jp", "city.kawasaki.jp", "x.city.kawasaki.jp")) ===
+      Seq(Some("a.b.kawasaki.jp"), Some("city.kawasaki.jp"), Some("city.kawasaki.jp")))
+    // 4-label exact rule (schools.nsw.edu.au)
+    assert(rdf(Seq("x.schools.nsw.edu.au")) === Seq(Some("x.schools.nsw.edu.au")))
+    assert(rdf(Seq("schools.nsw.edu.au")) === Seq(None))
   }
 
   test("codegen and interpreted paths agree") {

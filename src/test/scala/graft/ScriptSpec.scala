@@ -40,6 +40,21 @@ class ScriptSpec extends SparkSpec {
     assert(out.lists("tags") == Seq("t1", "t2"))
   }
 
+  test("appendTo on an absent field stores a scalar; tag stores an array " +
+    "(appendString alwaysArray, beatevent_v0.go:262-270)") {
+    val out = Script.run(Seq(oneEvent()).toDS()) { e =>
+      e.appendTo("err", "only")        // absent + alwaysArray=false → scalar
+      e.tag("t1")                      // absent + alwaysArray=true → array
+    }.collect()(0)
+    assert(out.fields("err") == "only" && !out.lists.contains("err"))
+    assert(out.lists("tags") == Seq("t1"))
+    // second distinct value converts the scalar to an array
+    val out2 = Script.run(Seq(oneEvent()).toDS()) { e =>
+      e.appendTo("err", "a"); e.appendTo("err", "b")
+    }.collect()(0)
+    assert(out2.lists("err") == Seq("a", "b") && !out2.fields.contains("err"))
+  }
+
   test("appendTo of an equal scalar is a strict no-op (shape preserved)") {
     val out = Script.run(Seq(oneEvent("err" -> "x")).toDS()) { e =>
       e.appendTo("err", "x")           // value already present as a scalar
