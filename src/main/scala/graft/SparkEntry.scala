@@ -285,6 +285,24 @@ object SparkEntry {
           col("_d.level"), col("_d.thread"), col("_d.class"), col("_d.method"),
           col("_d.line"), col("_d.trace"), col("_d.span"))),
 
+    // --- dissect trim modes on the typed struct path (trim.go semantics:
+    //     trimmer applied to every capture before conversion) ---
+    "q_dissect_trim" -> ((s, dir) =>
+      t(s, dir)
+        .withColumn("_padded", concat(lit(" "), col("role"), lit(" , "),
+          col("conv_id"), lit(" , "), col("turn_idx").cast("string"), lit("  ")))
+        .withColumn("_d", graft.functions.dissect(col("_padded"),
+          "%{a},%{b},%{n|integer}", graft.functions.Dissect.TrimAll))
+        .select(col("conv_id"), col("turn_idx"),
+          col("_d.a").as("a"), col("_d.b").as("b"), col("_d.n").as("n"))),
+
+    // --- fingerprint with the reference's exact field encoding
+    //     (|k|v|…| over name-sorted fields, fingerprint.go:91-115) ---
+    "q_fingerprint_fields" -> ((s, dir) =>
+      t(s, dir).select(col("conv_id"), col("turn_idx"),
+        graft.functions.fingerprint_fields(
+          Seq("role" -> col("role"), "conv" -> col("conv_id")), "md5").as("fp"))),
+
     // --- decode_json_fields over the embedded ##JIDU## envelope ---
     "q_decode_json" -> ((s, dir) =>
       TranscriptPipeline.parse(t(s, dir))
@@ -709,6 +727,18 @@ object SparkEntry {
           |  substr(f10, 2, length(f10) - 2) AS trace,
           |  substr(f11, 2, length(f11) - 2) AS span
           | FROM d""".stripMargin),
+
+    "q_dissect_trim" ->
+      (OracleCte.transcripts +
+        """ SELECT conv_id, turn_idx,
+          |  role AS a, conv_id AS b, CAST(turn_idx AS INTEGER) AS n
+          | FROM transcripts""".stripMargin),
+
+    "q_fingerprint_fields" ->
+      (OracleCte.transcripts +
+        """ SELECT conv_id, turn_idx,
+          |  md5('|conv|' || conv_id || '|role|' || role || '|') AS fp
+          | FROM transcripts""".stripMargin),
 
     "q_decode_json" ->
       (OracleCte.parsed +

@@ -54,6 +54,24 @@ class SkewSpec extends SparkSpec {
     assert(hot.getString(2).split("\n").length == 50) // buffer capped
   }
 
+  test("per-key ordered window over the hot conv completes in bounded time " +
+    "(wall-clock straggler documented in BASELINE.md; flaky-tolerant bound)") {
+    // rateLimitCounts (like multilinePattern / kafka round_robin) windows
+    // over partitionBy(conv_id): the hot conv's rows flow through ONE task.
+    // Memory is safe (streaming window frame — no buffering), but the task
+    // is an inherent wall-clock straggler of per-key ORDERED semantics.
+    // This pin is a regression gate against the window going quadratic or
+    // buffering; the bound is deliberately generous so host noise cannot
+    // flake it, and the measured wall is recorded via info() + BASELINE.md.
+    val df = Transcripts.synthesize(spark, 400000L, 4000L) // hot conv ≈ 20%
+    val t0 = System.nanoTime()
+    val n = graft.operators.Actions.rateLimitCounts(df, "conv_id", "turn_idx", 5).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"rateLimitCounts over 400k rows, hot conv ~20%%: $sec%.2f s")
+    assert(n > 0)
+    assert(sec < 120.0, f"per-key ordered window went pathological: $sec%.1f s")
+  }
+
   test("simhash degenerate-bucket guard drops mega-buckets instead of going quadratic") {
     // 50 identical docs → identical sigs → every chunk bucket has 50 members
     val docs = (0 until 50).map(i => (i.toLong, "the same boilerplate text"))
