@@ -260,8 +260,23 @@ object Bench {
     // artifact records that its own calibration contradicts its walls.
     def eff2to8Now: Double =
       walls(2).min / (4.0 * walls(8).min) // thr8/(4·thr2) = sec2/(4·sec8)
+    def eff8to32Now: Double =
+      walls(8).min / (4.0 * walls(32).min)
     var extraRounds = 0
     while (eff2to8Now < 0.8 && ceilCpu >= 0.85 && extraRounds < 2) {
+      measureRound(warm = false)
+      extraRounds += 1
+    }
+    // Same defence for the all-cores tier, which is the one the documented
+    // interference windows usually hit (round-3 observation: a run recorded
+    // eff 8→32 = 0.24 with walls_32 = 16.6/10.4/6.8 s — massive variance —
+    // while the SAME run's calibrations read 0.90/0.84 and the 2→8 gate tier
+    // passed at 0.83). 0.45 is the floor any quiet-host run clears: the
+    // parquet scan ALONE scales at 0.54–0.58 here and the full transform has
+    // measured 0.52–0.63 across every quiet round. Re-measure while the
+    // same-run CPU calibration says the cores scale; if it still misses,
+    // flag the tier so a reader knows the walls contradict the calibration.
+    while (eff8to32Now < 0.45 && ceilCpu >= 0.85 && extraRounds < 4) {
       measureRound(warm = false)
       extraRounds += 1
     }
@@ -269,6 +284,7 @@ object Bench {
     val sec8 = walls(8).min
     val sec2 = walls(2).min
     val hostDegraded = eff2to8Now < 0.8 && ceilCpu >= 0.85
+    val hostDegraded32 = eff8to32Now < 0.45 && ceilCpu >= 0.85
 
     // absolute throughput of the routing-only fast path at 4N
     val routeThr = {
@@ -301,6 +317,7 @@ object Bench {
       f""""walls_2":${wallsJson(2)},"walls_8":${wallsJson(8)},""" +
       f""""walls_32":${wallsJson(32)},""" +
       f""""extra_rounds":$extraRounds,"host_degraded":$hostDegraded,""" +
+      f""""host_degraded_32":$hostDegraded32,""" +
       f""""route_only_turns_per_sec_32":$routeThr%.0f}"""
 
     println(

@@ -65,6 +65,12 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       graft.dedup.Dedup.simhashPairs(docs(s, dir), maxHamming = 3)),
 
+    // dedup RESOLUTION: near-dup pairs → connected components → one row per
+    // document with its cluster id and the keep/drop decision
+    "q_dedup_clusters" -> ((s, dir) =>
+      graft.dedup.Dedup.dedupClusters(docs(s, dir),
+        graft.dedup.Dedup.minhashPairs(docs(s, dir), 80))),
+
     "q_dedup_embedding" -> ((s, dir) =>
       graft.dedup.Dedup.embeddingPairs(embeds(s, dir), 0.4)),
 
@@ -536,6 +542,25 @@ object SparkEntry {
     // brute-force verified-pair SQL.
     "q_dedup_minhash" ->
       (OracleCte.jaccardPairs + " SELECT * FROM jpairs"),
+
+    // cluster resolution: the oracle computes true transitive closure over
+    // the same verified pair set with a recursive CTE, then labels every
+    // document with min(component) (singletons label themselves)
+    "q_dedup_clusters" ->
+      (OracleCte.jaccardPairs.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, und AS (
+          |  SELECT a_id AS u, b_id AS v FROM jpairs
+          |  UNION SELECT b_id AS u, a_id AS v FROM jpairs
+          |), reach(u, v) AS (
+          |  SELECT u, v FROM und
+          |  UNION
+          |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u AND e.v <> r.u
+          |), comp AS (
+          |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+          |)
+          | SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+          |   COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
+          | FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin),
 
     "q_dedup_embedding" ->
       (OracleCte.cosinePairs +

@@ -162,6 +162,81 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected near-dup pair graph by
+    * alternating large-star / small-star rounds (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Each round is a
+    * groupBy-MIN plus a join — no adjacency list is ever collected or
+    * buffered, so a boilerplate hub of any degree costs one running minimum,
+    * never one buffer. Converges in O(log² n) rounds on adversarial graphs;
+    * near-dup graphs (small, shallow components) converge in 2–3. Lineage is
+    * truncated with an eager localCheckpoint per round so the iterative plan
+    * never grows.
+    *
+    * Returns (node, component) for every node that appears in `pairs`, where
+    * component = the smallest node id in the node's connected component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    var e = pairs
+      .select(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // large-star: connect every strictly-larger neighbor of u to
+      // min(N(u) ∪ {u})
+      val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val minsL = bidir.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val afterLarge = bidir.join(minsL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: direct each edge (max → min), then connect u and all its
+      // smaller neighbors to min(N⁻(u) ∪ {u})
+      val dir = afterLarge.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+      val minsS = dir.groupBy("u").agg(min("v").as("m"))
+      val afterSmall = dir.join(minsS, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .union(minsS.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      // fixpoint: both sides are distinct sets, so equal counts + empty
+      // anti-join ⟺ identical edge sets
+      converged = afterSmall.count() == e.count() &&
+        afterSmall.join(e, Seq("u", "v"), "left_anti").isEmpty
+      e = afterSmall
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    // e is now a star forest (node → component root); roots appear only on
+    // the v side, so add their self-rows
+    e.select(col("u").as("node"), col("v").as("component"))
+      .union(e.select(col("v").as("node"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** Full dedup RESOLUTION over a corpus: verified near-dup pairs → connected
+    * components → one row per document (doc_id, cluster_id, keep). `keep`
+    * marks the cluster representative (smallest doc_id in the component);
+    * `filter(col("keep"))` is the deduplicated corpus. Documents in no pair
+    * are their own singleton cluster. The components relation holds only the
+    * nodes that appear in some pair — tiny next to the corpus — so the final
+    * join broadcasts under AQE at real duplicate rates. */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs).withColumnRenamed("node", "doc_id")
+    docs.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
   /** Family 4 — embedding cosine near-dup (brute force with id ordering;
     * the bucketed scale path is [[embeddingPairsLsh]]). */
   def embeddingPairs(embeds: DataFrame, tau: Double): DataFrame = {

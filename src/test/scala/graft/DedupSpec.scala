@@ -105,4 +105,59 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(groups(10L) == 2L && groups(12L) == 1L)
   }
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connected components: chain, triangle, and pair resolve to min-id") {
+    val comp = ccOf(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),          // chain
+      (10L, 11L), (11L, 12L), (10L, 12L),    // triangle
+      (21L, 20L)))                           // pair, reversed order
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components match a union-find oracle on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = (0 until 120).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    // reference union-find
+    val parent = scala.collection.mutable.Map((0L until 80L).map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = nodes.map { n =>
+      // component label = min node id in the component
+      val root = find(n)
+      n -> nodes.filter(m => find(m) == root).min
+    }.toMap
+    assert(ccOf(edges) == expected)
+  }
+
+  test("connected components: a 2k-spoke hub resolves without buffering (min-agg only)") {
+    val hub = (2L to 2001L).map(v => (1L, v))
+    val comp = ccOf(hub)
+    assert(comp.size == 2001 && comp.values.forall(_ == 1L))
+  }
+
+  test("dedupClusters marks one representative per cluster and keeps singletons") {
+    import spark.implicits._
+    val allDocs = Seq(1L, 2L, 3L, 7L, 9L).toDF("doc_id")
+    val pairs = Seq((2L, 3L)).toDF("a_id", "b_id")
+    val rows = Dedup.dedupClusters(allDocs, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(rows == Map(
+      1L -> ((1L, true)), 2L -> ((2L, true)), 3L -> ((2L, false)),
+      7L -> ((7L, true)), 9L -> ((9L, true))))
+    // exactly one keeper per cluster, and keepers are the cluster ids
+    val keepers = rows.collect { case (id, (c, true)) => (id, c) }
+    assert(keepers.forall { case (id, c) => id == c })
+  }
 }
