@@ -393,6 +393,54 @@ object SparkEntry {
           col("_p.hostname"), col("_p.message"))
     }),
 
+    // --- syslog parse: RFC3164 classic / RFC3164-rfc3339 / RFC5424 with
+    //     structured data / message-only / RFC5424 NIL fields, auto-detected
+    //     per row (filebeat/input/syslog grammar family) ---
+    "q_parse_syslog" -> ((s, dir) => {
+      val v = pmod(col("turn_idx"), lit(5))
+      val pri = pmod(col("turn_idx") * 11, lit(192))
+      val day = pmod(col("turn_idx"), lit(28)) + 1
+      val hh2 = lpad(pmod(col("turn_idx"), lit(24)).cast("string"), 2, "0")
+      val mi2 = lpad(pmod(col("turn_idx") * 7, lit(60)).cast("string"), 2, "0")
+      val ss2 = lpad(pmod(col("turn_idx") * 13, lit(60)).cast("string"), 2, "0")
+      val fr3 = lpad(pmod(col("turn_idx") * 17, lit(1000)).cast("string"), 3, "0")
+      val host = concat(lit("h-"), col("conv_id"))
+      val mid = concat(lit("MID"), pmod(col("turn_idx"), lit(100)).cast("string"))
+      val app = concat(lit("app-"), col("role"))
+      val priB = concat(lit("<"), pri.cast("string"), lit(">"))
+      val time8 = concat(hh2, lit(":"), mi2, lit(":"), ss2)
+      val iso = concat(lit("2024-03-"), lpad(day.cast("string"), 2, "0"),
+        lit("T"), time8, lit("."), fr3)
+      val line = when(v === 0, concat(priB, lit("Oct "), day.cast("string"),
+          lit(" "), time8, lit(" "), host, lit(" "), app,
+          lit("["), col("turn_idx").cast("string"), lit("]: "), col("text")))
+        .when(v === 1, concat(priB, iso, lit("+02:00 "), host, lit(" "), col("text")))
+        .when(v === 2, concat(priB, lit("1 "), iso, lit("Z "), host, lit(" "),
+          app, lit(" "), col("turn_idx").cast("string"), lit(" "), mid,
+          lit(" [graft@1 role=\""), col("role"), lit("\" t=\"x"), col("tool"),
+          lit("\"] "), col("text")))
+        .when(v === 3, concat(lit("raw: "), col("text")))
+        // NIL hostname/proc-id/SD — but a real timestamp, because the
+        // reference's format probe (format_check.rl) only detects 5424 when
+        // a 4-digit year follows the version
+        .otherwise(concat(priB, lit("1 "), iso, lit("Z - "), app, lit(" - "),
+          mid, lit(" - "), col("text")))
+      t(s, dir)
+        .withColumn("_p", graft.functions.parse_syslog(line, "auto", 2024, 0))
+        .select(col("conv_id"), col("turn_idx"),
+          col("_p.format").as("fmt"),
+          col("_p.severity").as("sev"), col("_p.facility").as("fac"),
+          col("_p.severity_label").as("sev_label"),
+          col("_p.facility_label").as("fac_label"),
+          col("_p.hostname").as("host"), col("_p.program").as("prog"),
+          col("_p.pid").as("pid"), col("_p.app_name").as("app"),
+          col("_p.proc_id").as("proc_id"), col("_p.msg_id").as("msg_id"),
+          col("_p.version").as("version"),
+          unix_micros(col("_p.ts")).as("ts_us"),
+          element_at(element_at(col("_p.sd"), "graft@1"), "role").as("sd_role"),
+          col("_p.message").as("msg"), col("_p.valid").as("valid"))
+    }),
+
     // --- grok: one-pass compiled-regex extraction over text ---
     "q_grok" -> ((s, dir) =>
       t(s, dir)
@@ -770,6 +818,41 @@ object SparkEntry {
         """ SELECT conv_id, turn_idx,
           | json_extract_string(substr(message, 9, length(message) - 16), '$.extra_k') AS extra_k
           | FROM parsed WHERE message IS NOT NULL""".stripMargin),
+
+    // syslog: the expected parse output is closed-form in the same integer
+    // pieces the Spark side builds its lines from (DuckDB never parses —
+    // it predicts what parsing each variant must yield)
+    "q_parse_syslog" ->
+      (OracleCte.transcripts +
+        """, syl AS (
+          |  SELECT conv_id, turn_idx, role, tool, text,
+          |    turn_idx % 5 AS v,
+          |    (turn_idx * 11) % 192 AS pri,
+          |    1 + (turn_idx % 28) AS day,
+          |    turn_idx % 24 AS hh, (turn_idx * 7) % 60 AS mi,
+          |    (turn_idx * 13) % 60 AS ss, (turn_idx * 17) % 1000 AS fr
+          |  FROM transcripts)
+          | SELECT conv_id, turn_idx,
+          |  CASE WHEN v IN (2,4) THEN 'rfc5424' ELSE 'rfc3164' END AS fmt,
+          |  CASE WHEN v <> 3 THEN pri % 8 END AS sev,
+          |  CASE WHEN v <> 3 THEN pri // 8 END AS fac,
+          |  CASE WHEN v <> 3 THEN array_extract(['Emergency','Alert','Critical','Error','Warning','Notice','Informational','Debug'], pri % 8 + 1) END AS sev_label,
+          |  CASE WHEN v <> 3 THEN array_extract(['kernel','user-level','mail','system','security/authorization','syslogd','line printer','network news','UUCP','clock','security/authorization','FTP','NTP','log audit','log alert','clock','local0','local1','local2','local3','local4','local5','local6','local7'], pri // 8 + 1) END AS fac_label,
+          |  CASE WHEN v = 4 THEN '-' WHEN v <> 3 THEN 'h-' || conv_id END AS host,
+          |  CASE WHEN v = 0 THEN 'app-' || role END AS prog,
+          |  CASE WHEN v = 0 THEN turn_idx END AS pid,
+          |  CASE WHEN v IN (2,4) THEN 'app-' || role END AS app,
+          |  CASE WHEN v = 2 THEN CAST(turn_idx AS VARCHAR) WHEN v = 4 THEN '-' END AS proc_id,
+          |  CASE WHEN v IN (2,4) THEN 'MID' || CAST(turn_idx % 100 AS VARCHAR) END AS msg_id,
+          |  CASE WHEN v IN (2,4) THEN 1 END AS version,
+          |  CASE WHEN v = 0 THEN epoch_us(make_timestamp(2024, 10, day, hh, mi, CAST(ss AS DOUBLE)))
+          |       WHEN v = 1 THEN epoch_us(make_timestamp(2024, 3, day, hh, mi, CAST(ss AS DOUBLE))) + fr * 1000 - 7200000000
+          |       WHEN v IN (2,4) THEN epoch_us(make_timestamp(2024, 3, day, hh, mi, CAST(ss AS DOUBLE))) + fr * 1000
+          |  END AS ts_us,
+          |  CASE WHEN v = 2 THEN role END AS sd_role,
+          |  CASE WHEN v = 3 THEN 'raw: ' || text ELSE text END AS msg,
+          |  v IN (0,1,2,4) AS valid
+          | FROM syl""".stripMargin),
 
     "q_grok" ->
       (OracleCte.transcripts +

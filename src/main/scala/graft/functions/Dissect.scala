@@ -304,7 +304,14 @@ object Dissect {
 
     /** map<string,string> output — the reference's `Dissect()` shape.
       * Works on a defensive copy: the emitted map holds slices that ESCAPE
-      * this call, so they must not alias a reusable column buffer. */
+      * this call, so they must not alias a reusable column buffer.
+      *
+      * Key ORDER: static keys in pattern (outKeys) order, then dynamic
+      * (indirect `*`/`&`) keys in apply order. This diverges from the
+      * reference's insertion-by-apply order (dissect.go builds the map as
+      * fields resolve) — Go map iteration order is unspecified anyway, so
+      * only `map_keys()`/`to_json` observers can tell; `element_at` lookups
+      * are identical. */
     def runMap(input: UTF8String): ArrayBasedMapData = {
       val b = copyBytes(input)
       val slotVals = new Array[UTF8String](staticKeys.length)

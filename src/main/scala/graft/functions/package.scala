@@ -37,6 +37,15 @@ package object functions {
     ExpressionUtils.column(
       DissectMapExpr(ExpressionUtils.expression(text), pattern, trimMode, trimChars))
 
+  /** syslog line parse (RFC3164 lenient / RFC5424 strict / auto-detected
+    * per row via the reference's format probe) → typed struct column
+    * (filebeat/input/syslog). `defaultYear` fills classic 3164 timestamps'
+    * missing year; `defaultTzSeconds` applies when a line carries no offset. */
+  def parse_syslog(text: Column, format: String = "auto",
+                   defaultYear: Int = 2024, defaultTzSeconds: Int = 0): Column =
+    ExpressionUtils.column(SyslogParse(
+      ExpressionUtils.expression(text), format, defaultYear, defaultTzSeconds))
+
   /** network condition leaf: IP-string column ∈ any of the named networks /
     * CIDRs (conditions/network.go). */
   def ip_in_networks(ip: Column, networks: Seq[String]): Column =

@@ -1,0 +1,307 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, MapData}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{SyslogKernel, SyslogParse}
+
+/** parse_syslog vs the reference's syslog parsers
+  * (filebeat/input/syslog/rfc3164_parser.rl / rfc5424_parser.rl):
+  *  - the RFC3164 golden corpus is extracted from the reference's own test
+  *    table (rfc3164_test.go) at test time and replayed case by case
+  *  - RFC5424 cases mirror rfc5424_test.go (RFC 5424 §6.5 doc examples,
+  *    escape handling, NIL fields, parse-failure cases)
+  *  - format auto-detection mirrors format_check.rl
+  */
+class SyslogSpec extends SparkSpec {
+
+  // ---- direct kernel harness --------------------------------------------
+
+  private def parse(line: String, mode: String = "auto", year: Int = 2024,
+                    tz: Int = 0): InternalRow =
+    SyslogParse(Literal(line), mode, year, tz)
+      .evalInput(UTF8String.fromString(line))
+
+  private def str(r: InternalRow, i: Int): String =
+    if (r.isNullAt(i)) null else r.getUTF8String(i).toString
+  private def int(r: InternalRow, i: Int): Int =
+    if (r.isNullAt(i)) Int.MinValue else r.getInt(i)
+  private def ts(r: InternalRow): java.lang.Long =
+    if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2))
+
+  private val I = {
+    val f = SyslogKernel.schema.fieldNames.zipWithIndex.toMap
+    f
+  }
+
+  private def sdMap(r: InternalRow): Map[String, Map[String, String]] = {
+    if (r.isNullAt(I("sd"))) return null
+    val m = r.getMap(I("sd"))
+    (0 until m.numElements()).map { i =>
+      val id = m.keyArray().getUTF8String(i).toString
+      val inner = m.valueArray().getMap(i)
+      id -> (0 until inner.numElements()).map { j =>
+        (inner.keyArray().getUTF8String(j).toString,
+          inner.valueArray().getUTF8String(j).toString)
+      }.toMap
+    }.toMap
+  }
+
+  private def micros(year: Int, month: Int, day: Int, hour: Int, min: Int,
+                     sec: Int, nanos: Int, offSec: Int): Long =
+    java.time.LocalDateTime.of(year, month, day, hour, min, sec, nanos)
+      .toEpochSecond(java.time.ZoneOffset.ofTotalSeconds(offSec)) * 1000000L +
+      nanos / 1000
+
+  // ---- the reference RFC3164 golden corpus ------------------------------
+
+  private val goPath = "/root/reference/filebeat/input/syslog/rfc3164_test.go"
+
+  /** minimal Go-string unescape for the corpus literals. */
+  private def goUnescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => sb += '"'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case 'n'  => sb += '\n'; i += 2
+          case 't'  => sb += '\t'; i += 2
+          case 'r'  => sb += '\r'; i += 2
+          case d if d >= '0' && d <= '7' =>
+            sb += Integer.parseInt(s.substring(i + 1, i + 4), 8).toChar; i += 4
+          case 'x' =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 4), 16).toChar; i += 4
+          case other => sb += other; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  private case class GoCase(title: String, log: String,
+                            fields: Map[String, String], body: String)
+
+  private def loadCorpus(): Seq[GoCase] = {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(goPath)), java.nio.charset.StandardCharsets.UTF_8)
+    val entry = ("""(?s)\{\s*(?:title:\s*"((?:\\.|[^"\\])*)",\s*)?""" +
+      """log:\s*\[\]byte\("((?:\\.|[^"\\])*)"\),\s*syslog: event\{([^}]*)\}""").r
+    entry.findAllMatchIn(src).map { m =>
+      val title = Option(m.group(1)).getOrElse("")
+      val log = goUnescape(m.group(2))
+      val body = m.group(3)
+      val fieldRe = """(\w+):\s*("(?:\\.|[^"\\])*"|[^,\n]+),""".r
+      val fields = fieldRe.findAllMatchIn(body).map { fm =>
+        fm.group(1) -> fm.group(2).trim
+      }.toMap
+      GoCase(title, log, fields, body)
+    }.toSeq
+  }
+
+  private def litInt(fields: Map[String, String], k: String, dflt: Int): Int =
+    fields.get(k).map(_.toInt).getOrElse(dflt)
+  private def litStr(fields: Map[String, String], k: String): String =
+    fields.get(k).map(v => goUnescape(v.stripPrefix("\"").stripSuffix("\"")))
+      .getOrElse("")
+  /** `loc` literal → offset seconds (None = absent): time.UTC or
+    * FixedZone("", a*3600+-b*60) arithmetic, read from the raw body. */
+  private val locUtc = """loc:\s*time\.UTC""".r
+  private val locFixed = """loc:\s*time\.FixedZone\("",\s*([-0-9*+ ]+)\)""".r
+  private def litLoc(body: String): Option[Int] =
+    if (locUtc.findFirstIn(body).isDefined) Some(0)
+    else locFixed.findFirstMatchIn(body).map { m =>
+      m.group(1).split("\\+").filter(_.nonEmpty).map { term =>
+        term.split("\\*").map(_.trim.toInt).product
+      }.sum
+    }
+
+  test("reference RFC3164 golden corpus replayed") {
+    val f = new java.io.File(goPath)
+    assume(f.exists(), s"reference corpus not present at $goPath")
+    val cases = loadCorpus()
+    assert(cases.size >= 25, s"extractor found only ${cases.size} cases")
+    cases.foreach { c =>
+      val r = parse(c.log, mode = "rfc3164", year = 2018)
+      val what = s"[${c.title}] ${c.log.take(60)}"
+      assert(str(r, I("message")) == orNull(litStr(c.fields, "message")), s"message $what")
+      assert(orEmpty(str(r, I("hostname"))) == litStr(c.fields, "hostname"), s"hostname $what")
+      assert(orEmpty(str(r, I("program"))) == litStr(c.fields, "program"), s"program $what")
+      assert(int(r, I("priority")).max(-1) == litInt(c.fields, "priority", 0), s"priority $what")
+      assert(int(r, I("pid")).max(-1) == litInt(c.fields, "pid", 0), s"pid $what")
+      // timestamp: composed from the literal's calendar fields (year when
+      // the line carries one, else the defaultYear we passed); loc from the
+      // literal, else UTC (our defaultTzSeconds). nanos truncate to micros.
+      val lm = litInt(c.fields, "month", 0)
+      val expTs: java.lang.Long =
+        if (lm <= 0) null
+        else {
+          // the Go test never asserts Year (its literals are decorative and
+          // once wrong — year 2016 against a 2018 line): take the year from
+          // the line's own rfc3339 date when present, else our defaultYear
+          val y = """(\d{4})-\d{2}-\d{2}[Tt ]\d{2}:""".r
+            .findFirstMatchIn(c.log).map(_.group(1).toInt).getOrElse(2018)
+          java.lang.Long.valueOf(micros(y, lm, litInt(c.fields, "day", 0),
+            litInt(c.fields, "hour", 0), litInt(c.fields, "minute", 0),
+            litInt(c.fields, "second", 0), litInt(c.fields, "nanosecond", 0),
+            litLoc(c.body).getOrElse(0)))
+        }
+      assert(ts(r) == expTs, s"ts $what")
+    }
+  }
+
+  private def orNull(s: String): String = if (s.isEmpty) null else s
+  private def orEmpty(s: String): String = if (s == null) "" else s
+
+  test("RFC3164 sequence + severity/facility split (Cisco case)") {
+    val r = parse("<190>589265: Feb 8 18:55:31.306: %SEC-11: list denied",
+      mode = "rfc3164", year = 2018)
+    assert(int(r, I("sequence")) == 589265)
+    assert(int(r, I("priority")) == 190)
+    assert(int(r, I("severity")) == 6)
+    assert(str(r, I("severity_label")) == "Informational")
+    assert(int(r, I("facility")) == 23)
+    assert(str(r, I("facility_label")) == "local7")
+    assert(r.getBoolean(I("valid")))
+  }
+
+  test("RFC3164 defaultTzSeconds applies only without an explicit offset") {
+    val line = "<34>Oct 11 22:14:15 mymachine su: hi"
+    val r0 = parse(line, year = 2020, tz = 0)
+    val r1 = parse(line, year = 2020, tz = 3600)
+    assert(ts(r0) - ts(r1) == 3600000000L)
+    val zline = "<190>2018-06-19T02:13:38.635322Z super mon msg"
+    assert(ts(parse(zline, tz = 7200)) == ts(parse(zline, tz = 0)))
+  }
+
+  // ---- RFC5424 (rfc5424_test.go + RFC 5424 §6.5 examples) ---------------
+
+  private val BOM = "\ufeff"
+  private val ex1 = s"<34>1 2003-10-11T22:14:15.003Z mymachine.example.com su - ID47 - $BOM'su root' failed for lonvick on /dev/pts/8"
+  private val ex2 = "<165>1 2003-08-24T05:14:15.000003-07:00 192.0.2.1 myproc 8710 - - %% It's time to make the do-nuts."
+  private val ex3 = s"""<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog - ID47 [exampleSDID@32473 iut="3" eventSource="Application" eventID="1011"] ${BOM}An application event log entry..."""
+  private val ex4 = """<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog - ID47 [exampleSDID@32473 iut="3" eventSource="Application" eventID="1011"][examplePriority@32473 class="high"]"""
+
+  test("RFC5424 doc example 1: full header, NIL SD, BOM message") {
+    val r = parse(ex1, mode = "rfc5424")
+    assert(str(r, I("format")) == "rfc5424")
+    assert(int(r, I("priority")) == 34)
+    assert(int(r, I("version")) == 1)
+    assert(str(r, I("hostname")) == "mymachine.example.com")
+    assert(str(r, I("app_name")) == "su")
+    assert(str(r, I("proc_id")) == "-")
+    assert(str(r, I("msg_id")) == "ID47")
+    assert(str(r, I("message")) == "'su root' failed for lonvick on /dev/pts/8")
+    assert(ts(r) == micros(2003, 10, 11, 22, 14, 15, 3000000, 0))
+    assert(sdMap(r) == null)
+    assert(r.getBoolean(I("valid")))
+  }
+
+  test("RFC5424 doc example 2: numeric offset, microsecond fraction") {
+    val r = parse(ex2, mode = "rfc5424")
+    assert(int(r, I("priority")) == 165)
+    assert(str(r, I("hostname")) == "192.0.2.1")
+    assert(str(r, I("app_name")) == "myproc")
+    assert(str(r, I("proc_id")) == "8710")
+    assert(str(r, I("msg_id")) == "-")
+    assert(str(r, I("message")) == "%% It's time to make the do-nuts.")
+    assert(ts(r) == micros(2003, 8, 24, 5, 14, 15, 3000, -7 * 3600))
+  }
+
+  test("RFC5424 doc example 3: one SD element + message") {
+    val r = parse(ex3, mode = "rfc5424")
+    assert(sdMap(r) == Map("exampleSDID@32473" ->
+      Map("iut" -> "3", "eventSource" -> "Application", "eventID" -> "1011")))
+    assert(str(r, I("message")) == "An application event log entry...")
+  }
+
+  test("RFC5424 doc example 4: two SD elements, no message") {
+    val r = parse(ex4, mode = "rfc5424")
+    assert(sdMap(r) == Map(
+      "exampleSDID@32473" ->
+        Map("iut" -> "3", "eventSource" -> "Application", "eventID" -> "1011"),
+      "examplePriority@32473" -> Map("class" -> "high")))
+    assert(str(r, I("message")) == null)
+    assert(r.getBoolean(I("valid"))) // SD present counts (IsValid)
+  }
+
+  test("RFC5424 SD param value escapes \\\" \\] \\\\ (common.rl set_bs)") {
+    val line = """<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog - ID47 [exampleSDID@32473 iut="\]3" eventSource="\"Application\"" eventID="1011"] m"""
+    val r = parse(line, mode = "rfc5424")
+    assert(sdMap(r) == Map("exampleSDID@32473" ->
+      Map("iut" -> "]3", "eventSource" -> "\"Application\"", "eventID" -> "1011")))
+  }
+
+  test("RFC5424 NIL timestamp parses, yields null ts and valid=false") {
+    val r = parse("<34>1 - host app - - - msg", mode = "rfc5424")
+    assert(ts(r) == null)
+    assert(str(r, I("hostname")) == "host")
+    assert(str(r, I("message")) == "msg")
+    assert(!r.getBoolean(I("valid"))) // day/hour/... are absent (event.go:380)
+  }
+
+  test("RFC5424 structural failures keep the parsed prefix") {
+    // bad version (leading zero → not NONZERO_DIGIT)
+    val r0 = parse("<34>0 2003-10-11T22:14:15.003Z h a - - - m", mode = "rfc5424")
+    assert(int(r0, I("version")) == Int.MinValue)
+    assert(!r0.getBoolean(I("valid")))
+    // priority out of range
+    assert(!parse("<192>1 2003-10-11T22:14:15.003Z h a - - - m",
+      mode = "rfc5424").getBoolean(I("valid")))
+    // lowercase t separator is 3164-only, 5424 requires 'T'
+    val r2 = parse("<34>1 2003-10-11t22:14:15.003Z h a - - - m", mode = "rfc5424")
+    assert(ts(r2) == null)
+    // missing offset entirely
+    assert(ts(parse("<34>1 2003-10-11T22:14:15.003 h a - - - m",
+      mode = "rfc5424")) == null)
+  }
+
+  // ---- format auto-detection (format_check.rl) --------------------------
+
+  test("auto mode routes by IsRFC5424Format") {
+    val r5 = parse(ex1)
+    assert(str(r5, I("format")) == "rfc5424")
+    assert(str(r5, I("app_name")) == "su")
+    val r3 = parse("<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed")
+    assert(str(r3, I("format")) == "rfc3164")
+    assert(str(r3, I("program")) == "su")
+    assert(int(r3, I("pid")) == 230)
+    // version present but no 4-digit year after the space → 3164
+    val amb = parse("<34>1 Oct 11 22:14:15 host msg")
+    assert(str(amb, I("format")) == "rfc3164")
+    // priority 192 is out of the 5424 PRIVAL range → 3164
+    assert(str(parse("<192>1 2003-10-11T22:14:15.003Z h a - - - m"),
+      I("format")) == "rfc3164")
+  }
+
+  // ---- end-to-end through the column API (exercises codegen) ------------
+
+  test("DataFrame round-trip with mixed formats") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ex1, ex3,
+      "<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed",
+      "--- last message repeated 1 time ---"
+    ).toDF("line")
+      .withColumn("s", graft.functions.parse_syslog(col("line"), "auto", 2018, 0))
+    val rows = df.select($"s.format", $"s.hostname", $"s.program", $"s.pid",
+      $"s.app_name", $"s.valid",
+      element_at(element_at($"s.sd", "exampleSDID@32473"), "eventID").as("eid"))
+      .collect()
+    assert(rows(0).getString(0) == "rfc5424" && rows(0).getString(4) == "su")
+    assert(rows(1).getString(6) == "1011")
+    assert(rows(2).getString(0) == "rfc3164" && rows(2).getString(2) == "su" &&
+      rows(2).getInt(3) == 230)
+    assert(rows(3).getString(1) == null && !rows(3).getBoolean(5))
+    // interpreted vs codegen parity on the same lines
+    val interp = df.select($"s.hostname").collect().map(_.getString(0)).toSeq
+    val codegen = df.withColumn("h", expr("s.hostname")).select("h")
+      .collect().map(_.getString(0)).toSeq
+    assert(interp == codegen)
+  }
+}
