@@ -441,6 +441,37 @@ object SparkEntry {
           col("_p.message").as("msg"), col("_p.valid").as("valid"))
     }),
 
+    // --- CEF decode: header escapes, typed full-name extensions, IP
+    //     validation drops, malformed-value recovery, headerless nulls ---
+    "q_decode_cef" -> ((s, dir) => {
+      val v = pmod(col("turn_idx"), lit(4))
+      val oct = pmod(col("turn_idx") * 7, lit(300)) // > 255 → invalid IP drop
+      val port = pmod(col("turn_idx") * 13, lit(65536))
+      val line = when(v === 0, concat(
+          lit("CEF:0|graft|router|1.0|E"), pmod(col("turn_idx"), lit(50)).cast("string"),
+          lit("|evt-"), col("role"), lit("|"), pmod(col("turn_idx"), lit(11)).cast("string"),
+          lit("|src=10.0.0."), oct.cast("string"), lit(" spt="), port.cast("string"),
+          lit(" dhost=h-"), col("conv_id")))
+        .when(v === 1, concat(lit("CEF:1|graft|pr\\|od|1.0|E1|evt-"), col("role"),
+          lit("|Very-High|msg=a\\=b c\\\\d suser="), col("role")))
+        .when(v === 2, concat(lit("CEF:0|graft|router|1.0|E2|evt-"), col("role"),
+          lit("|3|k1=x =bad k2="), col("tool")))
+        .otherwise(concat(lit("raw "), col("conv_id")))
+      t(s, dir).withColumn("_c", graft.functions.decode_cef(line))
+        .select(col("conv_id"), col("turn_idx"),
+          col("_c.version").as("version"),
+          col("_c.device_vendor").as("vendor"),
+          col("_c.device_product").as("product"),
+          col("_c.name").as("cname"), col("_c.severity").as("sev"),
+          element_at(col("_c.extensions"), "sourceAddress").as("src"),
+          element_at(col("_c.extensions"), "sourcePort").as("spt"),
+          element_at(col("_c.extensions"), "destinationHostName").as("dhost"),
+          element_at(col("_c.extensions"), "message").as("msg"),
+          element_at(col("_c.extensions"), "sourceUserName").as("suser"),
+          element_at(col("_c.extensions"), "k2").as("k2"),
+          size(col("_c.errors")).as("n_err"))
+    }),
+
     // --- grok: one-pass compiled-regex extraction over text ---
     "q_grok" -> ((s, dir) =>
       t(s, dir)
@@ -853,6 +884,32 @@ object SparkEntry {
           |  CASE WHEN v = 3 THEN 'raw: ' || text ELSE text END AS msg,
           |  v IN (0,1,2,4) AS valid
           | FROM syl""".stripMargin),
+
+    // CEF: expected decode output closed-form per variant (v3 has no CEF
+    // header → the struct is null → every projected field NULL)
+    "q_decode_cef" ->
+      (OracleCte.transcripts +
+        """, cf AS (
+          |  SELECT conv_id, turn_idx, role, tool,
+          |    turn_idx % 4 AS v,
+          |    (turn_idx * 7) % 300 AS oct,
+          |    (turn_idx * 13) % 65536 AS port
+          |  FROM transcripts)
+          | SELECT conv_id, turn_idx,
+          |  CASE WHEN v = 1 THEN 1 WHEN v <> 3 THEN 0 END AS version,
+          |  CASE WHEN v <> 3 THEN 'graft' END AS vendor,
+          |  CASE WHEN v = 1 THEN 'pr|od' WHEN v <> 3 THEN 'router' END AS product,
+          |  CASE WHEN v <> 3 THEN 'evt-' || role END AS cname,
+          |  CASE WHEN v = 0 THEN CAST(turn_idx % 11 AS VARCHAR)
+          |       WHEN v = 1 THEN 'Very-High' WHEN v = 2 THEN '3' END AS sev,
+          |  CASE WHEN v = 0 AND oct <= 255 THEN '10.0.0.' || CAST(oct AS VARCHAR) END AS src,
+          |  CASE WHEN v = 0 THEN CAST(port AS VARCHAR) END AS spt,
+          |  CASE WHEN v = 0 THEN 'h-' || conv_id END AS dhost,
+          |  CASE WHEN v = 1 THEN 'a=b c\d' END AS msg,
+          |  CASE WHEN v = 1 THEN role END AS suser,
+          |  CASE WHEN v = 2 THEN tool END AS k2,
+          |  CASE WHEN (v = 0 AND oct > 255) OR v = 2 THEN 1 END AS n_err
+          | FROM cf""".stripMargin),
 
     "q_grok" ->
       (OracleCte.transcripts +

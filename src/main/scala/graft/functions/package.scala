@@ -46,6 +46,12 @@ package object functions {
     ExpressionUtils.column(SyslogParse(
       ExpressionUtils.expression(text), format, defaultYear, defaultTzSeconds))
 
+  /** decode_cef: ArcSight CEF line → typed struct with full-named, type-
+    * validated extensions (x-pack decode_cef semantics; null struct when no
+    * CEF header). */
+  def decode_cef(text: Column): Column =
+    ExpressionUtils.column(DecodeCef(ExpressionUtils.expression(text)))
+
   /** network condition leaf: IP-string column ∈ any of the named networks /
     * CIDRs (conditions/network.go). */
   def ip_in_networks(ip: Column, networks: Seq[String]): Column =
