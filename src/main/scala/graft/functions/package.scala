@@ -52,6 +52,12 @@ package object functions {
   def decode_cef(text: Column): Column =
     ExpressionUtils.column(DecodeCef(ExpressionUtils.expression(text)))
 
+  /** Gopher-style word n-gram repetition metrics → struct(top_gram,
+    * top_frac, dup_frac) over the normalized text (LLM data-quality
+    * filters; Rae et al. 2021 Table A1). */
+  def ngram_char_fracs(text: Column, n: Int): Column =
+    ExpressionUtils.column(NgramCharFracs(ExpressionUtils.expression(text), n))
+
   /** network condition leaf: IP-string column ∈ any of the named networks /
     * CIDRs (conditions/network.go). */
   def ip_in_networks(ip: Column, networks: Seq[String]): Column =
