@@ -83,4 +83,24 @@ class CodegenParitySpec extends SparkSpec {
         .groupBy("k").agg(ordered_topk(col("o"), col("v"), 2).as("r"))
     }
   }
+
+  test("round-3 parsers: parse_syslog, decode_cef, ngram_char_fracs") {
+    lazy val lines = Seq(
+      "<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed",
+      "<165>1 2003-10-11T22:14:15.003Z host app 77 ID47 [x@1 k=\"v\"] msg body",
+      "--- not syslog at all ---", "",
+      "CEF:0|v|p|1.0|C1|name|5|src=10.0.0.1 spt=80 msg=hello world",
+      "CEF:0|v|p\\|q|1.0|C1|n|5|k1=x =bad k2=ok",
+      "a b a b a b c"
+    ).toDF("t")
+    check("parse_syslog") {
+      lines.select(parse_syslog(col("t"), "auto", 2020, 0).as("r"))
+    }
+    check("decode_cef") {
+      lines.select(decode_cef(col("t")).as("r"))
+    }
+    check("ngram_char_fracs") {
+      lines.select(ngram_char_fracs(col("t"), 2).as("r"))
+    }
+  }
 }
