@@ -150,6 +150,89 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- round-3 parser kernels: total + deterministic on arbitrary bytes --
+
+  /** canonical render of an InternalRow for determinism comparison. */
+  private def render(r: org.apache.spark.sql.catalyst.InternalRow,
+                     schema: org.apache.spark.sql.types.StructType): String =
+    if (r == null) "<null>"
+    else schema.fields.zipWithIndex.map { case (f, i) =>
+      if (r.isNullAt(i)) "∅"
+      else r.get(i, f.dataType) match {
+        case m: org.apache.spark.sql.catalyst.util.MapData =>
+          (0 until m.numElements()).map(j =>
+            s"${m.keyArray().get(j, org.apache.spark.sql.types.StringType)}").mkString(",")
+        case v => String.valueOf(v)
+      }
+    }.mkString("|")
+
+  private val syslogish: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    parts <- Gen.listOfN(n, Gen.oneOf(
+      Gen.const("<34>"), Gen.const("<999999>"), Gen.const("Oct 11 22:14:15"),
+      Gen.const("2018-06-19T02:13:38.635322-07:00"), Gen.const("Z+00:00"),
+      Gen.const("host--bad"), Gen.const("1::2"), Gen.const("su[230]:"),
+      Gen.const("﻿"), Gen.const("[id p=\"v\"]"), Gen.const("- -"),
+      Gen.const("589265:"), Gen.alphaNumStr.map(_.take(6)), Gen.const("\n"),
+      Gen.const("1 2003-10-11T22:14:15.003Z")))
+  } yield parts.mkString(" ")
+
+  private val cefish: Gen[String] = for {
+    n <- Gen.choose(0, 14)
+    parts <- Gen.listOfN(n, Gen.oneOf(
+      Gen.const("CEF:"), Gen.const("CEF:0|"), Gen.const("|"), Gen.const("\\|"),
+      Gen.const("\\\\"), Gen.const("\\="), Gen.const("src="), Gen.const("="),
+      Gen.const("k="), Gen.const(" "), Gen.const("\\"), Gen.const("\t"),
+      Gen.alphaNumStr.map(_.take(6)), Gen.const("10.0.0.1")))
+  } yield parts.mkString
+
+  test("parse_syslog is total and deterministic on arbitrary input") {
+    import graft.functions.{SyslogKernel, SyslogParse}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val exprs = Seq("rfc3164", "rfc5424", "auto")
+      .map(m => SyslogParse(Literal("x"), m, 2024, 0))
+    forAll(Gen.oneOf(anyString, syslogish)) { s =>
+      val u = UTF8String.fromString(s)
+      exprs.foreach { e =>
+        val a = render(e.evalInput(u), SyslogKernel.schema) // must not throw
+        val b = render(e.evalInput(u), SyslogKernel.schema)
+        assert(a == b, s"non-deterministic on ${s.take(60)}")
+      }
+      // invariant: a valid event always carries a timestamp
+      val r = exprs.head.evalInput(u)
+      if (r.getBoolean(1)) assert(!r.isNullAt(2), s"valid without ts: ${s.take(60)}")
+      // invariant: priority-derived fields are all-or-nothing
+      assert(r.isNullAt(5) == r.isNullAt(6), s.take(60))
+    }
+  }
+
+  test("decode_cef is total and deterministic on arbitrary input") {
+    import graft.functions.{CefKernel, DecodeCef}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = DecodeCef(Literal("x"))
+    forAll(Gen.oneOf(anyString, cefish)) { s =>
+      val u = UTF8String.fromString(s)
+      val r = e.evalInput(u) // must not throw
+      assert(render(r, CefKernel.schema) == render(e.evalInput(u), CefKernel.schema))
+      if (r != null) assert(r.getInt(0) >= 0) // non-null struct ⇒ parsed version
+    }
+  }
+
+  test("ngram_char_fracs is total, deterministic, non-negative") {
+    import graft.functions.RepetitionKernel
+    forAll(Gen.zip(Gen.oneOf(anyString, loggy), Gen.choose(1, 5))) { case (s, n) =>
+      val u = UTF8String.fromString(s)
+      val r = RepetitionKernel.eval(u, n)
+      val r2 = RepetitionKernel.eval(u, n)
+      assert(r.getDouble(1) == r2.getDouble(1) && r.getDouble(2) == r2.getDouble(2))
+      assert(r.getDouble(1) >= 0.0 && !r.getDouble(1).isNaN && !r.getDouble(1).isInfinite)
+      assert(r.getDouble(2) >= 0.0 && !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite)
+      // a non-null top gram is always a substring of the normalized text
+      if (!r.isNullAt(0))
+        assert(RepetitionKernel.normalize(s).contains(r.getUTF8String(0).toString))
+    }
+  }
+
   test("cosine kernel is bounded and symmetric") {
     val floats = Gen.listOfN(16, Gen.choose(-100.0f, 100.0f))
     forAll(floats, floats) { (a, b) =>

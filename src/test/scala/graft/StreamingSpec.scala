@@ -168,4 +168,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getString(1)).toSet.subsetOf(
       Set(Sinks.Es, Sinks.Ls, Sinks.Dropped, TranscriptPipeline.Filtered)))
   }
+
+  test("stateless parse expressions run under Structured Streaming: syslog + CEF") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(
+      "<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed",
+      "<165>1 2003-10-11T22:14:15.003Z host app - ID47 - body",
+      "CEF:0|v|p|1.0|C1|name|5|src=10.0.0.1 spt=80",
+      "not parseable at all")
+
+    val q = mem.toDS().toDF("line")
+      .select(
+        graft.functions.parse_syslog(col("line"), "auto", 2020, 0).as("s"),
+        graft.functions.decode_cef(col("line")).as("c"))
+      .select(col("s.format"), col("s.program"), col("c.version"),
+        element_at(col("c.extensions"), "sourceAddress").as("src"))
+      .writeStream.format("memory").queryName("parsedstream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(30000)
+    q.stop()
+
+    val rows = spark.table("parsedstream").collect()
+    assert(rows.length == 4)
+    assert(rows.count(r => !r.isNullAt(0) && r.getString(0) == "rfc5424") == 1)
+    assert(rows.count(r => !r.isNullAt(1) && r.getString(1) == "su") == 1)
+    assert(rows.count(r => !r.isNullAt(3) && r.getString(3) == "10.0.0.1") == 1)
+  }
 }
