@@ -58,10 +58,12 @@ private[functions] final class GrokState(pattern: String, nFields: Int) {
 
   /** requires input.getBaseObject to be a byte[] (the on-heap norm). */
   def parse(input: UTF8String): UnsafeRow = {
-    if (seq.reset(input)) {
+    if (seq.reset(input) && input.getBaseObject.isInstanceOf[Array[Byte]]) {
       // ASCII fast path: regex runs over the raw bytes; byte offset == char
       // offset, so every group is sliced straight from the input buffer into
-      // the row buffer — no String, no intermediate copy
+      // the row buffer — no String, no intermediate copy. Requires an
+      // on-heap byte[]-backed UTF8String (the parquet/row norm); off-heap
+      // inputs (getBaseObject == null) take the decoding fallback below.
       matcher.reset(seq)
       if (!matcher.find()) return null
       val b = input.getBaseObject.asInstanceOf[Array[Byte]]

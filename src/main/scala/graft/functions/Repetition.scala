@@ -17,9 +17,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - grams  = OVERLAPPING word n-grams of `norm`'s space-split tokens,
   *    joined with a single space
   *  - top_frac = cnt(top) · len(top) / len(norm) where `top` is the most
-  *    frequent gram (ties → lexicographically smallest), 0.0 when the
+  *    frequent gram (ties → smallest in codepoint order), 0.0 when the
   *    document has fewer than n tokens
   *  - dup_frac = Σ_{gram: cnt ≥ 2} cnt · len(gram) / len(norm)
+  *  - all lengths are CODEPOINT counts and the tie-break is codepoint
+  *    (UTF-8 binary) order — DuckDB `length()`/collation semantics, so the
+  *    oracle agrees beyond ASCII (İ-style locale full-mappings and RE2's
+  *    `\s` lacking VT are the residual, documented divergences)
   *
   * Character coverage is the overlap-counted upper bound (cnt × len), not
   * the positional union — simpler, deterministic, and monotone in the same
@@ -41,21 +45,39 @@ object RepetitionKernel {
   @inline private def ws(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == 0x0b || c == '\f' || c == '\r'
 
-  /** lowercase + trim + collapse interior whitespace runs to one space. */
+  /** lowercase + trim + collapse interior whitespace runs to one space.
+    * Codepoint-wise (`Character.toLowerCase(Int)`), matching DuckDB's
+    * per-codepoint `lower()`; the locale-sensitive full mappings (Turkish
+    * İ) are the one residual divergence, documented at the oracle. */
   private[graft] def normalize(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     var pendingSpace = false
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (ws(c)) { if (sb.length() > 0) pendingSpace = true }
+      val cp = s.codePointAt(i)
+      if (cp <= 0xffff && ws(cp.toChar)) { if (sb.length() > 0) pendingSpace = true }
       else {
         if (pendingSpace) { sb.append(' '); pendingSpace = false }
-        sb.append(Character.toLowerCase(c))
+        sb.appendCodePoint(Character.toLowerCase(cp))
       }
-      i += 1
+      i += Character.charCount(cp)
     }
     sb.toString
+  }
+
+  /** codepoint count — DuckDB `length()` semantics (NOT UTF-16 units). */
+  @inline private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
+  /** codepoint-order comparison — DuckDB's binary (UTF-8) collation; plain
+    * String.compareTo would misorder [U+E000,U+FFFF] vs supplementary. */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
   }
 
   def eval(input: UTF8String, n: Int): InternalRow = {
@@ -90,14 +112,14 @@ object RepetitionKernel {
     while (it.hasNext) {
       val e = it.next()
       val cnt = e.getValue.intValue()
-      if (cnt > topCnt || (cnt == topCnt && (topGram == null || e.getKey.compareTo(topGram) < 0))) {
+      if (cnt > topCnt || (cnt == topCnt && (topGram == null || cpCompare(e.getKey, topGram) < 0))) {
         topCnt = cnt; topGram = e.getKey
       }
-      if (cnt >= 2) dupChars += cnt.toLong * e.getKey.length
+      if (cnt >= 2) dupChars += cnt.toLong * cpLen(e.getKey)
     }
-    val denom = norm.length.toDouble
+    val denom = cpLen(norm).toDouble
     r.update(0, UTF8String.fromString(topGram))
-    r.setDouble(1, topCnt.toLong * topGram.length / denom)
+    r.setDouble(1, topCnt.toLong * cpLen(topGram) / denom)
     r.setDouble(2, dupChars / denom)
     r
   }

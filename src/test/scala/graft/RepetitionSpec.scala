@@ -49,6 +49,20 @@ class RepetitionSpec extends SparkSpec {
     assert(g == "foo bar")
   }
 
+  test("codepoint semantics: supplementary-plane chars count once") {
+    // norm = "😀a 😀a b": cpLen = 7 (emoji is ONE codepoint, two UTF-16 units)
+    // 2-grams "😀a 😀a" and "😀a b" both occur once; codepoint order makes
+    // "😀a b" smaller ('b' = U+0062 < U+1F600) — exactly where a UTF-16
+    // compareTo would have to agree by accident and a byte-order oracle
+    // (DuckDB) demands codepoint comparison
+    val (g, tf, df) = run("😀a 😀a b", 2)
+    assert(g == "😀a b")
+    assert(tf == 4.0 / 7)
+    assert(df == 0.0)
+    val (g1, tf1, df1) = run("😀a 😀a b", 1)
+    assert(g1 == "😀a" && tf1 == 2.0 * 2 / 7 && df1 == 4.0 / 7)
+  }
+
   test("degenerate inputs") {
     assert(run("", 2) == (null, 0.0, 0.0))
     assert(run("   \t ", 2) == (null, 0.0, 0.0))
