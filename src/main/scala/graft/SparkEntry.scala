@@ -20,6 +20,41 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String): DataFrame = Transcripts.fromEvents(s, dir)
 
+  /** deterministic 5-variant syslog line built from transcript columns —
+    * shared by q_parse_syslog and q_syslog_route; the DuckDB oracles predict
+    * each variant's parse closed-form from the same integer pieces.
+    * v = turn_idx%5: 0 = RFC3164 classic w/ program[pid]; 1 = RFC3164
+    * rfc3339 ts +02:00; 2 = RFC5424 w/ structured data; 3 = message-only
+    * (unparseable); 4 = RFC5424 with NIL hostname/proc-id/SD but a real
+    * timestamp (the reference's format probe needs the 4-digit year). */
+  private def syslogLine: Column = {
+    val v = pmod(col("turn_idx"), lit(5))
+    val pri = pmod(col("turn_idx") * 11, lit(192))
+    val day = pmod(col("turn_idx"), lit(28)) + 1
+    val hh2 = lpad(pmod(col("turn_idx"), lit(24)).cast("string"), 2, "0")
+    val mi2 = lpad(pmod(col("turn_idx") * 7, lit(60)).cast("string"), 2, "0")
+    val ss2 = lpad(pmod(col("turn_idx") * 13, lit(60)).cast("string"), 2, "0")
+    val fr3 = lpad(pmod(col("turn_idx") * 17, lit(1000)).cast("string"), 3, "0")
+    val host = concat(lit("h-"), col("conv_id"))
+    val mid = concat(lit("MID"), pmod(col("turn_idx"), lit(100)).cast("string"))
+    val app = concat(lit("app-"), col("role"))
+    val priB = concat(lit("<"), pri.cast("string"), lit(">"))
+    val time8 = concat(hh2, lit(":"), mi2, lit(":"), ss2)
+    val iso = concat(lit("2024-03-"), lpad(day.cast("string"), 2, "0"),
+      lit("T"), time8, lit("."), fr3)
+    when(v === 0, concat(priB, lit("Oct "), day.cast("string"),
+        lit(" "), time8, lit(" "), host, lit(" "), app,
+        lit("["), col("turn_idx").cast("string"), lit("]: "), col("text")))
+      .when(v === 1, concat(priB, iso, lit("+02:00 "), host, lit(" "), col("text")))
+      .when(v === 2, concat(priB, lit("1 "), iso, lit("Z "), host, lit(" "),
+        app, lit(" "), col("turn_idx").cast("string"), lit(" "), mid,
+        lit(" [graft@1 role=\""), col("role"), lit("\" t=\"x"), col("tool"),
+        lit("\"] "), col("text")))
+      .when(v === 3, concat(lit("raw: "), col("text")))
+      .otherwise(concat(priB, lit("1 "), iso, lit("Z - "), app, lit(" - "),
+        mid, lit(" - "), col("text")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- transcripts derivation (the shared input table) ---
     "q_transcripts" -> ((s, dir) => t(s, dir)),
@@ -408,37 +443,9 @@ object SparkEntry {
     // --- syslog parse: RFC3164 classic / RFC3164-rfc3339 / RFC5424 with
     //     structured data / message-only / RFC5424 NIL fields, auto-detected
     //     per row (filebeat/input/syslog grammar family) ---
-    "q_parse_syslog" -> ((s, dir) => {
-      val v = pmod(col("turn_idx"), lit(5))
-      val pri = pmod(col("turn_idx") * 11, lit(192))
-      val day = pmod(col("turn_idx"), lit(28)) + 1
-      val hh2 = lpad(pmod(col("turn_idx"), lit(24)).cast("string"), 2, "0")
-      val mi2 = lpad(pmod(col("turn_idx") * 7, lit(60)).cast("string"), 2, "0")
-      val ss2 = lpad(pmod(col("turn_idx") * 13, lit(60)).cast("string"), 2, "0")
-      val fr3 = lpad(pmod(col("turn_idx") * 17, lit(1000)).cast("string"), 3, "0")
-      val host = concat(lit("h-"), col("conv_id"))
-      val mid = concat(lit("MID"), pmod(col("turn_idx"), lit(100)).cast("string"))
-      val app = concat(lit("app-"), col("role"))
-      val priB = concat(lit("<"), pri.cast("string"), lit(">"))
-      val time8 = concat(hh2, lit(":"), mi2, lit(":"), ss2)
-      val iso = concat(lit("2024-03-"), lpad(day.cast("string"), 2, "0"),
-        lit("T"), time8, lit("."), fr3)
-      val line = when(v === 0, concat(priB, lit("Oct "), day.cast("string"),
-          lit(" "), time8, lit(" "), host, lit(" "), app,
-          lit("["), col("turn_idx").cast("string"), lit("]: "), col("text")))
-        .when(v === 1, concat(priB, iso, lit("+02:00 "), host, lit(" "), col("text")))
-        .when(v === 2, concat(priB, lit("1 "), iso, lit("Z "), host, lit(" "),
-          app, lit(" "), col("turn_idx").cast("string"), lit(" "), mid,
-          lit(" [graft@1 role=\""), col("role"), lit("\" t=\"x"), col("tool"),
-          lit("\"] "), col("text")))
-        .when(v === 3, concat(lit("raw: "), col("text")))
-        // NIL hostname/proc-id/SD — but a real timestamp, because the
-        // reference's format probe (format_check.rl) only detects 5424 when
-        // a 4-digit year follows the version
-        .otherwise(concat(priB, lit("1 "), iso, lit("Z - "), app, lit(" - "),
-          mid, lit(" - "), col("text")))
+    "q_parse_syslog" -> ((s, dir) =>
       t(s, dir)
-        .withColumn("_p", graft.functions.parse_syslog(line, "auto", 2024, 0))
+        .withColumn("_p", graft.functions.parse_syslog(syslogLine, "auto", 2024, 0))
         .select(col("conv_id"), col("turn_idx"),
           col("_p.format").as("fmt"),
           col("_p.severity").as("sev"), col("_p.facility").as("fac"),
@@ -450,7 +457,24 @@ object SparkEntry {
           col("_p.version").as("version"),
           unix_micros(col("_p.ts")).as("ts_us"),
           element_at(element_at(col("_p.sd"), "graft@1"), "role").as("sd_role"),
-          col("_p.message").as("msg"), col("_p.valid").as("valid"))
+          col("_p.message").as("msg"), col("_p.valid").as("valid"))),
+
+    // --- the composed syslog pipeline: parse → first-match-wins route →
+    //     per-sink aggregate (the reference's syslog input + output selector
+    //     shape, end to end) ---
+    "q_syslog_route" -> ((s, dir) => {
+      import graft.route._
+      val sel = Selector(Seq(
+        SelectorRule(Range("sev", lte = Some(3)) && FieldEquals("valid", true), "sink_es"),
+        SelectorRule(FieldEquals("valid", true), "sink_ls"),
+        SelectorRule(HasFields(Seq("host")), "filtered")), default = "dropped")
+      t(s, dir)
+        .withColumn("_p", graft.functions.parse_syslog(syslogLine, "auto", 2024, 0))
+        .select(col("_p.severity").as("sev"), col("_p.valid").as("valid"),
+          col("_p.hostname").as("host"))
+        .withColumn("sink", sel.sinkColumn)
+        .groupBy("sink")
+        .agg(count(lit(1)).as("events"), countDistinct(col("host")).as("hosts"))
     }),
 
     // --- CEF decode: header escapes, typed full-name extensions, IP
@@ -943,6 +967,24 @@ object SparkEntry {
           |  CASE WHEN v = 3 THEN 'raw: ' || text ELSE text END AS msg,
           |  v IN (0,1,2,4) AS valid
           | FROM syl""".stripMargin),
+
+    // the composed syslog pipeline: severity/validity per variant are
+    // closed-form, so the routed per-sink aggregate is too. v=3 parses to
+    // an invalid host-less event → dropped; everything else is valid with
+    // sev = ((turn_idx*11)%192)%8 → es when ≤ 3 else ls.
+    "q_syslog_route" ->
+      (OracleCte.transcripts +
+        """, routed AS (
+          |  SELECT conv_id, turn_idx,
+          |    CASE WHEN turn_idx % 5 = 3 THEN 'dropped'
+          |         WHEN ((turn_idx * 11) % 192) % 8 <= 3 THEN 'sink_es'
+          |         ELSE 'sink_ls' END AS sink,
+          |    CASE WHEN turn_idx % 5 = 3 THEN NULL
+          |         WHEN turn_idx % 5 = 4 THEN '-'
+          |         ELSE 'h-' || conv_id END AS host
+          |  FROM transcripts)
+          | SELECT sink, count(*) AS events, count(DISTINCT host) AS hosts
+          | FROM routed GROUP BY sink""".stripMargin),
 
     // CEF: expected decode output closed-form per variant (v3 has no CEF
     // header → the struct is null → every projected field NULL)

@@ -50,6 +50,31 @@ class PlanSpec extends SparkSpec {
       s"serverlog_parse must appear exactly once:\n$plan")
   }
 
+  test("round-3 parse kernels are shuffle-free single-pass maps") {
+    val tdir = java.nio.file.Files.createTempDirectory("plan-transcripts3").toString
+    graft.sources.Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(tdir)
+    val input = spark.read.parquet(tdir)
+    // syslog + CEF struct extraction: pure map over the scan, the parse
+    // expression evaluated once with fields projected from it
+    val p1 = input
+      .withColumn("_p", graft.functions.parse_syslog(col("text")))
+      .select(col("_p.format"), col("_p.hostname"), col("_p.severity"))
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange"), s"syslog parse must not shuffle:\n$p1")
+    assert("parse_syslog".r.findAllIn(p1).size == 1,
+      s"parse_syslog must be evaluated once:\n$p1")
+    val p2 = docs
+      .withColumn("_r", graft.functions.ngram_char_fracs(col("text"), 2))
+      .select(col("doc_id"), col("_r.top_frac"), col("_r.dup_frac"))
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange"), s"repetition metrics must not shuffle:\n$p2")
+    assert("ngram_char_fracs".r.findAllIn(p2).size == 1,
+      s"kernel must be evaluated once:\n$p2")
+    assert(p2.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"repetition should scan 2 columns:\n$p2")
+  }
+
   test("route-only metrics plan prunes parse down to the status fast path") {
     val tdir = java.nio.file.Files.createTempDirectory("plan-transcripts2").toString
     graft.sources.Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
