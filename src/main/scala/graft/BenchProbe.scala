@@ -85,6 +85,46 @@ object BenchProbe {
       s.stop()
       return
     }
+    if (args.length > 1 && args(1) == "parsers") {
+      // round-3 parser throughput: syslog + CEF lines materialized ONCE from
+      // the bench corpus (5-/4-variant builders shared with the oracle
+      // queries), then pure parse walls at 8 and 32 threads — lines/s of
+      // each kernel with zero line-construction cost inside the timed pass.
+      val sysPath = s"/tmp/graft_probe_syslog_$rows"
+      val cefPath = s"/tmp/graft_probe_cef_$rows"
+      if (!new java.io.File(s"$sysPath/_SUCCESS").exists()) {
+        val s = session(32)
+        s.read.parquet(path).select(SparkEntry.syslogLine.as("line"))
+          .write.mode("overwrite").parquet(sysPath)
+        s.read.parquet(path).select(SparkEntry.cefLine.as("line"))
+          .write.mode("overwrite").parquet(cefPath)
+        s.stop()
+      }
+      for ((name, p, agg) <- Seq(
+        ("parse_syslog", sysPath, (d: org.apache.spark.sql.DataFrame) => {
+          val x = d.withColumn("_p", graft.functions.parse_syslog(col("line"), "auto", 2024, 0))
+          x.agg(count(col("_p.hostname")), count(col("_p.ts")),
+            count(col("_p.message")), sum(col("_p.severity"))).collect()
+        }),
+        ("decode_cef", cefPath, (d: org.apache.spark.sql.DataFrame) => {
+          val x = d.withColumn("_c", graft.functions.decode_cef(col("line")))
+          x.agg(count(col("_c.device_vendor")), count(col("_c.extensions")),
+            count(col("_c.errors"))).collect()
+        }))) {
+        val walls = scala.collection.mutable.Map(8 -> Double.MaxValue, 32 -> Double.MaxValue)
+        for (round <- 0 until 3; cpus <- Seq(32, 8)) {
+          val s = session(cpus)
+          val t0 = System.nanoTime()
+          agg(s.read.parquet(p))
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (round > 0) walls(cpus) = math.min(walls(cpus), sec)
+          s.stop()
+        }
+        println(f"""{"probe":"$name","rows":$rows,"sec_8":${walls(8)}%.2f,"sec_32":${walls(32)}%.2f,""" +
+          f""""lines_per_sec_32":${rows / walls(32)}%.0f,"eff_8_to_32":${walls(8) / walls(32) / 4.0}%.3f}""")
+      }
+      return
+    }
     if (args.length > 1 && args(1) == "curve") {
       // full-transform wall at 4/8/16/32 threads, best-of-2 after warm-up
       val walls = scala.collection.mutable.LinkedHashMap.empty[Int, Double]

@@ -27,7 +27,7 @@ object SparkEntry {
     * rfc3339 ts +02:00; 2 = RFC5424 w/ structured data; 3 = message-only
     * (unparseable); 4 = RFC5424 with NIL hostname/proc-id/SD but a real
     * timestamp (the reference's format probe needs the 4-digit year). */
-  private def syslogLine: Column = {
+  private[graft] def syslogLine: Column = {
     val v = pmod(col("turn_idx"), lit(5))
     val pri = pmod(col("turn_idx") * 11, lit(192))
     val day = pmod(col("turn_idx"), lit(28)) + 1
@@ -53,6 +53,25 @@ object SparkEntry {
       .when(v === 3, concat(lit("raw: "), col("text")))
       .otherwise(concat(priB, lit("1 "), iso, lit("Z - "), app, lit(" - "),
         mid, lit(" - "), col("text")))
+  }
+
+  /** deterministic 4-variant CEF line (standard / escaped / malformed+
+    * recovery / headerless), shared by q_decode_cef and the parser
+    * throughput probe. */
+  private[graft] def cefLine: Column = {
+    val v = pmod(col("turn_idx"), lit(4))
+    val oct = pmod(col("turn_idx") * 7, lit(300)) // > 255 → invalid IP drop
+    val port = pmod(col("turn_idx") * 13, lit(65536))
+    when(v === 0, concat(
+        lit("CEF:0|graft|router|1.0|E"), pmod(col("turn_idx"), lit(50)).cast("string"),
+        lit("|evt-"), col("role"), lit("|"), pmod(col("turn_idx"), lit(11)).cast("string"),
+        lit("|src=10.0.0."), oct.cast("string"), lit(" spt="), port.cast("string"),
+        lit(" dhost=h-"), col("conv_id")))
+      .when(v === 1, concat(lit("CEF:1|graft|pr\\|od|1.0|E1|evt-"), col("role"),
+        lit("|Very-High|msg=a\\=b c\\\\d suser="), col("role")))
+      .when(v === 2, concat(lit("CEF:0|graft|router|1.0|E2|evt-"), col("role"),
+        lit("|3|k1=x =bad k2="), col("tool")))
+      .otherwise(concat(lit("raw "), col("conv_id")))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -479,21 +498,8 @@ object SparkEntry {
 
     // --- CEF decode: header escapes, typed full-name extensions, IP
     //     validation drops, malformed-value recovery, headerless nulls ---
-    "q_decode_cef" -> ((s, dir) => {
-      val v = pmod(col("turn_idx"), lit(4))
-      val oct = pmod(col("turn_idx") * 7, lit(300)) // > 255 → invalid IP drop
-      val port = pmod(col("turn_idx") * 13, lit(65536))
-      val line = when(v === 0, concat(
-          lit("CEF:0|graft|router|1.0|E"), pmod(col("turn_idx"), lit(50)).cast("string"),
-          lit("|evt-"), col("role"), lit("|"), pmod(col("turn_idx"), lit(11)).cast("string"),
-          lit("|src=10.0.0."), oct.cast("string"), lit(" spt="), port.cast("string"),
-          lit(" dhost=h-"), col("conv_id")))
-        .when(v === 1, concat(lit("CEF:1|graft|pr\\|od|1.0|E1|evt-"), col("role"),
-          lit("|Very-High|msg=a\\=b c\\\\d suser="), col("role")))
-        .when(v === 2, concat(lit("CEF:0|graft|router|1.0|E2|evt-"), col("role"),
-          lit("|3|k1=x =bad k2="), col("tool")))
-        .otherwise(concat(lit("raw "), col("conv_id")))
-      t(s, dir).withColumn("_c", graft.functions.decode_cef(line))
+    "q_decode_cef" -> ((s, dir) =>
+      t(s, dir).withColumn("_c", graft.functions.decode_cef(cefLine))
         .select(col("conv_id"), col("turn_idx"),
           col("_c.version").as("version"),
           col("_c.device_vendor").as("vendor"),
@@ -505,8 +511,7 @@ object SparkEntry {
           element_at(col("_c.extensions"), "message").as("msg"),
           element_at(col("_c.extensions"), "sourceUserName").as("suser"),
           element_at(col("_c.extensions"), "k2").as("k2"),
-          size(col("_c.errors")).as("n_err"))
-    }),
+          size(col("_c.errors")).as("n_err"))),
 
     // --- grok: one-pass compiled-regex extraction over text ---
     "q_grok" -> ((s, dir) =>
