@@ -97,6 +97,55 @@ object OracleCte {
       |  FROM tok
       |)""".stripMargin
 
+  /** per-document Gopher repetition metrics — the DuckDB twin of
+    * [[graft.functions.RepetitionKernel]] (identical normalization,
+    * overlapping grams, cnt·len codepoint coverage, (cnt DESC, gram ASC)
+    * tie-break); ends with a `repetition` CTE keyed by doc_id. */
+  val repetition: String =
+    """WITH nrm AS (
+      |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents
+      |), tk AS (
+      |  SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM nrm WHERE norm <> ''
+      |), c2 AS (
+      |  SELECT doc_id, norm, gram, count(*) AS cnt FROM (
+      |    SELECT doc_id, norm, unnest(list_transform(generate_series(1, len(toks) - 1),
+      |      i -> array_to_string(toks[i:i+1], ' '))) AS gram
+      |    FROM tk WHERE len(toks) >= 2) GROUP BY 1, 2, 3
+      |), c3 AS (
+      |  SELECT doc_id, norm, gram, count(*) AS cnt FROM (
+      |    SELECT doc_id, norm, unnest(list_transform(generate_series(1, len(toks) - 2),
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS gram
+      |    FROM tk WHERE len(toks) >= 3) GROUP BY 1, 2, 3
+      |), t2 AS (
+      |  SELECT doc_id, gram AS g2, CAST(cnt AS BIGINT) * length(gram) / CAST(length(norm) AS DOUBLE) AS tf2,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+      |  FROM c2
+      |), d2 AS (
+      |  SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN CAST(cnt AS BIGINT) * length(gram) ELSE 0 END)
+      |      / CAST(any_value(length(norm)) AS DOUBLE) AS df2
+      |  FROM c2 GROUP BY doc_id
+      |), t3 AS (
+      |  SELECT doc_id, CAST(cnt AS BIGINT) * length(gram) / CAST(length(norm) AS DOUBLE) AS tf3,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+      |  FROM c3
+      |), d3 AS (
+      |  SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN CAST(cnt AS BIGINT) * length(gram) ELSE 0 END)
+      |      / CAST(any_value(length(norm)) AS DOUBLE) AS df3
+      |  FROM c3 GROUP BY doc_id
+      |), repetition AS (
+      |  SELECT d.doc_id,
+      |    t2.g2 AS top_gram2,
+      |    coalesce(t2.tf2, 0.0) AS top_frac2,
+      |    coalesce(d2.df2, 0.0) AS dup_frac2,
+      |    coalesce(t3.tf3, 0.0) AS top_frac3,
+      |    coalesce(d3.df3, 0.0) AS dup_frac3
+      |  FROM documents d
+      |  LEFT JOIN t2 ON d.doc_id = t2.doc_id AND t2.rn = 1
+      |  LEFT JOIN d2 ON d.doc_id = d2.doc_id
+      |  LEFT JOIN t3 ON d.doc_id = t3.doc_id AND t3.rn = 1
+      |  LEFT JOIN d3 ON d.doc_id = d3.doc_id
+      |)""".stripMargin
+
   /** brute-force verified near-dup pairs (integer intersection/union math —
     * the SQL twin of Dedup.jaccardPairs AND of Dedup.minhashPairs, whose
     * banded-LSH candidate generation has effectively-1.0 recall at τ=0.8

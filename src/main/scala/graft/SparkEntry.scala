@@ -106,6 +106,10 @@ object SparkEntry {
     "q_text_stats" -> ((s, dir) =>
       graft.textops.TextOps.stats(docs(s, dir))),
 
+    // --- Gopher quality gate: composed keep/drop with reason taxonomy ---
+    "q_gopher_filter" -> ((s, dir) =>
+      graft.textops.TextOps.gopherFilter(docs(s, dir))),
+
     // --- Gopher repetition filters: top/duplicate n-gram char fractions ---
     "q_repetition" -> ((s, dir) =>
       docs(s, dir)
@@ -628,52 +632,42 @@ object SparkEntry {
         """ SELECT CAST(substr(conv_id, 6, 8) AS INTEGER) % 8 AS bucket,
           | sink, count(*) AS events FROM parsed GROUP BY 1, 2""".stripMargin),
 
-    // Gopher repetition metrics: the DuckDB twin of RepetitionKernel —
-    // identical normalization, overlapping grams, cnt·len coverage, and
-    // (cnt DESC, gram ASC) top tie-break
     "q_repetition" ->
-      """WITH nrm AS (
-        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents
-        |), tk AS (
-        |  SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM nrm WHERE norm <> ''
-        |), c2 AS (
-        |  SELECT doc_id, norm, gram, count(*) AS cnt FROM (
-        |    SELECT doc_id, norm, unnest(list_transform(generate_series(1, len(toks) - 1),
-        |      i -> array_to_string(toks[i:i+1], ' '))) AS gram
-        |    FROM tk WHERE len(toks) >= 2) GROUP BY 1, 2, 3
-        |), c3 AS (
-        |  SELECT doc_id, norm, gram, count(*) AS cnt FROM (
-        |    SELECT doc_id, norm, unnest(list_transform(generate_series(1, len(toks) - 2),
-        |      i -> array_to_string(toks[i:i+2], ' '))) AS gram
-        |    FROM tk WHERE len(toks) >= 3) GROUP BY 1, 2, 3
-        |), t2 AS (
-        |  SELECT doc_id, gram AS g2, CAST(cnt AS BIGINT) * length(gram) / CAST(length(norm) AS DOUBLE) AS tf2,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
-        |  FROM c2
-        |), d2 AS (
-        |  SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN CAST(cnt AS BIGINT) * length(gram) ELSE 0 END)
-        |      / CAST(any_value(length(norm)) AS DOUBLE) AS df2
-        |  FROM c2 GROUP BY doc_id
-        |), t3 AS (
-        |  SELECT doc_id, CAST(cnt AS BIGINT) * length(gram) / CAST(length(norm) AS DOUBLE) AS tf3,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
-        |  FROM c3
-        |), d3 AS (
-        |  SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN CAST(cnt AS BIGINT) * length(gram) ELSE 0 END)
-        |      / CAST(any_value(length(norm)) AS DOUBLE) AS df3
-        |  FROM c3 GROUP BY doc_id
-        |)
-        | SELECT d.doc_id,
-        |  t2.g2 AS top_gram2,
-        |  coalesce(t2.tf2, 0.0) AS top_frac2,
-        |  coalesce(d2.df2, 0.0) AS dup_frac2,
-        |  coalesce(t3.tf3, 0.0) AS top_frac3,
-        |  coalesce(d3.df3, 0.0) AS dup_frac3
-        | FROM documents d
-        | LEFT JOIN t2 ON d.doc_id = t2.doc_id AND t2.rn = 1
-        | LEFT JOIN d2 ON d.doc_id = d2.doc_id
-        | LEFT JOIN t3 ON d.doc_id = t3.doc_id AND t3.rn = 1
-        | LEFT JOIN d3 ON d.doc_id = d3.doc_id""".stripMargin,
+      (OracleCte.repetition +
+        """ SELECT doc_id, top_gram2, top_frac2, dup_frac2, top_frac3, dup_frac3
+          | FROM repetition""".stripMargin),
+
+    // Gopher quality gate: every rule mirrored closed-form; reason CASE
+    // order identical to TextOps.gopherFilter (first failing rule wins)
+    "q_gopher_filter" ->
+      (OracleCte.repetition +
+        """, gop AS (
+          |  SELECT d.doc_id,
+          |    CAST(len(string_split_regex(trim(d.text), '\s+')) AS INTEGER) AS n_tokens,
+          |    CAST(length(replace(d.text, ' ', '')) AS DOUBLE)
+          |      / len(string_split_regex(trim(d.text), '\s+')) AS mean_len,
+          |    CAST(len(list_filter(string_split_regex(trim(d.text), '\s+'),
+          |      t -> list_contains(['the','a','and','of','to','in','is','it'], lower(t)))) AS INTEGER) AS stop_hits,
+          |    CAST(length(d.text) - length(regexp_replace(d.text, '[.,!?;:''"()]', '', 'g')) AS DOUBLE)
+          |      / length(d.text) AS punct_ratio,
+          |    r.top_frac2, r.dup_frac3
+          |  FROM documents d JOIN repetition r ON d.doc_id = r.doc_id
+          |), gop2 AS (
+          |  SELECT *, CASE WHEN n_tokens < 8 THEN 'too_short'
+          |    WHEN n_tokens > 10000 THEN 'too_long'
+          |    WHEN mean_len < 3.0 OR mean_len > 10.0 THEN 'word_length'
+          |    WHEN stop_hits < 2 THEN 'stopwords'
+          |    WHEN punct_ratio > 0.1 THEN 'symbols'
+          |    WHEN top_frac2 > 0.20 THEN 'top_2gram'
+          |    WHEN dup_frac3 > 0.18 THEN 'dup_3gram' END AS reason
+          |  FROM gop)
+          | SELECT doc_id, reason IS NULL AS keep, reason, n_tokens,
+          |  CAST(floor(mean_len * 10000 + 0.5) AS INTEGER) AS mean_len_e4,
+          |  stop_hits,
+          |  CAST(floor(punct_ratio * 10000 + 0.5) AS INTEGER) AS punct_e4,
+          |  CAST(floor(top_frac2 * 10000 + 0.5) AS INTEGER) AS top2_e4,
+          |  CAST(floor(dup_frac3 * 10000 + 0.5) AS INTEGER) AS dup3_e4
+          | FROM gop2""".stripMargin),
 
     "q_text_stats" ->
       (OracleCte.docTokens +

@@ -101,6 +101,45 @@ object TextOps {
       langId(col("text")).as("lang"),
       scaled4(qualityScore(col("text"))).as("quality_e4"))
 
+  /** Gopher-style document quality gate (Rae et al. 2021 Table A1, adapted
+    * to this engine's metrics): per-document keep/drop with a first-failing-
+    * rule reason taxonomy — the standard pre-training corpus filter. Rules:
+    * token count in [8, 10000]; mean token length (non-space chars / tokens)
+    * in [3, 10]; ≥ 2 hits on the 8-word English stop list (the Gopher
+    * "common English words" rule — same 8-word shape); punctuation ratio
+    * ≤ 0.1; top 2-gram char fraction ≤ 0.20; duplicate 3-gram char fraction
+    * ≤ 0.18. Pure narrow map — no shuffle; at 100 TB this runs inside the
+    * same codegen span as the scan. */
+  def gopherFilter(docs: DataFrame): DataFrame = {
+    val nTok = tokenCount(col("text"))
+    val meanLen = length(regexp_replace(col("text"), " ", "")).cast("double") /
+      nTok.cast("double")
+    val stopHits = stopwordHits(col("text"), StopEn)
+    val punctRatio = punctChars(col("text")).cast("double") /
+      length(col("text")).cast("double")
+    docs
+      .withColumn("_r2", graft.functions.ngram_char_fracs(col("text"), 2))
+      .withColumn("_r3", graft.functions.ngram_char_fracs(col("text"), 3))
+      .withColumn("reason",
+        when(nTok < 8, "too_short")
+          .when(nTok > 10000, "too_long")
+          .when(meanLen < 3.0 || meanLen > 10.0, "word_length")
+          .when(stopHits < 2, "stopwords")
+          .when(punctRatio > 0.1, "symbols")
+          .when(col("_r2.top_frac") > 0.20, "top_2gram")
+          .when(col("_r3.dup_frac") > 0.18, "dup_3gram"))
+      .select(
+        col("doc_id"),
+        col("reason").isNull.as("keep"),
+        col("reason"),
+        nTok.as("n_tokens"),
+        scaled4(meanLen).as("mean_len_e4"),
+        stopHits.as("stop_hits"),
+        scaled4(punctRatio).as("punct_e4"),
+        scaled4(col("_r2.top_frac")).as("top2_e4"),
+        scaled4(col("_r3.dup_frac")).as("dup3_e4"))
+  }
+
   /** exact near-identical dedup: group by content fingerprint, keep the
     * smallest doc_id of each group. One shuffle, keyed on the 32-char
     * fingerprint — at 10^12 docs this is the standard map-side-combinable
