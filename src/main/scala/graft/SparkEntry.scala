@@ -176,6 +176,15 @@ object SparkEntry {
         nlist = 16, nprobe = 16)
     }),
 
+    // --- ANN, IVF-PQ (compressed index + ADC + exact rerank): full-probe +
+    //     all-candidate rerank degrades to exact brute force = the oracle;
+    //     real-config recall is pinned in AnnSpec ---
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      graft.similarity.Ann.ivfPqTopK(e, e.filter(col("vec_id") < 8), 5,
+        nlist = 16, nprobe = 16, m = 8, ksub = 16, rerank = 4096)
+    }),
+
     // --- multiline/session assembly (reader/multiline as groupBy-fold) ---
     "q_sessions" -> ((s, dir) =>
       graft.operators.Actions.sessionize(t(s, dir))),
@@ -749,6 +758,22 @@ object SparkEntry {
           | SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5""".stripMargin),
 
     "q_ann_ivf" ->
+      (OracleCte.cosinePairs.replace(", cpairs AS (", ", cpairs_unused AS (") +
+        """, q AS (SELECT * FROM e WHERE vec_id < 8),
+          | scored AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    list_dot_product(q.v, c.v) /
+          |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+          |  FROM e c JOIN q ON q.vec_id <> c.vec_id
+          | ), ranked AS (
+          |  SELECT query_id,
+          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+          |    neighbor_id, round(cos, 4) AS cos
+          |  FROM scored)
+          | SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5""".stripMargin),
+
+    // IVF-PQ at nprobe=nlist with an all-candidate exact rerank = brute force
+    "q_ann_ivfpq" ->
       (OracleCte.cosinePairs.replace(", cpairs AS (", ", cpairs_unused AS (") +
         """, q AS (SELECT * FROM e WHERE vec_id < 8),
           | scored AS (

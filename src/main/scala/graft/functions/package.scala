@@ -181,6 +181,20 @@ package object functions {
   def nearest_centroids(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
     ExpressionUtils.column(NearestCentroids(ExpressionUtils.expression(vec), centroids, nprobe))
 
+  /** product-quantization encode: embedding → m subspace codes (array<int>). */
+  def pq_encode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    ExpressionUtils.column(PqEncode(ExpressionUtils.expression(vec), codebooks))
+
+  /** per-query PQ ADC dot table (flat m×ksub floats, ‖q‖-normalized). */
+  def pq_dot_table(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    ExpressionUtils.column(PqDotTable(ExpressionUtils.expression(vec), codebooks))
+
+  /** ADC approximate cosine from codes + a query's dot table. */
+  def pq_adc_score(codes: Column, table: Column, norm2: Array[Double],
+                   ksub: Int): Column =
+    ExpressionUtils.column(PqAdcScore(ExpressionUtils.expression(codes),
+      ExpressionUtils.expression(table), norm2, ksub))
+
   /** bounded ordered collect: values of the k smallest `ord` rows, sorted —
     * the skew-safe (hot-conversation-proof) replacement for
     * `array_sort(collect_list(...))`; see [[OrderedTopKStrings]]. */

@@ -87,6 +87,74 @@ object Ann {
     perQueryTopK(scored, k)
   }
 
+  /** Per-subspace PQ codebooks: deterministic seeds (the first `ksub`
+    * corpus vectors by id, split into m subvectors) refined by one
+    * distributed Lloyd step under L2 — same build shape as
+    * [[ivfCentroids]]: the assign pass stays on the cluster, the shuffle
+    * output is only ksub × dim rows, and the (tiny) codebook matrix is
+    * collected to the driver. */
+  def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int): Array[Array[Array[Float]]] = {
+    val seedVecs = corpus.orderBy("vec_id").limit(ksub).select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray)
+    val dim = seedVecs(0).length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val seeds: Array[Array[Array[Float]]] =
+      Array.tabulate(m)(j => seedVecs.map(v => v.slice(j * dsub, (j + 1) * dsub)))
+    val means = corpus
+      .select(pq_encode(col("embedding"), seeds).as("codes"),
+        posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(element_at(col("codes"), (col("d") / dsub).cast("int") + 1).as("code"),
+        col("d"), col("v"))
+      .groupBy("code", "d").agg(avg("v").as("mv"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val refined = seeds.map(_.map(_.clone()))
+    means.foreach { case (code, d, mv) =>
+      refined(d / dsub)(code)(d % dsub) = mv.toFloat
+    }
+    refined
+  }
+
+  /** IVF-PQ search (the FAISS shape — Jégou et al. 2011): the index stores
+    * per vector only (cell, m codes) — at 10^12 × 64-dim float vectors that
+    * is ~12 TB instead of ~256 TB, the difference between an index that fits
+    * a cluster's disks and one that does not. Candidates in the probed
+    * cells are scored by ADC table lookup (m lookups per candidate, no
+    * embedding access), the per-query `rerank` best go through an exact
+    * cosine re-ranking against the true embeddings (a broadcast-pool gather
+    * join — the corpus never shuffles), and the final top-k is the bounded
+    * heap aggregate. `nprobe = nlist` with `rerank ≥` the probed candidate
+    * count degrades to exact brute force — the oracle configuration. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 16, rerank: Int = 32): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist)
+    val cbs = pqCodebooks(corpus, m, ksub)
+    val n2 = PqKernel.norm2Table(cbs)
+    val index = corpus.select(col("vec_id").as("neighbor_id"),
+      element_at(nearest_centroids(col("embedding"), cents, 1), 1).as("cell"),
+      pq_encode(col("embedding"), cbs).as("codes"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      pq_dot_table(col("embedding"), cbs).as("tbl"),
+      explode(nearest_centroids(col("embedding"), cents, nprobe)).as("cell"))
+    val approx = index.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pq_adc_score(col("codes"), col("tbl"), n2, ksub).as("cos"))
+    val pool = approx.groupBy("query_id")
+      .agg(topk_by_score(col("cos"), col("neighbor_id"), rerank).as("nb"))
+      .select(col("query_id"), explode(col("nb")).as("s"))
+      .select(col("query_id"), col("s.neighbor_id").as("neighbor_id"))
+    val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
+    val scored = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_v"))
+      .join(broadcast(pool), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("q_v"), col("c_v")).as("cos"))
+    perQueryTopK(scored, k)
+  }
+
   /** Multi-table LSH neighbor search (the classic L-tables × b-planes
     * construction): each vector lands in one bucket per table; a candidate is
     * any corpus vector sharing a (table, bucket) cell with the query. Exact

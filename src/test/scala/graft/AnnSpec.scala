@@ -51,6 +51,49 @@ class AnnSpec extends SparkSpec {
     assert(full == brute, "probing all cells must equal brute force")
   }
 
+  test("IVF-PQ: compressed-index recall is usable; full-probe+rerank is exact") {
+    val k = 5
+    def keyset(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = keyset(Ann.bruteTopK(embeds, queries, k))
+    // real config: 4/16 cells probed, ADC-approximate pool of 32, exact rerank
+    val pq = keyset(Ann.ivfPqTopK(embeds, queries, k,
+      nlist = 16, nprobe = 4, m = 8, ksub = 16, rerank = 32))
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    info(s"IVF-PQ recall@5 (nprobe=4/16, rerank=32) = $recall")
+    assert(recall > 0.4, s"recall too low: $recall")
+    // oracle config: probe everything, rerank everything → exact
+    val full = keyset(Ann.ivfPqTopK(embeds, queries, k,
+      nlist = 16, nprobe = 16, m = 8, ksub = 16, rerank = 4096))
+    assert(full == brute, "full probe + all-candidate rerank must equal brute force")
+  }
+
+  test("PQ kernels: codes in range, ADC score tracks exact cosine") {
+    import graft.functions.PqKernel
+    val cbs = Ann.pqCodebooks(embeds, m = 8, ksub = 16)
+    assert(cbs.length == 8 && cbs.forall(_.length == 16) && cbs.forall(_.forall(_.length == 8)))
+    val n2 = PqKernel.norm2Table(cbs)
+    val rows = embeds.select(
+      graft.functions.pq_encode(col("embedding"), cbs).as("codes"),
+      graft.functions.pq_dot_table(col("embedding"), cbs).as("tbl"),
+      col("embedding")).limit(64).collect()
+    // every code within [0, ksub)
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](0)
+      assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+    }
+    // self-score: ADC(q, encode(q)) must approximate cos(q, recon(q)) ≈ 1
+    // with bounded quantization loss on this corpus
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val selfScores = rows.map { r =>
+      val codes = new GenericArrayData(r.getSeq[Int](0).map(Int.box).toArray[Any])
+      val tbl = new GenericArrayData(r.getSeq[Float](1).map(Float.box).toArray[Any])
+      PqKernel.score(codes, tbl, n2, 16)
+    }
+    assert(selfScores.forall(s => s > 0.3 && s <= 1.0001),
+      s"self-scores out of band: min=${selfScores.min}")
+  }
+
   test("cosine_sim expression agrees with a plain SQL dot product") {
     import spark.implicits._
     val df = Seq(
