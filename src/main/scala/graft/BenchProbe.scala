@@ -92,7 +92,8 @@ object BenchProbe {
       // each kernel with zero line-construction cost inside the timed pass.
       val sysPath = s"/tmp/graft_probe_syslog_$rows"
       val cefPath = s"/tmp/graft_probe_cef_$rows"
-      if (!new java.io.File(s"$sysPath/_SUCCESS").exists()) {
+      if (!new java.io.File(s"$sysPath/_SUCCESS").exists() ||
+          !new java.io.File(s"$cefPath/_SUCCESS").exists()) {
         val s = session(32)
         s.read.parquet(path).select(SparkEntry.syslogLine.as("line"))
           .write.mode("overwrite").parquet(sysPath)

@@ -181,8 +181,11 @@ object SparkEntry {
     //     real-config recall is pinned in AnnSpec ---
     "q_ann_ivfpq" -> ((s, dir) => {
       val e = embeds(s, dir)
+      // rerank must cover EVERY candidate for the brute-force equality to
+      // hold — derive it from the corpus, never hardcode (ADC misranking
+      // beyond a fixed pool would silently break the oracle at larger SFs)
       graft.similarity.Ann.ivfPqTopK(e, e.filter(col("vec_id") < 8), 5,
-        nlist = 16, nprobe = 16, m = 8, ksub = 16, rerank = 4096)
+        nlist = 16, nprobe = 16, m = 8, ksub = 16, rerank = e.count().toInt)
     }),
 
     // --- multiline/session assembly (reader/multiline as groupBy-fold) ---
@@ -498,8 +501,7 @@ object SparkEntry {
       import graft.route._
       val sel = Selector(Seq(
         SelectorRule(Range("sev", lte = Some(3)) && FieldEquals("valid", true), "sink_es"),
-        SelectorRule(FieldEquals("valid", true), "sink_ls"),
-        SelectorRule(HasFields(Seq("host")), "filtered")), default = "dropped")
+        SelectorRule(FieldEquals("valid", true), "sink_ls")), default = "dropped")
       t(s, dir)
         .withColumn("_p", graft.functions.parse_syslog(syslogLine, "auto", 2024, 0))
         .select(col("_p.severity").as("sev"), col("_p.valid").as("valid"),

@@ -22,15 +22,18 @@ import org.apache.spark.sql.types._
   */
 object PqKernel {
 
-  /** argmin-L2 code per subspace (tie → smallest code). */
+  /** argmin-L2 code per subspace (tie → smallest code); null on a
+    * dimension mismatch — a truncated comparison would tie every codeword
+    * at the prefix and silently assign garbage codes. */
   def encode(v: ArrayData, cbs: Array[Array[Array[Float]]]): GenericArrayData = {
     val m = cbs.length
+    val dsub = cbs(0)(0).length
+    if (v.numElements() != m * dsub) return null
     val out = new Array[Any](m)
     var j = 0
     var off = 0
     while (j < m) {
       val book = cbs(j)
-      val dsub = book(0).length
       var best = 0
       var bestD = Double.MaxValue
       var c = 0
@@ -38,7 +41,7 @@ object PqKernel {
         val w = book(c)
         var d = 0.0
         var i = 0
-        while (i < dsub && off + i < v.numElements()) {
+        while (i < dsub) {
           val diff = v.getFloat(off + i).toDouble - w(i)
           d += diff * diff
           i += 1
@@ -54,10 +57,12 @@ object PqKernel {
   }
 
   /** per-query ADC dot table, flat m×ksub: entry j·ksub+c =
-    * dot(q_j, cb_j(c)) / ‖q‖ (zero vector → all zeros). */
+    * dot(q_j, cb_j(c)) / ‖q‖ (zero vector → all zeros; dimension
+    * mismatch → null, same contract as [[encode]]). */
   def dotTable(q: ArrayData, cbs: Array[Array[Array[Float]]]): GenericArrayData = {
     val m = cbs.length
     val ksub = cbs(0).length
+    if (q.numElements() != m * cbs(0)(0).length) return null
     var qn = 0.0
     var i = 0
     while (i < q.numElements()) { val x = q.getFloat(i).toDouble; qn += x * x; i += 1 }
@@ -134,6 +139,7 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
     val ref = ctx.addReferenceObj("pqEnc", this, classOf[PqEncode].getName)
     nullSafeCodeGen(ctx, ev, c => s"""
       ${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData) $ref.evalInput($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
     """)
   }
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
@@ -152,6 +158,7 @@ case class PqDotTable(child: Expression, codebooks: Array[Array[Array[Float]]])
     val ref = ctx.addReferenceObj("pqTbl", this, classOf[PqDotTable].getName)
     nullSafeCodeGen(ctx, ev, c => s"""
       ${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData) $ref.evalInput($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
     """)
   }
   override protected def withNewChildInternal(newChild: Expression): PqDotTable =

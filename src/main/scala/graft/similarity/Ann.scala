@@ -96,6 +96,8 @@ object Ann {
   def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int): Array[Array[Array[Float]]] = {
     val seedVecs = corpus.orderBy("vec_id").limit(ksub).select("embedding")
       .collect().map(_.getSeq[Float](0).toArray)
+    require(seedVecs.length == ksub,
+      s"corpus has only ${seedVecs.length} vectors — fewer than ksub=$ksub codewords")
     val dim = seedVecs(0).length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
@@ -130,17 +132,22 @@ object Ann {
                 m: Int = 8, ksub: Int = 16, rerank: Int = 32): DataFrame = {
     val cents = ivfCentroids(corpus, nlist)
     val cbs = pqCodebooks(corpus, m, ksub)
+    val ksubActual = cbs(0).length // the scorer's table stride MUST match cbs
     val n2 = PqKernel.norm2Table(cbs)
+    // rows whose embedding dim mismatches the codebooks encode to null —
+    // excluded here rather than surfacing as garbage-scored candidates
     val index = corpus.select(col("vec_id").as("neighbor_id"),
       element_at(nearest_centroids(col("embedding"), cents, 1), 1).as("cell"),
       pq_encode(col("embedding"), cbs).as("codes"))
+      .filter(col("codes").isNotNull)
     val q = queries.select(col("vec_id").as("query_id"),
       pq_dot_table(col("embedding"), cbs).as("tbl"),
       explode(nearest_centroids(col("embedding"), cents, nprobe)).as("cell"))
+      .filter(col("tbl").isNotNull)
     val approx = index.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        pq_adc_score(col("codes"), col("tbl"), n2, ksub).as("cos"))
+        pq_adc_score(col("codes"), col("tbl"), n2, ksubActual).as("cos"))
     val pool = approx.groupBy("query_id")
       .agg(topk_by_score(col("cos"), col("neighbor_id"), rerank).as("nb"))
       .select(col("query_id"), explode(col("nb")).as("s"))

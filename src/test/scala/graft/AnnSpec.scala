@@ -61,10 +61,11 @@ class AnnSpec extends SparkSpec {
       nlist = 16, nprobe = 4, m = 8, ksub = 16, rerank = 32))
     val recall = (brute intersect pq).size.toDouble / brute.size
     info(s"IVF-PQ recall@5 (nprobe=4/16, rerank=32) = $recall")
-    assert(recall > 0.4, s"recall too low: $recall")
+    assert(recall > 0.7, s"recall too low: $recall") // measured 0.85
     // oracle config: probe everything, rerank everything → exact
     val full = keyset(Ann.ivfPqTopK(embeds, queries, k,
-      nlist = 16, nprobe = 16, m = 8, ksub = 16, rerank = 4096))
+      nlist = 16, nprobe = 16, m = 8, ksub = 16,
+      rerank = embeds.count().toInt))
     assert(full == brute, "full probe + all-candidate rerank must equal brute force")
   }
 
