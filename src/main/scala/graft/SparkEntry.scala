@@ -141,6 +141,11 @@ object SparkEntry {
       graft.dedup.Dedup.dedupClusters(docs(s, dir),
         graft.dedup.Dedup.minhashPairs(docs(s, dir), 80))),
 
+    // --- the composed curation pipeline: quality gate → exact dedup →
+    //     near-dup clusters, with per-document drop-stage lineage ---
+    "q_curation" -> ((s, dir) =>
+      graft.dedup.Dedup.curate(docs(s, dir))),
+
     "q_dedup_embedding" -> ((s, dir) =>
       graft.dedup.Dedup.embeddingPairs(embeds(s, dir), 0.4)),
 
@@ -733,6 +738,68 @@ object SparkEntry {
           | SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
           |   COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
           | FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin),
+
+    // curation: each stage mirrored over the PREVIOUS stage's survivors —
+    // quality keep = conjunction of the q_gopher_filter rule negations,
+    // exact = md5(normalized) winners, near-dup = recursive closure over
+    // τ=0.8 length-blocked jaccard pairs among unique survivors
+    "q_curation" ->
+      (OracleCte.repetition.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, gq AS (
+          |  SELECT d.doc_id, d.text FROM documents d JOIN repetition r ON d.doc_id = r.doc_id
+          |  WHERE len(string_split_regex(trim(d.text), '\s+')) BETWEEN 8 AND 10000
+          |    AND CAST(length(replace(d.text, ' ', '')) AS DOUBLE)
+          |        / len(string_split_regex(trim(d.text), '\s+')) BETWEEN 3.0 AND 10.0
+          |    AND len(list_filter(string_split_regex(trim(d.text), '\s+'),
+          |        t -> list_contains(['the','a','and','of','to','in','is','it'], lower(t)))) >= 2
+          |    AND CAST(length(d.text) - length(regexp_replace(d.text, '[.,!?;:''"()]', '', 'g')) AS DOUBLE)
+          |        / length(d.text) <= 0.1
+          |    AND r.top_frac2 <= 0.20 AND r.dup_frac3 <= 0.18
+          |), fps AS (
+          |  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM gq
+          |), winners AS (
+          |  SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp
+          |), uniq AS (
+          |  SELECT g.doc_id, g.text FROM gq g JOIN winners w ON g.doc_id = w.doc_id
+          |), utok AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+          |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS unorm
+          |  FROM uniq
+          |), ush AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(string_split(unorm, ' ')) < 3 THEN [unorm]
+          |         ELSE list_distinct(list_transform(
+          |           generate_series(1, len(string_split(unorm, ' ')) - 2),
+          |           i -> array_to_string((string_split(unorm, ' '))[i:i+2], ' ')))
+          |    END AS sh, CAST(len(toks) AS INTEGER) AS n_tok
+          |  FROM utok
+          |), upairs AS (
+          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM ush a JOIN ush b
+          |    ON a.doc_id < b.doc_id AND abs(a.n_tok - b.n_tok) <= 40
+          |   AND len(list_intersect(a.sh, b.sh)) * 100 >=
+          |       (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 80
+          |), und AS (
+          |  SELECT a_id AS u, b_id AS v FROM upairs
+          |  UNION SELECT b_id AS u, a_id AS v FROM upairs
+          |), reach(u, v) AS (
+          |  SELECT u, v FROM und
+          |  UNION
+          |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u AND e.v <> r.u
+          |), comp AS (
+          |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+          |), staged AS (
+          |  SELECT d.doc_id,
+          |    CASE WHEN g.doc_id IS NULL THEN 'dropped_quality'
+          |         WHEN w.doc_id IS NULL THEN 'dropped_exact'
+          |         WHEN COALESCE(c.cluster_id, d.doc_id) <> d.doc_id THEN 'dropped_neardup'
+          |         ELSE 'kept' END AS stage
+          |  FROM documents d
+          |  LEFT JOIN gq g ON d.doc_id = g.doc_id
+          |  LEFT JOIN winners w ON d.doc_id = w.doc_id
+          |  LEFT JOIN comp c ON d.doc_id = c.doc_id
+          |)
+          | SELECT doc_id, stage, stage = 'kept' AS kept FROM staged""".stripMargin),
 
     "q_dedup_embedding" ->
       (OracleCte.cosinePairs +

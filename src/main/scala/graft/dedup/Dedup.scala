@@ -237,6 +237,43 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
+  /** End-to-end corpus curation — the operator chain a pre-training data
+    * run actually executes, in its canonical order:
+    *   1. Gopher quality gate ([[graft.textops.TextOps.gopherFilter]]) —
+    *      narrow map, no shuffle;
+    *   2. exact dedup on the normalized-content fingerprint (keep the
+    *      smallest doc_id per group) — one map-side-combinable shuffle on
+    *      a 32-char key;
+    *   3. MinHash-LSH near-dup detection + connected-components cluster
+    *      resolution over the survivors (keep the cluster representative).
+    * One output row per INPUT document with the stage that removed it
+    * (`dropped_quality` / `dropped_exact` / `dropped_neardup`) or `kept` —
+    * full lineage of why each document left the corpus, which is what a
+    * 100 TB curation run needs for auditability. Later stages only process
+    * earlier survivors, so the expensive near-dup step sees the smallest
+    * corpus. */
+  def curate(docs: DataFrame, tau: Int = 80): DataFrame = {
+    val quality = graft.textops.TextOps.gopherFilter(docs)
+      .select(col("doc_id"), col("keep").as("q_keep"))
+    val qdocs = docs.join(quality.filter(col("q_keep")).select("doc_id"), Seq("doc_id"))
+    val winners = qdocs
+      .groupBy(graft.textops.TextOps.fingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val uniq = qdocs.join(winners, Seq("doc_id"))
+    val clusters = dedupClusters(uniq, minhashPairs(uniq, tau))
+      .select(col("doc_id"), col("keep").as("nd_keep"))
+    docs.select("doc_id")
+      .join(quality, Seq("doc_id"), "left")
+      .join(winners.withColumn("is_winner", lit(true)), Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!col("q_keep"), "dropped_quality")
+          .when(col("is_winner").isNull, "dropped_exact")
+          .when(!col("nd_keep"), "dropped_neardup")
+          .otherwise("kept").as("stage"))
+      .withColumn("kept", col("stage") === "kept")
+  }
+
   /** Family 4 — embedding cosine near-dup (brute force with id ordering;
     * the bucketed scale path is [[embeddingPairsLsh]]). */
   def embeddingPairs(embeds: DataFrame, tau: Double): DataFrame = {
