@@ -253,17 +253,18 @@ object Dedup {
     * earlier survivors, so the expensive near-dup step sees the smallest
     * corpus. */
   def curate(docs: DataFrame, tau: Int = 80): DataFrame = {
-    val quality = graft.textops.TextOps.gopherFilter(docs)
-      .select(col("doc_id"), col("keep").as("q_keep"))
-    val qdocs = docs.join(quality.filter(col("q_keep")).select("doc_id"), Seq("doc_id"))
+    // quality verdict as an inline column — a narrow map in the SAME scan,
+    // not a recomputed frame joined back on doc_id
+    val annotated = docs.withColumn("q_keep",
+      graft.textops.TextOps.gopherReason(col("text")).isNull)
+    val qdocs = annotated.filter(col("q_keep"))
     val winners = qdocs
       .groupBy(graft.textops.TextOps.fingerprint(col("text")).as("fp"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
     val uniq = qdocs.join(winners, Seq("doc_id"))
     val clusters = dedupClusters(uniq, minhashPairs(uniq, tau))
       .select(col("doc_id"), col("keep").as("nd_keep"))
-    docs.select("doc_id")
-      .join(quality, Seq("doc_id"), "left")
+    annotated.select("doc_id", "q_keep")
       .join(winners.withColumn("is_winner", lit(true)), Seq("doc_id"), "left")
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),

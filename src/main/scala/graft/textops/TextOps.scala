@@ -110,6 +110,29 @@ object TextOps {
     * ≤ 0.1; top 2-gram char fraction ≤ 0.20; duplicate 3-gram char fraction
     * ≤ 0.18. Pure narrow map — no shuffle; at 100 TB this runs inside the
     * same codegen span as the scan. */
+  /** the [[gopherFilter]] rule chain as ONE inline column (null = keep):
+    * for pipelines that need only the verdict — evaluates each repetition
+    * kernel exactly once inside the same projection, no join back. Do not
+    * combine with [[gopherFilter]]'s metric outputs in one plan stage: the
+    * kernels would be instantiated twice (Catalyst does not CSE custom
+    * expressions across projections). */
+  def gopherReason(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val meanLen = length(regexp_replace(text, " ", "")).cast("double") /
+      nTok.cast("double")
+    val stopHits = stopwordHits(text, StopEn)
+    val punctRatio = punctChars(text).cast("double") / length(text).cast("double")
+    val r2 = graft.functions.ngram_char_fracs(text, 2)
+    val r3 = graft.functions.ngram_char_fracs(text, 3)
+    when(nTok < 8, "too_short")
+      .when(nTok > 10000, "too_long")
+      .when(meanLen < 3.0 || meanLen > 10.0, "word_length")
+      .when(stopHits < 2, "stopwords")
+      .when(punctRatio > 0.1, "symbols")
+      .when(r2.getField("top_frac") > 0.20, "top_2gram")
+      .when(r3.getField("dup_frac") > 0.18, "dup_3gram")
+  }
+
   def gopherFilter(docs: DataFrame): DataFrame = {
     val nTok = tokenCount(col("text"))
     val meanLen = length(regexp_replace(col("text"), " ", "")).cast("double") /
