@@ -254,14 +254,21 @@ object Dedup {
     * corpus. */
   def curate(docs: DataFrame, tau: Int = 80): DataFrame = {
     // quality verdict as an inline column — a narrow map in the SAME scan,
-    // not a recomputed frame joined back on doc_id
+    // not a recomputed frame joined back on doc_id. A null text is dropped
+    // explicitly (the SQL mirror's rule conjunction also rejects it).
+    // localCheckpoint: the annotated corpus feeds four consumers (winners,
+    // the survivor semi-join, the near-dup self-join sides, the lineage
+    // frame) across the eager connected-components actions — materialize
+    // once instead of re-running the quality kernels per consumer.
     val annotated = docs.withColumn("q_keep",
-      graft.textops.TextOps.gopherReason(col("text")).isNull)
+      col("text").isNotNull &&
+        graft.textops.TextOps.gopherReason(col("text")).isNull)
+      .localCheckpoint(true)
     val qdocs = annotated.filter(col("q_keep"))
-    val winners = qdocs
-      .groupBy(graft.textops.TextOps.fingerprint(col("text")).as("fp"))
-      .agg(min("doc_id").as("doc_id")).select("doc_id")
-    val uniq = qdocs.join(winners, Seq("doc_id"))
+    // exact stage = the canonical fingerprint dedup rule, defined ONCE
+    val winners = graft.textops.TextOps.dedupExact(qdocs)
+      .select(col("keep_id").as("doc_id"))
+    val uniq = qdocs.join(winners, Seq("doc_id"), "left_semi")
     val clusters = dedupClusters(uniq, minhashPairs(uniq, tau))
       .select(col("doc_id"), col("keep").as("nd_keep"))
     annotated.select("doc_id", "q_keep")

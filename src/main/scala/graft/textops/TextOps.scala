@@ -101,6 +101,36 @@ object TextOps {
       langId(col("text")).as("lang"),
       scaled4(qualityScore(col("text"))).as("quality_e4"))
 
+  // the Gopher rule chain — ONE definition of thresholds and reason
+  // strings, parameterized on the metric columns so each caller controls
+  // how often the repetition kernels are instantiated (Catalyst does not
+  // CSE custom expressions across projections)
+  private def gopherReasonFrom(nTok: Column, meanLen: Column, stopHits: Column,
+                               punctRatio: Column, top2: Column,
+                               dup3: Column): Column =
+    when(nTok < 8, "too_short")
+      .when(nTok > 10000, "too_long")
+      .when(meanLen < 3.0 || meanLen > 10.0, "word_length")
+      .when(stopHits < 2, "stopwords")
+      .when(punctRatio > 0.1, "symbols")
+      .when(top2 > 0.20, "top_2gram")
+      .when(dup3 > 0.18, "dup_3gram")
+
+  private def meanTokenLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") /
+      tokenCount(text).cast("double")
+  private def punctRatioOf(text: Column): Column =
+    punctChars(text).cast("double") / length(text).cast("double")
+
+  /** the [[gopherFilter]] rule chain as ONE inline verdict column (null =
+    * keep) for pipelines that need no metric outputs — each repetition
+    * kernel is instantiated exactly once, and there is no join back. */
+  def gopherReason(text: Column): Column =
+    gopherReasonFrom(tokenCount(text), meanTokenLen(text),
+      stopwordHits(text, StopEn), punctRatioOf(text),
+      graft.functions.ngram_char_fracs(text, 2).getField("top_frac"),
+      graft.functions.ngram_char_fracs(text, 3).getField("dup_frac"))
+
   /** Gopher-style document quality gate (Rae et al. 2021 Table A1, adapted
     * to this engine's metrics): per-document keep/drop with a first-failing-
     * rule reason taxonomy — the standard pre-training corpus filter. Rules:
@@ -110,55 +140,22 @@ object TextOps {
     * ≤ 0.1; top 2-gram char fraction ≤ 0.20; duplicate 3-gram char fraction
     * ≤ 0.18. Pure narrow map — no shuffle; at 100 TB this runs inside the
     * same codegen span as the scan. */
-  /** the [[gopherFilter]] rule chain as ONE inline column (null = keep):
-    * for pipelines that need only the verdict — evaluates each repetition
-    * kernel exactly once inside the same projection, no join back. Do not
-    * combine with [[gopherFilter]]'s metric outputs in one plan stage: the
-    * kernels would be instantiated twice (Catalyst does not CSE custom
-    * expressions across projections). */
-  def gopherReason(text: Column): Column = {
-    val nTok = tokenCount(text)
-    val meanLen = length(regexp_replace(text, " ", "")).cast("double") /
-      nTok.cast("double")
-    val stopHits = stopwordHits(text, StopEn)
-    val punctRatio = punctChars(text).cast("double") / length(text).cast("double")
-    val r2 = graft.functions.ngram_char_fracs(text, 2)
-    val r3 = graft.functions.ngram_char_fracs(text, 3)
-    when(nTok < 8, "too_short")
-      .when(nTok > 10000, "too_long")
-      .when(meanLen < 3.0 || meanLen > 10.0, "word_length")
-      .when(stopHits < 2, "stopwords")
-      .when(punctRatio > 0.1, "symbols")
-      .when(r2.getField("top_frac") > 0.20, "top_2gram")
-      .when(r3.getField("dup_frac") > 0.18, "dup_3gram")
-  }
-
   def gopherFilter(docs: DataFrame): DataFrame = {
     val nTok = tokenCount(col("text"))
-    val meanLen = length(regexp_replace(col("text"), " ", "")).cast("double") /
-      nTok.cast("double")
-    val stopHits = stopwordHits(col("text"), StopEn)
-    val punctRatio = punctChars(col("text")).cast("double") /
-      length(col("text")).cast("double")
     docs
       .withColumn("_r2", graft.functions.ngram_char_fracs(col("text"), 2))
       .withColumn("_r3", graft.functions.ngram_char_fracs(col("text"), 3))
-      .withColumn("reason",
-        when(nTok < 8, "too_short")
-          .when(nTok > 10000, "too_long")
-          .when(meanLen < 3.0 || meanLen > 10.0, "word_length")
-          .when(stopHits < 2, "stopwords")
-          .when(punctRatio > 0.1, "symbols")
-          .when(col("_r2.top_frac") > 0.20, "top_2gram")
-          .when(col("_r3.dup_frac") > 0.18, "dup_3gram"))
+      .withColumn("reason", gopherReasonFrom(nTok, meanTokenLen(col("text")),
+        stopwordHits(col("text"), StopEn), punctRatioOf(col("text")),
+        col("_r2.top_frac"), col("_r3.dup_frac")))
       .select(
         col("doc_id"),
         col("reason").isNull.as("keep"),
         col("reason"),
         nTok.as("n_tokens"),
-        scaled4(meanLen).as("mean_len_e4"),
-        stopHits.as("stop_hits"),
-        scaled4(punctRatio).as("punct_e4"),
+        scaled4(meanTokenLen(col("text"))).as("mean_len_e4"),
+        stopwordHits(col("text"), StopEn).as("stop_hits"),
+        scaled4(punctRatioOf(col("text"))).as("punct_e4"),
         scaled4(col("_r2.top_frac")).as("top2_e4"),
         scaled4(col("_r3.dup_frac")).as("dup3_e4"))
   }

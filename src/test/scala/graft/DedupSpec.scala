@@ -160,4 +160,26 @@ class DedupSpec extends SparkSpec {
     val keepers = rows.collect { case (id, (c, true)) => (id, c) }
     assert(keepers.forall { case (id, c) => id == c })
   }
+
+  test("curate: planted documents land in the right lineage stage") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over a lazy sleeping dog while " +
+      "many birds watch from tall green trees and several cats hide under " +
+      "old wooden fences near quiet village roads today"
+    val docs = Seq(
+      (1L, base),                                        // kept
+      (2L, base),                                        // exact dup of 1
+      (3L, base.replace("today", "tonight")),            // near-dup of 1
+      (4L, "x"),                                         // too_short
+      (5L, null.asInstanceOf[String])                    // null text
+    ).toDF("doc_id", "text")
+    val got = Dedup.curate(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "kept",
+      2L -> "dropped_exact",
+      3L -> "dropped_neardup",
+      4L -> "dropped_quality",
+      5L -> "dropped_quality"))
+  }
 }
