@@ -266,13 +266,36 @@ object Bench {
     // round (both tiers measured seconds apart). The min-wall estimator
     // mixes tiers across rounds, so a window that never leaves the faster
     // tier a clean slot biases it low even after retries; the matched
-    // estimator needs only one jointly-quiet round. Both are reported —
-    // together with the raw wall vectors they let a reader adjudicate.
-    def matched(lo: Int, hi: Int): Double =
-      walls(lo).indices.map(i => walls(lo)(i) / (4.0 * walls(hi)(i))).max
+    // estimator needs only one jointly-quiet round.
+    //
+    // PLAUSIBILITY CLAMP (round-3 lesson): an N→4N efficiency > 1.0 on fixed
+    // work is superlinear — physically impossible — and means that round
+    // paired a degraded N-thread wall with a clean 4N-thread wall (the
+    // recorded r3 artifact "passed" on matched = 1.145 this way). Such
+    // rounds are interference BY DEFINITION: they are rejected from the
+    // matched estimator and can neither pass a gate nor suppress a retry.
+    def matchedRounds(lo: Int, hi: Int): Seq[Double] =
+      walls(lo).indices.map(i => walls(lo)(i) / (4.0 * walls(hi)(i)))
+    def matchedPlausible(lo: Int, hi: Int): Double = {
+      val ok = matchedRounds(lo, hi).filter(_ <= 1.0)
+      if (ok.nonEmpty) ok.max else 0.0
+    }
+    def plausible(e: Double): Double = if (e <= 1.0) e else 0.0
+    // the gate/retry estimator: best of min-wall and matched, each admitted
+    // only if physically possible (≤ 1.0)
+    def bestPlausible2to8: Double =
+      math.max(plausible(eff2to8Now), matchedPlausible(2, 8))
+    def bestPlausible8to32: Double =
+      math.max(plausible(eff8to32Now), matchedPlausible(8, 32))
+    // pre-retry snapshot (emitted in the JSON): the estimators as of the
+    // initial fixed three rounds, BEFORE any failure-gated re-measurement.
+    // The retry policy is one-sided (extra rounds only run on a miss, and
+    // minima/maxima only move toward passing); publishing the pre-retry
+    // numbers alongside the final ones makes that bias inspectable.
+    val preEff2to8 = bestPlausible2to8
+    val preEff8to32 = bestPlausible8to32
     var extraRounds = 0
-    while (math.max(eff2to8Now, matched(2, 8)) < 0.8 && ceilCpu >= 0.85 &&
-           extraRounds < 4) {
+    while (bestPlausible2to8 < 0.8 && ceilCpu >= 0.85 && extraRounds < 4) {
       measureRound(warm = false)
       extraRounds += 1
     }
@@ -285,18 +308,30 @@ object Bench {
     // measured 0.52–0.63 across every quiet round. Re-measure while the
     // same-run CPU calibration says the cores scale; if it still misses,
     // flag the tier so a reader knows the walls contradict the calibration.
-    while (math.max(eff8to32Now, matched(8, 32)) < 0.45 && ceilCpu >= 0.85 &&
-           extraRounds < 6) {
+    while (bestPlausible8to32 < 0.45 && ceilCpu >= 0.85 && extraRounds < 6) {
       measureRound(warm = false)
       extraRounds += 1
     }
     val sec32 = walls(32).min
     val sec8 = walls(8).min
     val sec2 = walls(2).min
-    val eff2to8Matched = matched(2, 8)
-    val eff8to32Matched = matched(8, 32)
-    val hostDegraded = math.max(eff2to8Now, eff2to8Matched) < 0.8 && ceilCpu >= 0.85
-    val hostDegraded32 = math.max(eff8to32Now, eff8to32Matched) < 0.45 && ceilCpu >= 0.85
+    val eff2to8Matched = matchedPlausible(2, 8)
+    val eff8to32Matched = matchedPlausible(8, 32)
+    val rejected2to8 = matchedRounds(2, 8).count(_ > 1.0)
+    val rejected8to32 = matchedRounds(8, 32).count(_ > 1.0)
+    // Within-tier wall spread: identical work at identical parallelism should
+    // produce near-identical walls; a >3× spread inside one tier means a host
+    // interference window hit some rounds of this run. Flagged as degradation
+    // REGARDLESS of what the estimators read (round-3 lesson: the estimators
+    // can thread a path through a noisy window; the spread cannot hide it).
+    def spread(level: Int): Double = walls(level).max / walls(level).min
+    val spread2 = spread(2); val spread8 = spread(8); val spread32 = spread(32)
+    val hostDegraded =
+      (bestPlausible2to8 < 0.8 && ceilCpu >= 0.85) ||
+        spread2 > 3.0 || spread8 > 3.0
+    val hostDegraded32 =
+      (bestPlausible8to32 < 0.45 && ceilCpu >= 0.85) ||
+        spread8 > 3.0 || spread32 > 3.0
 
     // absolute throughput of the routing-only fast path at 4N
     val routeThr = {
@@ -323,8 +358,14 @@ object Bench {
       f""""sec_2":$sec2%.3f,"sec_8":$sec8%.3f,"sec_32":$sec32%.3f,""" +
       f""""efficiency_2_to_8":$eff2to8%.3f,""" +
       f""""efficiency_2_to_8_matched_best":$eff2to8Matched%.3f,""" +
+      f""""efficiency_2_to_8_pre_retry":$preEff2to8%.3f,""" +
+      f""""matched_rejected_2_to_8":$rejected2to8,""" +
       f""""efficiency_8_to_32":$eff%.3f,""" +
       f""""efficiency_8_to_32_matched_best":$eff8to32Matched%.3f,""" +
+      f""""efficiency_8_to_32_pre_retry":$preEff8to32%.3f,""" +
+      f""""matched_rejected_8_to_32":$rejected8to32,""" +
+      f""""wall_spread_2":$spread2%.2f,"wall_spread_8":$spread8%.2f,""" +
+      f""""wall_spread_32":$spread32%.2f,""" +
       f""""hw_ceiling_cpu":$ceilCpu%.3f,""" +
       f""""hw_ceiling_mem":$ceilMem%.3f,""" +
       f""""efficiency_vs_hw_ceiling":$effNorm%.3f,""" +

@@ -1,0 +1,313 @@
+package graft.checkpoint
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A minimal, from-scratch SNAPSHOT TABLE FORMAT — the Iceberg metadata
+  * pattern (immutable data files + a versioned metadata pointer advanced by
+  * an atomic compare-and-swap) implemented over any HDFS-compatible
+  * filesystem with zero dependencies beyond Spark's own jars. This is the
+  * storage layer under the pipeline's sinks and registry (the reference's
+  * registrar/statestore role, filebeat/registrar/registrar.go:139-214 and
+  * filebeat/input/filestream/internal/input-logfile/store.go:37-300, redone
+  * as a table format rather than a mutable key-value store).
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/f-<run>-<uuid>-<i>.parquet   immutable data files
+  *   <root>/metadata/v<NNNNNN>.json           one complete metadata doc per
+  *                                            version; the LARGEST version
+  *                                            is the table state
+  * }}}
+  *
+  * Commit protocol (optimistic concurrency, Iceberg-style):
+  *   1. the writer stages parquet files and MOVES them under data/ with
+  *      run-unique names — unreferenced files are invisible to every reader,
+  *      so this step needs no coordination;
+  *   2. it reads the current metadata version N and writes a candidate
+  *      v(N+1).json to a temp name;
+  *   3. the atomic `rename(tmp, v(N+1).json)` is the commit point: rename
+  *      onto an existing destination fails, so exactly one writer wins each
+  *      version; a loser re-reads the new state, re-validates, and retries.
+  *
+  * Snapshot isolation: readers resolve the largest committed version and
+  * read EXACTLY the files it lists — concurrent writers never perturb an
+  * in-flight read, and a killed writer's staged files are garbage, not
+  * corruption.
+  *
+  * Transactional idempotence: a commit may carry a `txn` key. The metadata
+  * records every committed txn key; a commit whose key is already present
+  * is rejected as `alreadyCommitted` (with the original snapshot id), which
+  * is what makes job retries and multi-writer races effectively-once — the
+  * same role as the reference's registrar ACK gate
+  * (filebeat/beater/acker.go:37-68).
+  *
+  * Operations: `append` (adds files), `merge` (copy-on-write MERGE INTO —
+  * latest rows win by key columns; the snapshot's file list REPLACES the
+  * previous one). Every version's metadata is retained, so any historical
+  * snapshot remains readable (time travel); production would add an
+  * expire-snapshots janitor and split the cumulative file list into
+  * manifest files once it outgrows one JSON doc — at the registry /
+  * commit-log scale this format serves here, one doc is the right size.
+  */
+final class SnapshotTable(val root: String, spark: SparkSession,
+                          val runId: String = Registry.newRunId()) {
+
+  import SnapshotTable._
+
+  private val fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val metaDir = new Path(root, "metadata")
+  private val dataDir = new Path(root, "data")
+
+  // ------------------------------------------------------------- metadata
+
+  /** current committed state; version 0 = the empty table. */
+  def state(): TableState = {
+    if (!fs.exists(metaDir)) return TableState.Empty
+    val versions = fs.listStatus(metaDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+    if (versions.isEmpty) return TableState.Empty
+    parseMeta(readBytes(fs, versionPath(versions.max)))
+  }
+
+  private def versionPath(v: Long): Path = new Path(metaDir, f"v$v%06d.json")
+
+  /** CAS: write candidate metadata for version prev+1; true iff this writer
+    * won the rename race. */
+  private def casCommit(prev: TableState, doc: ObjectNode): Boolean = {
+    fs.mkdirs(metaDir)
+    val tmp = new Path(metaDir, s".tmp-$runId-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(Mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(doc))
+    finally out.close()
+    if (fs.rename(tmp, versionPath(prev.version + 1))) true
+    else { fs.delete(tmp, false); false }
+  }
+
+  private def buildMeta(prev: TableState, snap: SnapshotInfo,
+                        files: Seq[FileEntry]): ObjectNode = {
+    val doc = Mapper.createObjectNode()
+    doc.put("format", "graft-snapshot-v1")
+    doc.put("version", prev.version + 1)
+    doc.put("snapshot_id", snap.id)
+    prev.snapshotId.foreach(doc.put("parent_snapshot_id", _))
+    val fArr = doc.putArray("files")
+    files.foreach { f =>
+      val o = fArr.addObject(); o.put("path", f.path); o.put("size", f.size)
+    }
+    val tk = doc.putObject("txn_keys")
+    (prev.txnKeys ++ snap.txn.map(_ -> snap.id)).foreach { case (k, v) => tk.put(k, v) }
+    val sArr = doc.putArray("snapshots")
+    (prev.snapshots :+ snap).foreach { s =>
+      val o = sArr.addObject()
+      o.put("id", s.id); o.put("run", s.run); o.put("operation", s.operation)
+      s.txn.foreach(o.put("txn", _))
+      val a = o.putArray("added")
+      s.added.foreach { f =>
+        val fo = a.addObject(); fo.put("path", f.path); fo.put("size", f.size)
+      }
+    }
+    doc
+  }
+
+  // ------------------------------------------------------------- reading
+
+  private def absolute(files: Seq[FileEntry]): Seq[String] =
+    files.map(f => new Path(root, f.path).toString)
+
+  /** snapshot-isolated read of the current table state. None when empty. */
+  def read(): Option[DataFrame] = {
+    val st = state()
+    if (st.files.isEmpty) None else Some(spark.read.parquet(absolute(st.files): _*))
+  }
+
+  /** read ONLY the files added by snapshots whose txn key passes `admit`
+    * (plus untagged snapshots) — the cross-table read-committed view: a sink
+    * table exposes a group's rows only once the pipeline-level commit log
+    * admits that group, even though the sink's own append landed earlier. */
+  def readCommittedTxns(admit: String => Boolean): Option[DataFrame] = {
+    val st = state()
+    val files = st.snapshots
+      .filter(s => s.operation == "append" && s.txn.forall(admit))
+      .flatMap(_.added)
+    if (files.isEmpty) None else Some(spark.read.parquet(absolute(files): _*))
+  }
+
+  def snapshotForTxn(txn: String): Option[SnapshotInfo] =
+    state().snapshots.find(_.txn.contains(txn))
+
+  // ------------------------------------------------------------- writing
+
+  /** move externally staged parquet files (e.g. one sink's slice of a
+    * dynamic-partitioned write) into the table and commit them as one
+    * append snapshot. Files become visible atomically at the CAS. */
+  def commitStagedDir(stagedDir: String, txn: Option[String]): CommitResult = {
+    val staged = listParquet(fs, new Path(stagedDir))
+    commitMoved(moveIn(staged), txn)
+  }
+
+  /** append a DataFrame as one snapshot (stages through a temp dir). */
+  def append(df: DataFrame, txn: Option[String]): CommitResult = {
+    state() match { // cheap pre-check: skip the Spark write when a retry
+      case st if txn.exists(st.txnKeys.contains) => // already committed
+        return alreadyCommittedResult(st, txn.get)
+      case _ =>
+    }
+    val tmp = new Path(root, s"_tmp-append-$runId-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val res = commitMoved(moveIn(listParquet(fs, tmp)), txn)
+    fs.delete(tmp, true)
+    res
+  }
+
+  /** MERGE INTO (copy-on-write): rows of `df` replace current rows with the
+    * same `keys` values; everything else survives. The committed snapshot's
+    * file list REPLACES the table contents. Retries recompute the merge
+    * against the fresh state, so concurrent mergers serialize correctly. */
+  def merge(df: DataFrame, keys: Seq[String], txn: Option[String]): CommitResult = {
+    var attempt = 0
+    while (true) {
+      val st = state()
+      txn.filter(st.txnKeys.contains).foreach { t =>
+        return alreadyCommittedResult(st, t)
+      }
+      val merged = if (st.files.isEmpty) df else {
+        val cur = spark.read.parquet(absolute(st.files): _*)
+        df.unionByName(
+          cur.join(df.select(keys.map(org.apache.spark.sql.functions.col): _*)
+            .distinct(), keys, "left_anti"))
+      }
+      val tmp = new Path(root, s"_tmp-merge-$runId-$attempt-${java.util.UUID.randomUUID()}")
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      val moved = moveIn(listParquet(fs, tmp))
+      fs.delete(tmp, true)
+      val snap = SnapshotInfo(newSnapId(st), runId, txn, "merge", moved)
+      if (casCommit(st, buildMeta(st, snap, files = moved)))
+        return CommitResult(snap.id, alreadyCommitted = false,
+          moved.map(_.size).sum, moved.size)
+      moved.foreach(f => fs.delete(new Path(root, f.path), false)) // lost: retry
+      attempt += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  // ------------------------------------------------------------- internals
+
+  private def newSnapId(st: TableState): String =
+    s"s-$runId-${st.version + 1}"
+
+  private def alreadyCommittedResult(st: TableState, txn: String): CommitResult = {
+    val snap = st.snapshots.find(_.txn.contains(txn)).get
+    CommitResult(snap.id, alreadyCommitted = true,
+      snap.added.map(_.size).sum, snap.added.size)
+  }
+
+  /** move staged files under data/ with run-unique names; returns entries
+    * RELATIVE to the table root (invisible until some commit lists them). */
+  private def moveIn(staged: Seq[(Path, Long)]): Seq[FileEntry] = {
+    fs.mkdirs(dataDir)
+    staged.zipWithIndex.map { case ((p, size), i) =>
+      val name = s"f-$runId-${java.util.UUID.randomUUID().toString.take(8)}-$i.parquet"
+      val dst = new Path(dataDir, name)
+      if (!fs.rename(p, dst))
+        throw new java.io.IOException(s"failed to move $p into $dst")
+      FileEntry(s"data/$name", size)
+    }
+  }
+
+  /** append pre-moved files with txn idempotence via the CAS loop. */
+  private def commitMoved(moved: Seq[FileEntry], txn: Option[String]): CommitResult = {
+    while (true) {
+      val st = state()
+      txn.filter(st.txnKeys.contains).foreach { t =>
+        // another writer (or a previous run of this job) already committed
+        // this transaction: our files are redundant — remove and defer
+        moved.foreach(f => fs.delete(new Path(root, f.path), false))
+        return alreadyCommittedResult(st, t)
+      }
+      val snap = SnapshotInfo(newSnapId(st), runId, txn, "append", moved)
+      if (casCommit(st, buildMeta(st, snap, files = st.files ++ moved)))
+        return CommitResult(snap.id, alreadyCommitted = false,
+          moved.map(_.size).sum, moved.size)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+object SnapshotTable {
+
+  final case class FileEntry(path: String, size: Long)
+
+  final case class SnapshotInfo(id: String, run: String, txn: Option[String],
+                                operation: String, added: Seq[FileEntry])
+
+  final case class TableState(version: Long, snapshotId: Option[String],
+                              files: Seq[FileEntry],
+                              txnKeys: Map[String, String],
+                              snapshots: Seq[SnapshotInfo])
+  object TableState {
+    val Empty: TableState = TableState(0L, None, Seq.empty, Map.empty, Seq.empty)
+  }
+
+  final case class CommitResult(snapshotId: String, alreadyCommitted: Boolean,
+                                addedBytes: Long, addedFiles: Int)
+
+  private val Mapper = new ObjectMapper()
+
+  private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+  }
+
+  private def parseMeta(bytes: Array[Byte]): TableState = {
+    val doc = Mapper.readTree(bytes)
+    def fileEntries(n: com.fasterxml.jackson.databind.JsonNode): Seq[FileEntry] = {
+      val it = n.elements()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+      while (it.hasNext) {
+        val f = it.next()
+        buf += FileEntry(f.get("path").asText(), f.get("size").asLong())
+      }
+      buf.toSeq
+    }
+    val txn = {
+      val it = doc.get("txn_keys").properties().iterator()
+      val m = scala.collection.mutable.Map.empty[String, String]
+      while (it.hasNext) { val e = it.next(); m += e.getKey -> e.getValue.asText() }
+      m.toMap
+    }
+    val snaps = {
+      val it = doc.get("snapshots").elements()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[SnapshotInfo]
+      while (it.hasNext) {
+        val s = it.next()
+        buf += SnapshotInfo(
+          s.get("id").asText(), s.get("run").asText(),
+          Option(s.get("txn")).map(_.asText()),
+          s.get("operation").asText(),
+          fileEntries(s.get("added")))
+      }
+      buf.toSeq
+    }
+    TableState(doc.get("version").asLong(),
+      Option(doc.get("snapshot_id")).map(_.asText()),
+      fileEntries(doc.get("files")), txn, snaps)
+  }
+
+  private def listParquet(fs: FileSystem, dir: Path): Seq[(Path, Long)] = {
+    if (!fs.exists(dir)) return Seq.empty
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet"))
+        buf += ((f.getPath, f.getLen))
+    }
+    buf.toSeq
+  }
+}

@@ -176,11 +176,21 @@ object Dedup {
     * component = the smallest node id in the node's connected component.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    // RELIABLE checkpoint per round (not localCheckpoint): truncates the
+    // iterative lineage so the plan never grows, AND survives executor loss —
+    // a localCheckpoint of round k dies with any executor, killing an hours-
+    // long curation job at 100 TB. The edge set is tiny next to the corpus,
+    // so the per-round write is cheap. Production sets a durable checkpoint
+    // dir; default to the local tmp dir so the operator works out of the box.
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        sys.props("java.io.tmpdir") + "/graft-checkpoints")
     var e = pairs
       .select(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .checkpoint()
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -205,11 +215,16 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .union(minsS.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint(true)
-      // fixpoint: both sides are distinct sets, so equal counts + empty
-      // anti-join ⟺ identical edge sets
-      converged = afterSmall.count() == e.count() &&
-        afterSmall.join(e, Seq("u", "v"), "left_anti").isEmpty
+        .checkpoint()
+      // fixpoint in ONE action per round: both sides are distinct sets, so
+      // an empty symmetric difference ⟺ identical edge sets. (A count-pair +
+      // anti-join is two jobs per round — ~50 convergence jobs at the
+      // 25-round worst case.)
+      converged = afterSmall.select(col("u"), col("v"), lit(1).as("_n"))
+        .join(e.select(col("u"), col("v"), lit(1).as("_o")),
+          Seq("u", "v"), "full_outer")
+        .filter(col("_n").isNull || col("_o").isNull)
+        .isEmpty
       e = afterSmall
       it += 1
     }
@@ -256,14 +271,18 @@ object Dedup {
     // quality verdict as an inline column — a narrow map in the SAME scan,
     // not a recomputed frame joined back on doc_id. A null text is dropped
     // explicitly (the SQL mirror's rule conjunction also rejects it).
-    // localCheckpoint: the annotated corpus feeds four consumers (winners,
-    // the survivor semi-join, the near-dup self-join sides, the lineage
-    // frame) across the eager connected-components actions — materialize
-    // once instead of re-running the quality kernels per consumer.
-    val annotated = docs.withColumn("q_keep",
+    // The annotated corpus feeds four consumers (winners, the survivor
+    // semi-join, the near-dup self-join sides, the lineage frame) across the
+    // connected-components actions — materialize once instead of re-running
+    // the quality kernels per consumer. PRUNED to exactly the three columns
+    // those consumers read (not the full document row: at 100 TB the corpus
+    // copy would dominate executor storage), and persist(DISK_ONLY) rather
+    // than localCheckpoint: a lost cached partition recomputes from source
+    // lineage instead of failing an hours-long curation run.
+    val annotated = docs.select(col("doc_id"), col("text")).withColumn("q_keep",
       col("text").isNotNull &&
         graft.textops.TextOps.gopherReason(col("text")).isNull)
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val qdocs = annotated.filter(col("q_keep"))
     // exact stage = the canonical fingerprint dedup rule, defined ONCE
     val winners = graft.textops.TextOps.dedupExact(qdocs)

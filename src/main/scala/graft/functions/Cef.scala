@@ -363,9 +363,16 @@ object CefKernel {
     if (b(p) != '|') { err(s, s"error in CEF event at pos ${pos(p)}"); return emit(s) }
     s.header(5) = UTF8String.fromBytes(b, ss, p - ss)
     p += 1
-    // extensions (optional)
+    // extensions (optional) — but once a space is consumed the grammar is
+    // inside `extensions`, which requires at least one key=value pair, so a
+    // header followed only by trailing spaces ends the machine non-final and
+    // the reference records "unexpected end of CEF event"
+    val extStart = p
     while (p < n && b(p) == ' ') p += 1
-    if (p >= n) return emit(s)
+    if (p >= n) {
+      if (p > extStart) err(s, "unexpected end of CEF event")
+      return emit(s)
+    }
     // first key
     var keyS = p
     var keyE = -1

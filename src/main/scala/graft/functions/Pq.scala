@@ -131,6 +131,9 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
   extends UnaryExpression {
   require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // returns null on a dimension mismatch even for a non-null input, so the
+  // non-nullable-child shortcut must not constant-fold IsNotNull guards away
+  override def nullable: Boolean = true
   override def prettyName: String = "pq_encode"
 
   def evalInput(v: Any): Any = PqKernel.encode(v.asInstanceOf[ArrayData], codebooks)
@@ -150,6 +153,8 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
 case class PqDotTable(child: Expression, codebooks: Array[Array[Array[Float]]])
   extends UnaryExpression {
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  // null on dimension mismatch (same contract as PqEncode)
+  override def nullable: Boolean = true
   override def prettyName: String = "pq_dot_table"
 
   def evalInput(v: Any): Any = PqKernel.dotTable(v.asInstanceOf[ArrayData], codebooks)

@@ -22,12 +22,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * domain (the reference's EffectiveTLDPlusOne error → event untouched →
   * NULL here).
   *
-  * [[PslKernel.DefaultRules]] is a representative embedded subset —
-  * deployments supply the full downloaded list via the `rules` parameter.
-  * Rules are compiled ONCE at plan time into reversed label arrays; the
-  * per-row cost is one label split plus ~|rules| suffix compares.
+  * The DEFAULT rule set is [[PslKernel.FullRules]] — the full upstream list
+  * bundled as a resource (like the reference bakes its generated table);
+  * deployments can still override via the `rules` parameter or
+  * [[PslKernel.loadRules]]. Rules are compiled ONCE at plan time into hash
+  * sets; per-row cost is one label split plus O(#labels) hash probes.
   */
 object PslKernel {
+
+  /** Full Public Suffix List snapshot bundled as a repo resource
+    * (publicsuffix.org's public_suffix_list.dat, MPL-2.0 public data; the
+    * sandbox has no egress, so a distro snapshot is checked in the same way
+    * the reference bakes the generated table into publicsuffix/table.go).
+    * Parsed once per JVM; ~9.5k rules. This is the DEFAULT rule set — the
+    * subset below remains only as a tiny self-contained fixture. */
+    lazy val FullRules: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    require(in != null, "bundled /graft/public_suffix_list.dat missing")
+    try parseRuleList(new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
 
   /** Representative subset of the Public Suffix List (publicsuffix.org). */
   val DefaultRules: Seq[String] = Seq(
@@ -51,7 +66,28 @@ object PslKernel {
       .filter(l => l.nonEmpty && !l.startsWith("//"))
       .map(l => l.takeWhile(!_.isWhitespace))
       .map(_.toLowerCase(java.util.Locale.ROOT))
+      .map(toAscii)
       .toSeq
+
+  /** IDN rules in the upstream list are written in unicode ("中国", "рф");
+    * log-pipeline domains arrive in punycode ASCII (the form the reference's
+    * generated table stores), so convert rule labels label-wise with
+    * java.net.IDN — "*" and "!" markers pass through untouched. */
+  private def toAscii(rule: String): String = {
+    var i = 0
+    val n = rule.length
+    var ascii = true
+    while (ascii && i < n) { if (rule.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) rule
+    else try {
+      val (bang, body) =
+        if (rule.startsWith("!")) ("!", rule.substring(1)) else ("", rule)
+      bang + body.split('.').map { l =>
+        if (l == "*" || l.forall(_ < 0x80)) l
+        else java.net.IDN.toASCII(l).toLowerCase(java.util.Locale.ROOT)
+      }.mkString(".")
+    } catch { case _: IllegalArgumentException => rule }
+  }
 
   /** Load the full downloaded PSL (≈9k rules) from a local file at PLAN
     * time — the compiled set ships to executors once inside the expression,
@@ -125,7 +161,7 @@ object PslKernel {
 /** `registered_domain(domain)` → eTLD+1 string; NULL when the domain is
   * malformed or is itself a public suffix. */
 case class RegisteredDomain(child: Expression,
-                            rules: Seq[String] = PslKernel.DefaultRules)
+                            rules: Seq[String] = PslKernel.FullRules)
     extends UnaryExpression {
   @transient private lazy val compiled = new PslKernel.Compiled(rules)
 

@@ -175,12 +175,11 @@ object SyslogKernel {
     while (p < n && digit(b(p)) && vd < 2) { p += 1; vd += 1 }
     if (p >= n || b(p) != ' ') return false
     p += 1
-    var i = 0
-    while (i < 4) {
-      if (p + i >= n || !digit(b(p + i))) return false
-      i += 1
-    }
-    true
+    // the reference's generated format_check.go sets isRFC5424 = true on the
+    // FIRST year digit (ragel `>set_true` entering action) and never resets
+    // it on a later parse error, so a truncated prefix like `<34>1 20` still
+    // classifies as RFC5424 there — match that, not a strict 4-digit probe
+    p < n && digit(b(p))
   }
 
   /** classic `Mmm d`/`Mmm dd` month token: 3-letter key, optionally the
@@ -295,7 +294,9 @@ object SyslogKernel {
     if (p < n && b(p) == ' ') p += 1
     if (p >= n || !digit(b(p))) { s.month = -1; return -1 }
     if (p + 1 < n && digit(b(p + 1))) {
-      if (b(p) > '3') { s.month = -1; return -1 }
+      // grammar multiple_digits_day = [012][0-9] | 3[01]: 32-39 is invalid
+      // and must fall through to the message-only catch-all
+      if (b(p) > '3' || (b(p) == '3' && b(p + 1) > '1')) { s.month = -1; return -1 }
       s.day = toInt(b, p, p + 2); p += 2
     } else {
       if (b(p) == '0') { s.month = -1; return -1 }

@@ -234,7 +234,7 @@ package object functions {
     * Suffix List algorithm over a plan-time-compiled rule set; NULL for
     * malformed domains and for domains that ARE a public suffix. */
   def registered_domain(domain: Column,
-                        rules: Seq[String] = PslKernel.DefaultRules): Column =
+                        rules: Seq[String] = PslKernel.FullRules): Column =
     ExpressionUtils.column(RegisteredDomain(ExpressionUtils.expression(domain), rules))
 
   /** registered_domain against a downloaded publicsuffix.org list file, read

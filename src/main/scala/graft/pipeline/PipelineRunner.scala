@@ -18,18 +18,21 @@ import graft.model.Sinks
   *    via a dynamic `partitionBy(sink)` parquet write with observe()-attached
   *    per-sink counters (sortWithinPartitions(sink, conv_id, turn_idx) so the
   *    north-rule per-turn ordering is physically materialized — never a
-  *    global sort), then a status-only fast-path pass writes the offsets
-  *    parquet → ATOMIC commit marker (the ACK)
-  *  - resume = rerun the same command; committed groups are skipped
-  *    (filebeat registrar semantics: offsets persisted only after ACK,
-  *    filebeat/beater/acker.go:37-68); a crashed run's uncommitted staging
-  *    is simply unreachable (readers resolve through commit markers) →
-  *    effectively-once end-to-end
-  *  - CONCURRENT runners on the same root are safe: each stages into its
-  *    own run-fenced directory and the atomic marker rename decides the
-  *    winner per group; the loser abandons its staging cleanly (the
-  *    Registry scaladoc documents the protocol; PipelineRunnerSpec races
-  *    two runners to pin it)
+  *    global sort); each sink's slice then commits as a SNAPSHOT into that
+  *    sink's table, the offsets MERGE INTO the registry table, and the
+  *    lineage row (counts + per-sink snapshot ids) appends to the commit
+  *    log — the ACK (see [[graft.checkpoint.Registry]] for the protocol and
+  *    [[graft.checkpoint.SnapshotTable]] for the table format)
+  *  - resume = rerun the same command; acked groups are skipped (filebeat
+  *    registrar semantics: offsets persisted only after ACK,
+  *    filebeat/beater/acker.go:37-68); a crash between a sink's snapshot
+  *    commit and the group ack reconciles through the per-table txn keys —
+  *    the re-append is a no-op returning the crashed run's snapshot id →
+  *    effectively-once end-to-end, even across PARTIAL sink commits
+  *  - CONCURRENT runners on the same root are safe: staged files carry
+  *    run-unique names and every commit is an optimistic CAS with txn-key
+  *    idempotence; the commit-log append decides the winner per group and
+  *    the loser cleans its staging (PipelineRunnerSpec races two runners)
   *
   * At cluster scale each group is a full distributed job over one bucket
   * range; `groups` trades failure-domain granularity against job overhead
@@ -71,19 +74,29 @@ object PipelineRunner {
       val sinkNames = Sinks.All :+ TranscriptPipeline.Filtered
       val countCols = sinkNames.map(s =>
         sum(when(col("sink") === s, 1L).otherwise(0L)).as(s))
-      // the write lands in THIS run's fenced directory (Registry protocol):
-      // concurrent runners stage conflict-free and the commit marker decides
+      // the fan-out write stages into THIS run's private directory; files
+      // become table-visible only at each sink's snapshot commit below
+      val staging = reg.stagingGroupDir(g)
       TranscriptPipeline.transform(slice)
         .observe(obs, countCols.head, countCols.tail: _*)
         .filter(col("sink") =!= TranscriptPipeline.Filtered)
         .sortWithinPartitions("sink", "conv_id", "turn_idx")
         .write.mode("overwrite").partitionBy("sink")
-        .parquet(reg.dataGroupDir(g))
+        .parquet(staging)
       val counts = {
         val m = obs.get
         sinkNames.map(s => s -> m(s).asInstanceOf[Long])
           .filter(_._2 > 0).toMap
       }
+
+      // snapshot-commit each sink's staged slice (txn key = the group, so a
+      // crashed run's partial commits reconcile to no-ops on resume)
+      val sinkSnaps = Sinks.All.flatMap { s =>
+        val dir = s"$staging/sink=$s"
+        if (counts.getOrElse(s, 0L) > 0)
+          Some(s -> reg.commitSinkStaged(s, g, dir))
+        else None
+      }.toMap
 
       // offsets/lineage rows (file.State analogue): a second, CHEAP pass via
       // the status-only routing fast path — identical sink decision to the
@@ -97,22 +110,28 @@ object PipelineRunner {
           sum(when(col("sink") === Sinks.Dropped, 1L).otherwise(0L)).as("dropped"))
         .withColumn("group", lit(g))
         .withColumn("committed_at", current_timestamp())
-      reg.writeOffsets(g, offsets)
+      reg.mergeOffsets(g, offsets)
 
-      // per-write output stats (bytes/files landed per sink — the
-      // reference's per-output-worker metrics, libbeat/outputs/metrics.go)
-      val writeStats = Sinks.All.map(s => s -> reg.sinkGroupStats(s, g)).toMap
+      // lineage row: counts + per-write output stats (bytes/files per sink —
+      // the reference's per-output-worker metrics, libbeat/outputs/metrics.go,
+      // read straight off the snapshot metadata) + the PER-SINK SNAPSHOT IDS
+      // this group produced, so any historical pipeline state can be
+      // reconstructed table-version by table-version
+      val writeStats = sinkSnaps.map { case (s, r) => s -> ((r.addedBytes, r.addedFiles.toLong)) }
       val lineage = counts.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       val bytesJson = writeStats
         .map { case (k, (b, f)) => s""""$k":{"bytes":$b,"files":$f}""" }
         .mkString("{", ",", "}")
-      val won = reg.commit(g, s"""{"group":$g,"counts":$lineage,"writes":$bytesJson}""")
+      val snapsJson = sinkSnaps
+        .map { case (s, r) => s""""$s":"${r.snapshotId}"""" }
+        .mkString("{", ",", "}")
+      val won = reg.commitGroup(g,
+        s"""{"group":$g,"counts":$lineage,"writes":$bytesJson,"snapshots":$snapsJson}""")
       if (won)
         results += GroupResult(g, counts, writeStats.map { case (k, (b, _)) => k -> b })
-      else
-        // fence lost: a concurrent runner committed this group first — its
-        // output is the one readers resolve; drop our orphaned staging
-        reg.abandonGroup(g)
+      // staged files were either moved into tables or discarded by the
+      // txn-key check; the scratch directory is garbage either way
+      reg.cleanupStaging(g)
 
       done += 1
       if (done > failAfterGroup) // test hook: simulate a crash between commits

@@ -46,26 +46,34 @@ object Ann {
   }
 
   /** IVF-flat coarse quantizer: deterministic seed centroids (the first
-    * `nlist` corpus vectors by id) refined by one distributed Lloyd
-    * iteration. The per-cell mean is computed with a posexplode → (cell,
-    * dim) aggregation — one shuffle whose output is only nlist × dim rows —
-    * and the (tiny) centroid matrix is collected to the driver, which is the
-    * normal shape of an IVF index build: the quantizer is small by
-    * definition, the corpus never leaves the cluster. Production would run
-    * k-means‖ to convergence; one refinement step keeps the sandbox build
-    * deterministic and cheap while exercising the full distributed path. */
-  def ivfCentroids(corpus: DataFrame, nlist: Int): Array[Array[Float]] = {
-    val seeds: Array[Array[Float]] = corpus.orderBy("vec_id").limit(nlist)
+    * `nlist` corpus vectors by id) refined by `iters` distributed Lloyd
+    * iterations. Each iteration's per-cell mean is computed with a
+    * posexplode → (cell, dim) aggregation — one shuffle whose output is only
+    * nlist × dim rows — and only the (tiny) centroid matrix is collected to
+    * the driver per iteration, which is the normal shape of an IVF index
+    * build (FAISS trains its quantizer to convergence the same way): the
+    * quantizer is small by definition, the corpus never leaves the cluster.
+    * Deterministic for any `iters` (fixed seeds, no sampling); a cell that
+    * loses all members keeps its previous centroid. The default single step
+    * keeps the bundled benchmarks cheap; production passes iters≈10–25. */
+  def ivfCentroids(corpus: DataFrame, nlist: Int,
+                   iters: Int = 1): Array[Array[Float]] = {
+    var cents: Array[Array[Float]] = corpus.orderBy("vec_id").limit(nlist)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
-    val assigned = corpus.select(
-      element_at(nearest_centroids(col("embedding"), seeds, 1), 1).as("cell"),
-      posexplode(col("embedding")).as(Seq("dim", "v")))
-    val means = assigned.groupBy("cell", "dim").agg(avg("v").as("m"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-    val refined = seeds.map(_.clone())
-    means.foreach { case (cell, dim, m) => refined(cell)(dim) = m.toFloat }
-    refined
+    var it = 0
+    while (it < iters) {
+      val assigned = corpus.select(
+        element_at(nearest_centroids(col("embedding"), cents, 1), 1).as("cell"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      val means = assigned.groupBy("cell", "dim").agg(avg("v").as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val refined = cents.map(_.clone())
+      means.foreach { case (cell, dim, m) => refined(cell)(dim) = m.toFloat }
+      cents = refined
+      it += 1
+    }
+    cents
   }
 
   /** IVF-flat search: corpus rows live in exactly one cell; queries probe
@@ -74,8 +82,8 @@ object Ann {
     * per query batch, and the cell column doubles as the partition key for
     * cell-local storage layout. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = ivfCentroids(corpus, nlist)
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 1): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist, iters)
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_v"),
       element_at(nearest_centroids(col("embedding"), cents, 1), 1).as("cell"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"),
@@ -88,12 +96,14 @@ object Ann {
   }
 
   /** Per-subspace PQ codebooks: deterministic seeds (the first `ksub`
-    * corpus vectors by id, split into m subvectors) refined by one
-    * distributed Lloyd step under L2 — same build shape as
-    * [[ivfCentroids]]: the assign pass stays on the cluster, the shuffle
-    * output is only ksub × dim rows, and the (tiny) codebook matrix is
-    * collected to the driver. */
-  def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int): Array[Array[Array[Float]]] = {
+    * corpus vectors by id, split into m subvectors) refined by `iters`
+    * distributed Lloyd steps under L2 — same build shape as
+    * [[ivfCentroids]]: each assign pass stays on the cluster, the shuffle
+    * output is only ksub × dim rows, and only the (tiny) codebook matrix is
+    * collected to the driver per iteration. Deterministic for any `iters`;
+    * a codeword that loses all members keeps its previous value. */
+  def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
+                  iters: Int = 1): Array[Array[Array[Float]]] = {
     val seedVecs = corpus.orderBy("vec_id").limit(ksub).select("embedding")
       .collect().map(_.getSeq[Float](0).toArray)
     require(seedVecs.length == ksub,
@@ -101,20 +111,25 @@ object Ann {
     val dim = seedVecs(0).length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
-    val seeds: Array[Array[Array[Float]]] =
+    var cbs: Array[Array[Array[Float]]] =
       Array.tabulate(m)(j => seedVecs.map(v => v.slice(j * dsub, (j + 1) * dsub)))
-    val means = corpus
-      .select(pq_encode(col("embedding"), seeds).as("codes"),
-        posexplode(col("embedding")).as(Seq("d", "v")))
-      .select(element_at(col("codes"), (col("d") / dsub).cast("int") + 1).as("code"),
-        col("d"), col("v"))
-      .groupBy("code", "d").agg(avg("v").as("mv"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-    val refined = seeds.map(_.map(_.clone()))
-    means.foreach { case (code, d, mv) =>
-      refined(d / dsub)(code)(d % dsub) = mv.toFloat
+    var it = 0
+    while (it < iters) {
+      val means = corpus
+        .select(pq_encode(col("embedding"), cbs).as("codes"),
+          posexplode(col("embedding")).as(Seq("d", "v")))
+        .select(element_at(col("codes"), (col("d") / dsub).cast("int") + 1).as("code"),
+          col("d"), col("v"))
+        .groupBy("code", "d").agg(avg("v").as("mv"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val refined = cbs.map(_.map(_.clone()))
+      means.foreach { case (code, d, mv) =>
+        refined(d / dsub)(code)(d % dsub) = mv.toFloat
+      }
+      cbs = refined
+      it += 1
     }
-    refined
+    cbs
   }
 
   /** IVF-PQ search (the FAISS shape — Jégou et al. 2011): the index stores
@@ -129,9 +144,10 @@ object Ann {
     * count degrades to exact brute force — the oracle configuration. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 nlist: Int = 16, nprobe: Int = 4,
-                m: Int = 8, ksub: Int = 16, rerank: Int = 32): DataFrame = {
-    val cents = ivfCentroids(corpus, nlist)
-    val cbs = pqCodebooks(corpus, m, ksub)
+                m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+                iters: Int = 1): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist, iters)
+    val cbs = pqCodebooks(corpus, m, ksub, iters)
     val ksubActual = cbs(0).length // the scorer's table stride MUST match cbs
     val n2 = PqKernel.norm2Table(cbs)
     // rows whose embedding dim mismatches the codebooks encode to null —

@@ -69,6 +69,27 @@ class AnnSpec extends SparkSpec {
     assert(full == brute, "full probe + all-candidate rerank must equal brute force")
   }
 
+  test("Lloyd to convergence (iters=5): deterministic; recall holds or improves") {
+    val k = 5
+    def keyset(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // determinism: two independent builds produce bit-identical centroids
+    val c1 = Ann.ivfCentroids(embeds, 16, iters = 5)
+    val c2 = Ann.ivfCentroids(embeds, 16, iters = 5)
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+    val brute = keyset(Ann.bruteTopK(embeds, queries, k))
+    val ivf5 = keyset(Ann.ivfTopK(embeds, queries, k, nlist = 16, nprobe = 4,
+      iters = 5))
+    val recallIvf = (brute intersect ivf5).size.toDouble / brute.size
+    info(s"IVF recall@5 (nprobe=4/16, iters=5) = $recallIvf")
+    assert(recallIvf > 0.4, s"converged-quantizer recall regressed: $recallIvf")
+    val pq5 = keyset(Ann.ivfPqTopK(embeds, queries, k,
+      nlist = 16, nprobe = 4, m = 8, ksub = 16, rerank = 32, iters = 5))
+    val recallPq = (brute intersect pq5).size.toDouble / brute.size
+    info(s"IVF-PQ recall@5 (nprobe=4/16, rerank=32, iters=5) = $recallPq")
+    assert(recallPq > 0.7, s"converged-codebook recall regressed: $recallPq")
+  }
+
   test("PQ kernels: codes in range, ADC score tracks exact cosine") {
     import graft.functions.PqKernel
     val cbs = Ann.pqCodebooks(embeds, m = 8, ksub = 16)

@@ -182,4 +182,28 @@ class DedupSpec extends SparkSpec {
       4L -> "dropped_quality",
       5L -> "dropped_quality"))
   }
+
+  test("curate materializes ONLY (doc_id, text, q_keep), on disk — never the full row") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over a lazy sleeping dog while " +
+      "many birds watch from tall green trees and several cats hide under " +
+      "old wooden fences near quiet village roads today"
+    // wide input: the persisted frame must NOT carry the payload columns
+    val wide = Seq(
+      (1L, base, "payload-a", 42L),
+      (2L, base + " extra tail words here", "payload-b", 43L)
+    ).toDF("doc_id", "text", "blob", "meta")
+    val out = Dedup.curate(wide)
+    out.collect()
+    val cached = out.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(cached.nonEmpty, "curate no longer persists the annotated corpus")
+    cached.foreach { r =>
+      assert(r.output.map(_.name).toSet == Set("doc_id", "text", "q_keep"),
+        s"persisted width grew: ${r.output.map(_.name)}")
+      assert(r.cacheBuilder.storageLevel ==
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
+  }
 }

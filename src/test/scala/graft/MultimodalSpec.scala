@@ -79,4 +79,45 @@ class MultimodalSpec extends SparkSpec {
       .withColumn("meta", media_meta(col("content")))
     assert(corrupt.filter(col("meta").isNotNull).count() == 0)
   }
+
+  // checked-in 4×3 RGB PNG: pixel (x,y) = (x·40, y·50, 128)
+  private def pngBytes: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/graft/test_image.png")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("REAL image decode: checked-in PNG pixels decode byte-exactly via javax.imageio") {
+    val dec = new Multimodal.MediaDecoder
+    val (w, h, feat) = dec.decode(pngBytes)
+    assert(w == 4 && h == 3)
+    // Σ(r+g+b) over pixels = Σ(x·40 + y·50 + 128) = 2856; mean = 2856/(4·3·3·255)
+    assert(feat == 2856.0 / (4 * 3 * 3 * 255), s"feature=$feat")
+    // the same path runs distributed through decodePartitions
+    val rows = Multimodal.decodePartitions(
+      Seq(Multimodal.MediaRow(7L, "image", pngBytes)).toDS()).collect()
+    assert(rows.length == 1 &&
+      rows(0) == Multimodal.DecodedRow(7L, "image", 4, 3, 2856.0 / 9180.0))
+  }
+
+  test("REAL image resize: nearest-neighbor resample, PNG round-trip") {
+    val resized = Multimodal.resizeKernel(pngBytes, 2, 2)
+    val dec = new Multimodal.MediaDecoder
+    val (w, h, feat) = dec.decode(resized)
+    assert(w == 2 && h == 2)
+    // nearest-neighbor picks src pixels (0,0),(2,0),(0,1),(2,1):
+    // Σ(r+g+b) = (0+0+128)+(80+0+128)+(0+50+128)+(80+50+128) = 772
+    assert(feat == 772.0 / (2 * 2 * 3 * 255), s"feature=$feat")
+    // and the distributed expression path agrees
+    val viaExpr = Seq((1L, pngBytes)).toDF("doc_id", "content")
+      .select(media_resize(col("content"), 2, 2).as("r"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(viaExpr, resized))
+  }
+
+  test("undecodable payload dead-letters as (-1,-1,-1.0), never throws") {
+    val rows = Multimodal.decodePartitions(
+      Seq(Multimodal.MediaRow(9L, "image", Array[Byte](9, 9, 9, 9, 9))).toDS())
+      .collect()
+    assert(rows(0) == Multimodal.DecodedRow(9L, "image", -1, -1, -1.0))
+  }
 }

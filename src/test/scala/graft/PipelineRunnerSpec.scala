@@ -113,15 +113,22 @@ class PipelineRunnerSpec extends SparkSpec {
     val es = reg.readSink(Sinks.Es).get
     assert(es.select("doc_id").distinct().count() == es.count())
 
-    // losers left no stray run-scoped staging behind markers' winners:
-    // every surviving data/run dir is referenced by some marker
+    // losers left no residue: staging is gone, and every physical file in
+    // each sink table's data/ dir is referenced by the table's current
+    // snapshot (a CAS loser deletes the files it moved in)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-    val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
-    val liveRuns = fs.listStatus(dataDir).map(_.getPath.getName)
-      .filter(_.startsWith("run=")).map(_.stripPrefix("run=")).toSet
-    val winners = (0 until 4).flatMap(reg.markerRun).toSet
-    assert(liveRuns.subsetOf(winners))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_staging")))
+    for (s <- Sinks.All) {
+      val tbl = reg.sinkTable(s)
+      val st = tbl.state()
+      val dataDir = new org.apache.hadoop.fs.Path(s"${tbl.root}/data")
+      if (fs.exists(dataDir)) {
+        val onDisk = fs.listStatus(dataDir).map(f => s"data/${f.getPath.getName}").toSet
+        assert(onDisk == st.files.map(_.path).toSet,
+          s"unreferenced files in $s: ${onDisk.diff(st.files.map(_.path).toSet)}")
+      }
+    }
   }
 
   test("commit marker is the atomicity point: uncommitted output is invisible") {
@@ -135,5 +142,45 @@ class PipelineRunnerSpec extends SparkSpec {
       .withColumn("g", pmod(abs(crc32(col("conv_id"))), lit(4L)).cast("int"))
     assert(visible.select("g").distinct().collect().map(_.getInt(0)).toSet
       .subsetOf(reg.committedGroups().toSet))
+  }
+
+  test("resume after a PARTIAL sink commit reconciles through txn keys") {
+    val root = tmpDir()
+    // simulate a run that died between its sink_es snapshot commit and the
+    // group ack: stage group 0's fan-out, commit ONLY the es slice, crash.
+    val crashed = new Registry(root, spark)
+    val g0 = input
+      .withColumn("_grp", pmod(abs(crc32(col("conv_id"))), lit(4L)).cast("int"))
+      .filter(col("_grp") === 0).drop("_grp")
+    val staging = crashed.stagingGroupDir(0)
+    TranscriptPipeline.transform(g0)
+      .filter(col("sink") =!= TranscriptPipeline.Filtered)
+      .write.mode("overwrite").partitionBy("sink").parquet(staging)
+    val partial = crashed.commitSinkStaged(Sinks.Es, 0, s"$staging/sink=${Sinks.Es}")
+    assert(!partial.alreadyCommitted)
+
+    // BEFORE resume: the es append is durable in its table, but the
+    // read-committed view hides it (group 0 has no ack in the commit log)
+    assert(new Registry(root, spark).readSink(Sinks.Es).isEmpty)
+
+    // resume: a fresh runner processes all four groups; its group-0 es
+    // append must reconcile to the crashed run's snapshot, not duplicate it
+    val resumed = PipelineRunner.run(input, root, groups = 4)
+    assert(resumed.map(_.group) == Seq(0, 1, 2, 3))
+
+    val reg = new Registry(root, spark)
+    // the es table's group-0 snapshot belongs to the CRASHED run (reused);
+    // the commit-log ack belongs to the resuming runner
+    assert(reg.sinkTable(Sinks.Es).snapshotForTxn("group-0")
+      .exists(_.run == crashed.runId))
+    assert(reg.markerRun(0).exists(_ != crashed.runId))
+
+    // end state identical to a clean uninterrupted run: no dupes, no loss
+    val rootClean = tmpDir()
+    PipelineRunner.run(input, rootClean, groups = 4)
+    assert(PipelineRunner.observedMetrics(root, spark) ==
+      PipelineRunner.observedMetrics(rootClean, spark))
+    val es = reg.readSink(Sinks.Es).get
+    assert(es.select("doc_id").distinct().count() == es.count())
   }
 }

@@ -104,8 +104,33 @@ class PslSpec extends SparkSpec {
       "svc.co.uk", "com", "weird..x", "Example.COM.")
     val df = domains.toDF("d").select(registered_domain(col("d")).as("rd"))
     val viaCodegen = df.collect().map(r => Option(r.getString(0))).toSeq
-    val compiled = new PslKernel.Compiled(PslKernel.DefaultRules)
+    val compiled = new PslKernel.Compiled(PslKernel.FullRules)
     val direct = domains.map(d => Option(compiled.registeredDomain(d)))
     assert(viaCodegen === direct)
+  }
+
+  test("bundled full PSL is the default: ~9.5k rules, unicode → punycode") {
+    assert(PslKernel.FullRules.size > 9000)
+    // unicode rules ("рф", "中国") are stored punycode like the reference's
+    // generated table
+    assert(PslKernel.FullRules.contains("xn--p1ai"))
+    assert(PslKernel.FullRules.contains("xn--fiqs8s"))
+    assert(!PslKernel.FullRules.exists(_.exists(_ >= 0x80)))
+  }
+
+  test("default registered_domain resolves real TLD families out of the box") {
+    // multi-label ccTLD exact rules
+    assert(rd(Seq("a.b.com.br", "example.co.il", "x.example.gov.uk")) ===
+      Seq(Some("b.com.br"), Some("example.co.il"), Some("example.gov.uk")))
+    // jp geographic wildcard + exception (*.kawasaki.jp / !city.kawasaki.jp)
+    assert(rd(Seq("x.y.kawasaki.jp", "foo.city.kawasaki.jp", "y.kawasaki.jp")) ===
+      Seq(Some("x.y.kawasaki.jp"), Some("city.kawasaki.jp"), None))
+    // punycode IDN TLDs resolve against the converted rules
+    assert(rd(Seq("xn--e1afmkfd.xn--p1ai", "foo.xn--fiqs8s", "xn--p1ai")) ===
+      Seq(Some("xn--e1afmkfd.xn--p1ai"), Some("foo.xn--fiqs8s"), None))
+    // private-section rule from the full list: herokuapp.com is the suffix
+    assert(rd(Seq("herokuapp.com")) === Seq(None))
+    assert(rd(Seq("myapp.herokuapp.com", "x.myapp.herokuapp.com")) ===
+      Seq(Some("myapp.herokuapp.com"), Some("myapp.herokuapp.com")))
   }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+import graft.checkpoint.SnapshotTable
+
+/** Format-level gates for the from-scratch snapshot table format: CAS
+  * commits, txn-key idempotence, copy-on-write MERGE, snapshot-isolated
+  * reads. (The pipeline-level protocol over it is gated in
+  * PipelineRunnerSpec.) */
+class SnapshotTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): SnapshotTable =
+    new SnapshotTable(Files.createTempDirectory("graft-snaptbl").toString, spark)
+
+  test("append advances one version per commit; reads are snapshot-isolated") {
+    val t = tmpTable()
+    assert(t.state().version == 0 && t.read().isEmpty)
+    val r1 = t.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), txn = None)
+    assert(!r1.alreadyCommitted && t.state().version == 1)
+    val r2 = t.append(Seq((3, "c")).toDF("id", "v"), txn = None)
+    assert(t.state().version == 2 && r2.snapshotId != r1.snapshotId)
+    assert(t.read().get.count() == 3)
+    // metadata records real file sizes
+    assert(t.state().files.forall(_.size > 0))
+    assert(r1.addedBytes > 0 && r2.addedBytes > 0)
+  }
+
+  test("txn keys make appends effectively-once") {
+    val t = tmpTable()
+    val first = t.append(Seq((1, "a")).toDF("id", "v"), txn = Some("batch-1"))
+    val retry = t.append(Seq((1, "a")).toDF("id", "v"), txn = Some("batch-1"))
+    assert(!first.alreadyCommitted && retry.alreadyCommitted)
+    assert(retry.snapshotId == first.snapshotId)
+    assert(t.read().get.count() == 1)
+    assert(t.state().version == 1, "the rejected retry must not add a version")
+  }
+
+  test("MERGE INTO: latest rows win by key, others survive, files replaced") {
+    val t = tmpTable()
+    t.append(Seq(("c1", 5L), ("c2", 7L)).toDF("partition_key", "hwm"), None)
+    t.merge(Seq(("c2", 9L), ("c3", 1L)).toDF("partition_key", "hwm"),
+      keys = Seq("partition_key"), txn = None)
+    val rows = t.read().get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("c1" -> 5L, "c2" -> 9L, "c3" -> 1L))
+    // copy-on-write: current state lists only the merge's own files
+    val st = t.state()
+    assert(st.snapshots.last.operation == "merge")
+    assert(st.files.toSet == st.snapshots.last.added.toSet)
+  }
+
+  test("concurrent appenders all land; versions strictly serialize") {
+    val t = tmpTable()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to 4).map { i =>
+      Future(t.append(Seq((i, s"w$i")).toDF("id", "v"), txn = Some(s"w-$i")))
+    }
+    val results = fs.map(Await.result(_, 2.minutes))
+    assert(results.forall(!_.alreadyCommitted))
+    assert(t.state().version == 4)
+    assert(t.read().get.count() == 4)
+    // every committed snapshot id is distinct and recorded in history
+    assert(t.state().snapshots.map(_.id).distinct.size == 4)
+  }
+
+  test("concurrent same-txn appenders: exactly one wins, no duplicate rows") {
+    val t = tmpTable()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val racers = (1 to 3).map { _ =>
+      Future(t.append(Seq((42, "x")).toDF("id", "v"), txn = Some("the-batch")))
+    }
+    val results = racers.map(Await.result(_, 2.minutes))
+    assert(results.count(!_.alreadyCommitted) == 1)
+    assert(results.map(_.snapshotId).distinct.size == 1)
+    assert(t.read().get.count() == 1)
+  }
+
+  test("historical snapshots stay readable (metadata retained per version)") {
+    val t = tmpTable()
+    t.append(Seq((1, "a")).toDF("id", "v"), None)
+    t.append(Seq((2, "b")).toDF("id", "v"), None)
+    // the v1 metadata file still resolves the v1 file list
+    val metaDir = new java.io.File(s"${t.root}/metadata")
+    assert(metaDir.listFiles().count(_.getName.matches("v\\d+\\.json")) == 2)
+  }
+}
