@@ -97,6 +97,20 @@ object SparkEntry {
       TranscriptPipeline.routed(t(s, dir))
         .select("conv_id", "turn_idx", "sink", "text", "doc_id")),
 
+    // --- snapshot-table end-to-end: run the CHECKPOINTED pipeline (staged
+    //     fan-out → per-sink snapshot commits → offsets MERGE → commit-log
+    //     ack) to a scratch root, then read the per-sink counts BACK through
+    //     the read-committed view — the whole table-format protocol inside
+    //     the oracle gate, not just the declarative plan ---
+    "q_snapshot_sinks" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q-snap").toString
+      graft.pipeline.PipelineRunner.run(t(s, dir), root, groups = 2)
+      val reg = new graft.checkpoint.Registry(root, s)
+      graft.model.Sinks.All.flatMap(k => reg.readSink(k))
+        .map(_.groupBy("sink").agg(count(lit(1)).as("events")))
+        .reduce(_ unionByName _)
+    }),
+
     "q_bucket_metrics" -> ((s, dir) =>
       TranscriptPipeline.transform(t(s, dir))
         .withColumn("bucket", substring(col("conv_id"), 6, 8).cast("int") % 8)
@@ -636,6 +650,13 @@ object SparkEntry {
     "q_route_sink_counts" ->
       (OracleCte.parsed +
         " SELECT sink, count(*) AS events FROM parsed GROUP BY sink"),
+
+    // read-back through the snapshot tables must equal the declarative
+    // route counts (filtered rows are counted but never written)
+    "q_snapshot_sinks" ->
+      (OracleCte.parsed +
+        " SELECT sink, count(*) AS events FROM parsed" +
+        " WHERE sink <> 'filtered' GROUP BY sink"),
 
     "q_routed_rows" ->
       (OracleCte.parsed +
