@@ -195,6 +195,39 @@ final class SnapshotTable(val root: String, spark: SparkSession,
     throw new IllegalStateException("unreachable")
   }
 
+  /** Maintenance: expire old table versions — the Iceberg expire_snapshots
+    * analogue. Keeps the newest `keepVersions` metadata docs and deletes
+    * (a) older metadata files and (b) every data file referenced ONLY by
+    * expired versions (a merge's copy-on-write rewrite strands its
+    * predecessors' files — this is what reclaims them). Returns the number
+    * of data files deleted. Run as a maintenance job, never concurrently
+    * with readers that may still be resolving an expired version; writers
+    * are unaffected (they CAS against the newest version only). Note
+    * [[readCommittedTxns]] is an append-only-table view: on such tables
+    * every snapshot's added files are still in the current file list, so
+    * expiry never deletes files that view can reach. */
+  def expireSnapshots(keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    if (!fs.exists(metaDir)) return 0
+    val versions = fs.listStatus(metaDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .sorted
+    if (versions.length <= keepVersions) return 0
+    val (drop, keep) = versions.splitAt(versions.length - keepVersions)
+    val retained: Set[String] =
+      keep.flatMap(v => parseMeta(readBytes(fs, versionPath(v))).files.map(_.path)).toSet
+    var deleted = 0
+    drop.foreach { v =>
+      parseMeta(readBytes(fs, versionPath(v))).files.foreach { f =>
+        if (!retained.contains(f.path) &&
+            fs.delete(new Path(root, f.path), false)) deleted += 1
+      }
+      fs.delete(versionPath(v), false)
+    }
+    deleted
+  }
+
   // ------------------------------------------------------------- internals
 
   private def newSnapId(st: TableState): String =

@@ -124,7 +124,9 @@ class PipelineRunnerSpec extends SparkSpec {
       val st = tbl.state()
       val dataDir = new org.apache.hadoop.fs.Path(s"${tbl.root}/data")
       if (fs.exists(dataDir)) {
-        val onDisk = fs.listStatus(dataDir).map(f => s"data/${f.getPath.getName}").toSet
+        val onDisk = fs.listStatus(dataDir).map(_.getPath.getName)
+          .filterNot(_.startsWith(".")) // LocalFileSystem .crc sidecars
+          .map(n => s"data/$n").toSet
         assert(onDisk == st.files.map(_.path).toSet,
           s"unreferenced files in $s: ${onDisk.diff(st.files.map(_.path).toSet)}")
       }

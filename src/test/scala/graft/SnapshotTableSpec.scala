@@ -82,6 +82,29 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().get.count() == 1)
   }
 
+  test("expireSnapshots reclaims files stranded by copy-on-write merges") {
+    val t = tmpTable()
+    t.append(Seq(("c1", 1L)).toDF("k", "v"), None)
+    t.append(Seq(("c2", 2L)).toDF("k", "v"), None)
+    t.merge(Seq(("c1", 9L)).toDF("k", "v"), keys = Seq("k"), txn = None)
+    assert(t.state().version == 3)
+    val deleted = t.expireSnapshots(keepVersions = 1)
+    assert(deleted > 0, "the merge stranded the append files — expiry must reclaim them")
+    // only the current version's metadata and files remain
+    val metaDir = new java.io.File(s"${t.root}/metadata")
+    assert(metaDir.listFiles().count(_.getName.matches("v\\d+\\.json")) == 1)
+    val dataDir = new java.io.File(s"${t.root}/data")
+    // ignore Hadoop LocalFileSystem .crc sidecars (hidden files)
+    assert(dataDir.listFiles().filterNot(_.getName.startsWith("."))
+      .map(f => s"data/${f.getName}").toSet ==
+      t.state().files.map(_.path).toSet)
+    // the table still reads the merged truth
+    val rows = t.read().get.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("c1" -> 9L, "c2" -> 2L))
+    // nothing more to expire
+    assert(t.expireSnapshots(keepVersions = 1) == 0)
+  }
+
   test("historical snapshots stay readable (metadata retained per version)") {
     val t = tmpTable()
     t.append(Seq((1, "a")).toDF("id", "v"), None)
