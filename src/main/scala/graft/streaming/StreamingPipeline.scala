@@ -54,6 +54,39 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Streaming fan-out into the SNAPSHOT TABLE format
+    * ([[graft.checkpoint.SnapshotTable]]): each micro-batch's per-sink slice
+    * commits as one snapshot whose txn key is the batch id, so a replayed
+    * batch — checkpoint recovery, or even a FRESH checkpoint re-reading the
+    * same input — reconciles to a no-op instead of duplicating rows. That is
+    * exactly-once into the TABLE (the directory-overwrite pattern in
+    * [[start]] is merely idempotent per path), and concurrent readers get
+    * snapshot isolation while the stream runs: a half-written batch is
+    * invisible until its CAS commit. */
+  def startSnapshotSinks(input: DataFrame, root: String, checkpoint: String,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    input.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val routed = TranscriptPipeline.transform(batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          for (s <- Sinks.All) {
+            new graft.checkpoint.SnapshotTable(s"$root/sinks/$s", batch.sparkSession)
+              .append(
+                routed.filter(col("sink") === s)
+                  .sortWithinPartitions("conv_id", "turn_idx")
+                  .drop("sink"),
+                txn = Some(s"batch-$batchId"))
+          }
+        } finally routed.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** watermarked per-window × sink counts (observer metrics, streaming form).
     * The watermark bounds state: late rows beyond `lateness` are dropped the
     * same way the reference's close_timeout abandons stale harvesters. */

@@ -57,6 +57,39 @@ class StreamingSpec extends SparkSpec {
     assert(total == expected, s"dupes after restart: $total vs $expected")
   }
 
+  test("snapshot-table streaming sink is exactly-once even across checkpoint loss") {
+    val src = tmpDir("stream-src3")
+    val out = tmpDir("stream-out3")
+    input.write.mode("overwrite").parquet(src)
+
+    StreamingPipeline.startSnapshotSinks(
+      StreamingPipeline.fromDirectory(spark, src), out, tmpDir("stream-ckpt3a"),
+      Trigger.AvailableNow()).awaitTermination(120000)
+
+    def tableCount(s: String): Long =
+      new graft.checkpoint.SnapshotTable(s"$out/sinks/$s", spark)
+        .read().map(_.count()).getOrElse(0L)
+    val batchCounts = TranscriptPipeline.transform(input)
+      .groupBy("sink").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (s <- Sinks.All)
+      assert(tableCount(s) == batchCounts.getOrElse(s, 0L), s"sink $s")
+
+    // replay the SAME input with a FRESH checkpoint (total checkpoint loss —
+    // the directory-overwrite sink would re-write, this one must no-op via
+    // the batch txn keys) → no duplicates, no version churn
+    val versionsBefore = Sinks.All.map(s =>
+      new graft.checkpoint.SnapshotTable(s"$out/sinks/$s", spark).state().version)
+    StreamingPipeline.startSnapshotSinks(
+      StreamingPipeline.fromDirectory(spark, src), out, tmpDir("stream-ckpt3b"),
+      Trigger.AvailableNow()).awaitTermination(120000)
+    for (s <- Sinks.All)
+      assert(tableCount(s) == batchCounts.getOrElse(s, 0L), s"dupes in $s after replay")
+    val versionsAfter = Sinks.All.map(s =>
+      new graft.checkpoint.SnapshotTable(s"$out/sinks/$s", spark).state().version)
+    assert(versionsAfter == versionsBefore, "replayed batches must not commit new snapshots")
+  }
+
   test("convOffsets tracks per-conv high-water marks") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
