@@ -58,6 +58,15 @@ class CefSpec extends SparkSpec {
     assert(ext(r).isEmpty && errs(r).isEmpty)
   }
 
+  test("header followed ONLY by spaces: grammar is inside `extensions` — error") {
+    // `cef = header extensions?` but `extensions` needs ≥1 pair once a space
+    // is consumed: the ragel machine ends non-final → error recorded
+    val r = parse("CEF:26|security|threatmanager|1.0|100|trojan successfully stopped|10| ")
+    assert(header(r) == stdHeader)
+    assert(ext(r).isEmpty)
+    assert(errs(r).exists(_.contains("unexpected end of CEF event")), errs(r))
+  }
+
   test("emptyDeviceFields: empty header fields → null") {
     val r = parse("""CEF:0|||1.0|100|trojan successfully stopped|10|src=10.0.0.192 dst=12.121.122.82 spt=1232""")
     assert(r.getInt(0) == 0)

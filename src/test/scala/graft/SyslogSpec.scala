@@ -276,6 +276,26 @@ class SyslogSpec extends SparkSpec {
     // priority 192 is out of the 5424 PRIVAL range → 3164
     assert(str(parse("<192>1 2003-10-11T22:14:15.003Z h a - - - m"),
       I("format")) == "rfc3164")
+    // truncated 5424 prefix: the generated format_check.go sets isRFC5424 on
+    // the FIRST year digit and never resets it on error, so `<34>1 20`
+    // classifies (and fails) as RFC5424 — not as a 3164 fallback
+    val trunc = parse("<34>1 20")
+    assert(str(trunc, I("format")) == "rfc5424")
+    assert(int(trunc, I("priority")) == 34)
+    assert(!trunc.getBoolean(I("valid")))
+  }
+
+  test("classic two-digit day 32-39 falls through to the message-only catch-all") {
+    // multiple_digits_day = [012][0-9] | 3[01]: day 35 is not a timestamp,
+    // so the whole payload lands in the catch-all (no silent month rollover)
+    val r = parse("<34>Oct 35 10:00:00 mymachine msg")
+    assert(str(r, I("format")) == "rfc3164")
+    assert(ts(r) == null)
+    assert(str(r, I("hostname")) == null)
+    assert(str(r, I("message")).startsWith("Oct 35"))
+    // day 31 still parses as a timestamp
+    val ok = parse("<34>Oct 31 10:00:00 mymachine msg")
+    assert(ts(ok) != null && str(ok, I("hostname")) == "mymachine")
   }
 
   // ---- end-to-end through the column API (exercises codegen) ------------
