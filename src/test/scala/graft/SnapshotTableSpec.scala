@@ -105,6 +105,36 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.expireSnapshots(keepVersions = 1) == 0)
   }
 
+  test("a reader's resolved snapshot is immune to commits that land after it") {
+    val t = tmpTable()
+    t.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), None)
+    val view = t.read().get // resolves version 1's file list NOW
+    t.merge(Seq((1, "a2")).toDF("id", "v"), keys = Seq("id"), txn = None)
+    // the merge rewrote the table, but the in-flight reader still sees its
+    // snapshot (the old files remain on disk until expiry)
+    assert(view.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "a"), (2, "b")))
+    assert(t.read().get.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "a2"), (2, "b")))
+  }
+
+  test("concurrent merge and append serialize without losing either commit") {
+    val t = tmpTable()
+    t.append(Seq(("k1", 1L)).toDF("k", "v"), None)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fm = Future(t.merge(Seq(("k1", 100L)).toDF("k", "v"), Seq("k"), None))
+    val fa = Future(t.append(Seq(("k2", 2L)).toDF("k", "v"), None))
+    Await.result(fm, 2.minutes); Await.result(fa, 2.minutes)
+    assert(t.state().version == 3)
+    val rows = t.read().get.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // both effects present regardless of commit order: merge-first → append
+    // adds k2 after the rewrite; append-first → the merge CAS-retries
+    // against the appended state and carries k2 through its rewrite
+    assert(rows == Map("k1" -> 100L, "k2" -> 2L))
+  }
+
   test("historical snapshots stay readable (metadata retained per version)") {
     val t = tmpTable()
     t.append(Seq((1, "a")).toDF("id", "v"), None)
