@@ -93,19 +93,28 @@ final class Registry(root: String, spark: SparkSession,
   /** drop this runner's staged files for a group (post-commit or defeat). */
   def cleanupStaging(group: Int): Unit = {
     fs.delete(new Path(stagingGroupDir(group)), true)
-    // drop the now-empty run scope so a finished runner leaves no residue
-    val runDir = new Path(s"$root/_staging/run=$runId")
-    if (fs.exists(runDir) && fs.listStatus(runDir).isEmpty) fs.delete(runDir, false)
-    val staging = new Path(s"$root/_staging")
-    if (fs.exists(staging) && fs.listStatus(staging).isEmpty) fs.delete(staging, false)
+    // drop the now-empty scope dirs so a finished runner leaves no residue.
+    // The empty-check + non-recursive delete races a CONCURRENT runner
+    // creating its own staging underneath (check-then-act); losing that race
+    // just means the shared dir survives — never fail the finishing runner.
+    Seq(new Path(s"$root/_staging/run=$runId"), new Path(s"$root/_staging"))
+      .foreach { d =>
+        try if (fs.exists(d) && fs.listStatus(d).isEmpty) fs.delete(d, false)
+        catch { case _: java.io.IOException => () }
+      }
   }
 
-  /** All committed registry rows (the queryable "registrar state") from the
-    * offsets table's current snapshot. */
+  /** All committed registry rows (the queryable "registrar state"): the
+    * offsets table's current snapshot, gated on the commit log — offsets
+    * MERGE in step 2, the ack lands in step 3, and a crash in between must
+    * not surface a group's offsets before its sinks are acked (the
+    * registrar invariant: offsets persist only after the output ACKs,
+    * filebeat/beater/acker.go:37-68). */
   def registry(): DataFrame = {
     val df = offsetsTable.read()
     require(df.isDefined, "no committed groups")
-    df.get
+    val committed = committedGroups()
+    df.get.filter(org.apache.spark.sql.functions.col("group").isin(committed: _*))
   }
 
   /** Read-committed view of one sink table: snapshot-isolated AND resolved

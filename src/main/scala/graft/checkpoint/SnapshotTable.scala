@@ -28,9 +28,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      so this step needs no coordination;
   *   2. it reads the current metadata version N and writes a candidate
   *      v(N+1).json to a temp name;
-  *   3. the atomic `rename(tmp, v(N+1).json)` is the commit point: rename
-  *      onto an existing destination fails, so exactly one writer wins each
-  *      version; a loser re-reads the new state, re-validates, and retries.
+  *   3. an atomic create-if-absent publish of v(N+1).json is the commit
+  *      point — rename-without-replace on HDFS-like filesystems, link(2) on
+  *      `file:` URIs (POSIX rename REPLACES an existing destination; a hard
+  *      link fails with EEXIST atomically) — so exactly one writer wins
+  *      each version; a loser re-reads the new state, re-validates, and
+  *      retries (bounded).
   *
   * Snapshot isolation: readers resolve the largest committed version and
   * read EXACTLY the files it lists — concurrent writers never perturb an
@@ -77,14 +80,33 @@ final class SnapshotTable(val root: String, spark: SparkSession,
   private def versionPath(v: Long): Path = new Path(metaDir, f"v$v%06d.json")
 
   /** CAS: write candidate metadata for version prev+1; true iff this writer
-    * won the rename race. */
+    * won the publish race. The atomic claim primitive is scheme-dependent:
+    * HDFS-like filesystems reject a rename onto an existing destination at
+    * the namenode, but POSIX rename(2) — what Hadoop's LocalFileSystem
+    * ultimately calls — silently REPLACES it, which would let two racing
+    * writers both "win" and lose one commit. On `file:` URIs we therefore
+    * publish with link(2) (hard link), which fails with EEXIST atomically
+    * at the syscall level. */
   private def casCommit(prev: TableState, doc: ObjectNode): Boolean = {
     fs.mkdirs(metaDir)
     val tmp = new Path(metaDir, s".tmp-$runId-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(Mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(doc))
     finally out.close()
-    if (fs.rename(tmp, versionPath(prev.version + 1))) true
+    val target = versionPath(prev.version + 1)
+    if (fs.getScheme == "file") {
+      val won =
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      fs.delete(tmp, false)
+      won
+    } else if (fs.rename(tmp, target)) true
     else { fs.delete(tmp, false); false }
   }
 
@@ -144,8 +166,16 @@ final class SnapshotTable(val root: String, spark: SparkSession,
 
   /** move externally staged parquet files (e.g. one sink's slice of a
     * dynamic-partitioned write) into the table and commit them as one
-    * append snapshot. Files become visible atomically at the CAS. */
+    * append snapshot. Files become visible atomically at the CAS. The
+    * txn pre-check runs BEFORE the move, so a resumed group's re-commit
+    * never churns files through data/ (and cannot strand them if the
+    * process dies before the already-committed branch cleans up). */
   def commitStagedDir(stagedDir: String, txn: Option[String]): CommitResult = {
+    state() match {
+      case st if txn.exists(st.txnKeys.contains) =>
+        return alreadyCommittedResult(st, txn.get)
+      case _ =>
+    }
     val staged = listParquet(fs, new Path(stagedDir))
     commitMoved(moveIn(staged), txn)
   }
@@ -170,7 +200,7 @@ final class SnapshotTable(val root: String, spark: SparkSession,
     * against the fresh state, so concurrent mergers serialize correctly. */
   def merge(df: DataFrame, keys: Seq[String], txn: Option[String]): CommitResult = {
     var attempt = 0
-    while (true) {
+    while (attempt < MaxCommitAttempts) {
       val st = state()
       txn.filter(st.txnKeys.contains).foreach { t =>
         return alreadyCommittedResult(st, t)
@@ -192,7 +222,9 @@ final class SnapshotTable(val root: String, spark: SparkSession,
       moved.foreach(f => fs.delete(new Path(root, f.path), false)) // lost: retry
       attempt += 1
     }
-    throw new IllegalStateException("unreachable")
+    throw new java.io.IOException(
+      s"merge into $root failed after $MaxCommitAttempts CAS attempts — " +
+        "the metadata pointer is not advancing (filesystem fault?)")
   }
 
   /** Maintenance: expire old table versions — the Iceberg expire_snapshots
@@ -206,15 +238,15 @@ final class SnapshotTable(val root: String, spark: SparkSession,
     * [[readCommittedTxns]] is an append-only-table view: on such tables
     * every snapshot's added files are still in the current file list, so
     * expiry never deletes files that view can reach. */
-  def expireSnapshots(keepVersions: Int = 1): Int = {
+  def expireSnapshots(keepVersions: Int = 1,
+                      orphanGraceMs: Long = 3600000L): Int = {
     require(keepVersions >= 1, "must keep at least the current version")
     if (!fs.exists(metaDir)) return 0
     val versions = fs.listStatus(metaDir).map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
       .sorted
-    if (versions.length <= keepVersions) return 0
-    val (drop, keep) = versions.splitAt(versions.length - keepVersions)
+    val (drop, keep) = versions.splitAt(math.max(0, versions.length - keepVersions))
     val retained: Set[String] =
       keep.flatMap(v => parseMeta(readBytes(fs, versionPath(v))).files.map(_.path)).toSet
     var deleted = 0
@@ -224,6 +256,20 @@ final class SnapshotTable(val root: String, spark: SparkSession,
             fs.delete(new Path(root, f.path), false)) deleted += 1
       }
       fs.delete(versionPath(v), false)
+    }
+    // ORPHANS: data files referenced by NO retained version — crash debris
+    // from a writer that died between moving files in and its CAS commit.
+    // The age grace protects a LIVE concurrent writer's just-moved,
+    // not-yet-committed files (Iceberg's remove_orphan_files guards the
+    // same way); pass 0 only when no writers are running.
+    if (fs.exists(dataDir)) {
+      val cutoff = System.currentTimeMillis() - orphanGraceMs
+      fs.listStatus(dataDir).foreach { f =>
+        val rel = s"data/${f.getPath.getName}"
+        if (!f.getPath.getName.startsWith(".") && !retained.contains(rel) &&
+            f.getModificationTime < cutoff &&
+            fs.delete(f.getPath, false)) deleted += 1
+      }
     }
     deleted
   }
@@ -254,7 +300,9 @@ final class SnapshotTable(val root: String, spark: SparkSession,
 
   /** append pre-moved files with txn idempotence via the CAS loop. */
   private def commitMoved(moved: Seq[FileEntry], txn: Option[String]): CommitResult = {
-    while (true) {
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
       val st = state()
       txn.filter(st.txnKeys.contains).foreach { t =>
         // another writer (or a previous run of this job) already committed
@@ -267,11 +315,19 @@ final class SnapshotTable(val root: String, spark: SparkSession,
         return CommitResult(snap.id, alreadyCommitted = false,
           moved.map(_.size).sum, moved.size)
     }
-    throw new IllegalStateException("unreachable")
+    throw new java.io.IOException(
+      s"append into $root failed after $MaxCommitAttempts CAS attempts — " +
+        "the metadata pointer is not advancing (filesystem fault?)")
   }
 }
 
 object SnapshotTable {
+
+  /** CAS retry bound: a lost race always advances the observed version, so
+    * a writer that exhausts this many attempts is fighting a filesystem
+    * fault (rename/link returning false without progress), not contention —
+    * fail loudly instead of spinning rewrite jobs forever. */
+  private val MaxCommitAttempts = 50
 
   final case class FileEntry(path: String, size: Long)
 

@@ -183,14 +183,35 @@ object Dedup {
     // long curation job at 100 TB. The edge set is tiny next to the corpus,
     // so the per-round write is cheap. Production sets a durable checkpoint
     // dir; default to the local tmp dir so the operator works out of the box.
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        sys.props("java.io.tmpdir") + "/graft-checkpoints")
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      // per-JVM scratch dir + exit hook: reliable-checkpoint files are not
+      // reference-tracked by default, so a shared fixed path would grow
+      // /tmp across sessions without bound (a user-supplied dir is owned by
+      // the user and never touched)
+      val dir = java.nio.file.Files.createTempDirectory("graft-checkpoints-")
+      spark.sparkContext.setCheckpointDir(dir.toString)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile): Unit))
+    }
+    // trailing per-round cleanup: round k-1's checkpoint files are dead the
+    // moment round k's convergence check completes — without this, an
+    // iterative job leaks 2 RDD dirs per round for the session's lifetime.
+    // (Set-diff attribution assumes one CC job per session at a time, which
+    // is how curate/Verify drive it; a concurrent job's files would just be
+    // mis-attributed to a round, not corrupted mid-read.)
+    val ckDir = new org.apache.hadoop.fs.Path(spark.sparkContext.getCheckpointDir.get)
+    val ckFs = ckDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ckChildren(): Set[String] =
+      if (ckFs.exists(ckDir)) ckFs.listStatus(ckDir).map(_.getPath.getName).toSet
+      else Set.empty
+    val preExisting = ckChildren()
     var e = pairs
       .select(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .checkpoint()
+    var known = ckChildren()
+    var prevDirs = known -- preExisting
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -225,6 +246,13 @@ object Dedup {
           Seq("u", "v"), "full_outer")
         .filter(col("_n").isNull || col("_o").isNull)
         .isEmpty
+      // the previous round's checkpoint files are now unreachable — reclaim
+      val now = ckChildren()
+      val thisRound = now -- known
+      known = now
+      prevDirs.foreach(d =>
+        ckFs.delete(new org.apache.hadoop.fs.Path(ckDir, d), true))
+      prevDirs = thisRound
       e = afterSmall
       it += 1
     }

@@ -110,9 +110,13 @@ object Multimodal {
   final class MediaDecoder {
     def decode(content: Array[Byte]): (Int, Int, Double) = {
       if (isGrft(content)) return decodeGrft(content)
+      // NonFatal, not just IOException: the JDK image readers throw
+      // ArrayIndexOutOfBounds/IllegalArgument/NegativeArraySize on crafted
+      // or truncated headers, and a corrupt blob must dead-letter, never
+      // fail the task
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) return (-1, -1, -1.0)
       val w = img.getWidth
       val h = img.getHeight
@@ -175,9 +179,9 @@ object Multimodal {
       return out
     }
     if (content.length < 4) return content
-    val img =
+    val img = // NonFatal: JDK readers throw RuntimeExceptions on crafted input
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return content // undecodable → pass through (dead-letter upstream)
     val dst = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)

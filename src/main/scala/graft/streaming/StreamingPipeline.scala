@@ -56,13 +56,17 @@ object StreamingPipeline {
 
   /** Streaming fan-out into the SNAPSHOT TABLE format
     * ([[graft.checkpoint.SnapshotTable]]): each micro-batch's per-sink slice
-    * commits as one snapshot whose txn key is the batch id, so a replayed
-    * batch — checkpoint recovery, or even a FRESH checkpoint re-reading the
-    * same input — reconciles to a no-op instead of duplicating rows. That is
+    * commits as one snapshot whose txn key is the batch id PLUS an
+    * order-independent 64-bit fingerprint of the batch's content. A replayed
+    * batch — checkpoint recovery, or a fresh checkpoint re-reading the same
+    * input — carries the same (id, fingerprint) and reconciles to a no-op:
     * exactly-once into the TABLE (the directory-overwrite pattern in
-    * [[start]] is merely idempotent per path), and concurrent readers get
-    * snapshot isolation while the stream runs: a half-written batch is
-    * invisible until its CAS commit. */
+    * [[start]] is merely idempotent per path). A batch that merely REUSES an
+    * id after checkpoint loss over grown input has a different fingerprint
+    * and appends — at-least-once for the changed data, never silent loss
+    * (a bare batch-id key would skip it; cf. Delta's txnAppId caveat).
+    * Concurrent readers get snapshot isolation throughout: a half-written
+    * batch is invisible until its CAS commit. */
   def startSnapshotSinks(input: DataFrame, root: String, checkpoint: String,
                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     input.writeStream
@@ -73,13 +77,20 @@ object StreamingPipeline {
         val routed = TranscriptPipeline.transform(batch)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          val sig = routed
+            .agg(expr("bit_xor(xxhash64(conv_id, turn_idx, text, sink))"))
+            .first() match {
+              case r if r.isNullAt(0) => 0L // empty batch
+              case r => r.getLong(0)
+            }
+          val txn = s"batch-$batchId-${java.lang.Long.toHexString(sig)}"
           for (s <- Sinks.All) {
             new graft.checkpoint.SnapshotTable(s"$root/sinks/$s", batch.sparkSession)
               .append(
                 routed.filter(col("sink") === s)
                   .sortWithinPartitions("conv_id", "turn_idx")
                   .drop("sink"),
-                txn = Some(s"batch-$batchId"))
+                txn = Some(txn))
           }
         } finally routed.unpersist()
         ()
