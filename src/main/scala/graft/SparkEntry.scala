@@ -297,6 +297,56 @@ object SparkEntry {
           element_at(col("m"), "ev.t.1").as("xt1"))
     }),
 
+    // --- decode_xml_wineventlog: Windows-event XML → typed winlog struct,
+    //     covering every enrichment family (winmeta level/opcode/task,
+    //     keyword-bit decode, audit outcome, RenderingInfo override,
+    //     EventData Name/paramN pairs) plus the malformed-XML NULL path ---
+    "q_decode_wineventlog" -> ((s, dir) => {
+      val base = t(s, dir)
+      val v = col("turn_idx") % 9
+      val eid = (col("turn_idx") % 10 + 4600).cast("string")
+      val kwHex = when(col("turn_idx") % 3 === 0, lit("0x8020000000000000"))
+        .when(col("turn_idx") % 3 === 1, lit("0x8010000000000000"))
+        .otherwise(lit("0x80000000000000"))
+      val sys = concat(
+        lit("<System><Provider Name='Prov' Guid='{g-1}'/><EventID>"), eid,
+        lit("</EventID><Level>"), (col("turn_idx") % 8).cast("string"),
+        lit("</Level><Task>0</Task><Opcode>"), (col("turn_idx") % 4).cast("string"),
+        lit("</Opcode><Keywords>"), kwHex,
+        lit("</Keywords><TimeCreated SystemTime='2021-03-23T09:56:13.137310000Z'/>" +
+          "<EventRecordID>"), (col("turn_idx") + 1).cast("string"),
+        lit("</EventRecordID><Execution ProcessID='"),
+        (col("turn_idx") % 100 + 1).cast("string"),
+        lit("' ThreadID='7'/><Channel>Security</Channel><Computer>host-"),
+        col("conv_id"), lit("</Computer></System>"))
+      val tail = when(v === 1, concat(
+          lit("<RenderingInfo><Message>ok "), col("role"),
+          lit("\n</Message><Level>Custom</Level><Task>T1</Task><Opcode>OpX</Opcode>" +
+            "<Keywords><Keyword>RK</Keyword></Keywords></RenderingInfo>")))
+        .when(v === 2, concat(
+          lit("<EventData><Data Name='Role'>"), col("role"), lit("</Data><Data>"),
+          col("tool"), lit("</Data></EventData>")))
+        .otherwise(lit(""))
+      val xml = when(v === 0, lit("<Event><broken>"))
+        .otherwise(concat(lit("<Event>"), sys, tail, lit("</Event>")))
+      base.withColumn("w", graft.functions.decode_wineventlog(xml)).select(
+        col("conv_id"), col("turn_idx"),
+        col("w.event_id").as("eid"),
+        col("w.level").as("lvl"),
+        col("w.outcome").as("outc"),
+        array_join(col("w.keywords"), "|").as("kw"),
+        col("w.opcode").as("opc"),
+        col("w.task").as("tsk"),
+        col("w.record_id").as("recid"),
+        col("w.channel").as("ch"),
+        col("w.computer_name").as("comp"),
+        unix_micros(col("w.time_created")).as("tc_us"),
+        col("w.message").as("msg"),
+        element_at(col("w.event_data"), "Role").as("ed_role"),
+        element_at(col("w.event_data"), "param2").as("ed_p2"),
+        col("w.process_pid").as("pid"))
+    }),
+
     // --- registered_domain: PSL eTLD+1 over synthesized domains covering
     //     exact, multi-label, private, wildcard, exception, and default
     //     rules plus the bare-suffix NULL case ---
@@ -943,6 +993,43 @@ object SparkEntry {
           |  CASE WHEN turn_idx % 11 = 0 THEN NULL ELSE role END AS xrole,
           |  CASE WHEN turn_idx % 11 = 0 THEN NULL ELSE tool END AS xt0,
           |  CASE WHEN turn_idx % 11 = 0 THEN NULL ELSE 'x' END AS xt1
+          | FROM transcripts""".stripMargin),
+
+    "q_decode_wineventlog" ->
+      (OracleCte.transcripts +
+        """ SELECT conv_id, turn_idx,
+          |  CASE WHEN turn_idx % 9 = 0 THEN NULL
+          |       ELSE CAST(4600 + turn_idx % 10 AS VARCHAR) END AS eid,
+          |  CASE WHEN turn_idx % 9 = 0 THEN NULL
+          |       WHEN turn_idx % 9 = 1 THEN 'custom'
+          |       ELSE CASE turn_idx % 8 WHEN 0 THEN 'information' WHEN 1 THEN 'critical'
+          |            WHEN 2 THEN 'error' WHEN 3 THEN 'warning' WHEN 4 THEN 'information'
+          |            WHEN 5 THEN 'verbose' ELSE NULL END END AS lvl,
+          |  CASE WHEN turn_idx % 9 = 0 THEN NULL
+          |       WHEN turn_idx % 3 = 0 THEN 'success'
+          |       WHEN turn_idx % 3 = 1 THEN 'failure' ELSE NULL END AS outc,
+          |  CASE WHEN turn_idx % 9 = 0 THEN NULL
+          |       WHEN turn_idx % 9 = 1 THEN 'RK'
+          |       WHEN turn_idx % 3 = 0 THEN 'Audit Success'
+          |       WHEN turn_idx % 3 = 1 THEN 'Audit Failure'
+          |       ELSE 'Classic' END AS kw,
+          |  CASE WHEN turn_idx % 9 = 0 THEN NULL
+          |       WHEN turn_idx % 9 = 1 THEN 'OpX'
+          |       ELSE CASE turn_idx % 4 WHEN 0 THEN 'Info' WHEN 1 THEN 'Start'
+          |            WHEN 2 THEN 'Stop' ELSE 'DCStart' END END AS opc,
+          |  CASE WHEN turn_idx % 9 = 0 THEN NULL
+          |       WHEN turn_idx % 9 = 1 THEN 'T1' ELSE 'None' END AS tsk,
+          |  CASE WHEN turn_idx % 9 = 0 THEN NULL
+          |       ELSE CAST(turn_idx + 1 AS BIGINT) END AS recid,
+          |  CASE WHEN turn_idx % 9 = 0 THEN NULL ELSE 'Security' END AS ch,
+          |  CASE WHEN turn_idx % 9 = 0 THEN NULL ELSE 'host-' || conv_id END AS comp,
+          |  CASE WHEN turn_idx % 9 = 0 THEN NULL
+          |       ELSE epoch_us(TIMESTAMP '2021-03-23 09:56:13.137310') END AS tc_us,
+          |  CASE WHEN turn_idx % 9 = 1 THEN 'ok ' || role ELSE NULL END AS msg,
+          |  CASE WHEN turn_idx % 9 = 2 THEN role ELSE NULL END AS ed_role,
+          |  CASE WHEN turn_idx % 9 = 2 AND tool <> '' THEN tool ELSE NULL END AS ed_p2,
+          |  CASE WHEN turn_idx % 9 = 0 THEN NULL
+          |       ELSE CAST(turn_idx % 100 + 1 AS BIGINT) END AS pid
           | FROM transcripts""".stripMargin),
 
     "q_registered_domain" ->

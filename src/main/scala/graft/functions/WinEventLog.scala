@@ -1,0 +1,397 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** decode_xml_wineventlog (libbeat/processors/decode_xml_wineventlog/
+  * processor.go:90-161 + winlogbeat/sys/winevent/event.go:49-155) — the
+  * Windows-event-log XML → `winlog.*` projection, as one typed struct.
+  *
+  * Semantics mirrored from the reference's non-Windows decoder
+  * (decoder.go:34-42): `winevent.UnmarshalXML` → `EnrichRawValuesWithNames
+  * (nil, …)` → `Event.Fields()`:
+  *   - System>{Provider,EventID,Version,Level,Task,Opcode,Keywords,
+  *     TimeCreated,EventRecordID,Correlation,Execution,Channel,Computer,
+  *     Security} parsed with the reference's numeric strictness: a malformed
+  *     numeric field fails the WHOLE decode (Go encoding/xml), → NULL struct,
+  *     EXCEPT `Version`, whose invalid values are explicitly ignored
+  *     (event.go:303-312).
+  *   - `Keywords` is Go `ParseUint(s, 0, 64)`: 0x-hex / 0-octal / decimal.
+  *   - RenderingInfo supplies message/level/task/opcode/keywords when
+  *     present; otherwise level/opcode/task/keywords are enriched from the
+  *     raw values via the static winmeta.xml tables (winmeta.go:29-63,
+  *     event.go:336-390). Keyword bits are emitted in ascending mask order
+  *     (the reference iterates a Go map — unordered; ascending is the
+  *     deterministic choice).
+  *   - `outcome`: Audit Failure bit (0x10000000000000) wins over Audit
+  *     Success (0x20000000000000) (event.go:108-112).
+  *   - `level` is lowercased locale-independently; `message` and every
+  *     event_data/user_data value get `RemoveWindowsLineEndings` (CRLF→LF,
+  *     trailing LF trimmed; sys/strings.go:43-46).
+  *   - event_data/user_data pairs: key = `Name` attribute else element name,
+  *     `""`/`"Data"` keys become `paramN` (N = 1-based position across ALL
+  *     parsed pairs, skipped-empties included), empty values dropped, dup
+  *     keys first-wins, empty dict → NULL (maputil.go:44-83). user_data
+  *     additionally carries `xml_name` = its wrapper element's name, only
+  *     when the dict is non-empty (event.go:144-146).
+  *   - Zero/empty values are absent (NULL here): AddOptional semantics.
+  *     `event_id` is the one always-present field (`fmt.Sprint(ID)`).
+  *
+  * The reference nests `user`/`process` sub-objects and dotted error keys in
+  * a dynamic map; this struct flattens them to `user_identifier`,
+  * `process_pid`, `process_thread_id`, `error_code` (fixed columnar schema).
+  * Like the reference's non-Windows build, the SID is never resolved, so
+  * user name/domain/type are always absent. One documented divergence: a
+  * missing `TimeCreated` emits NULL rather than Go's zero `time.Time`
+  * (0001-01-01) — NULL is the columnar idiom for absent.
+  */
+object WinEventLogKernel {
+
+  val schema: StructType = StructType(Seq(
+    StructField("channel", StringType),
+    StructField("event_id", StringType),
+    StructField("provider_name", StringType),
+    StructField("record_id", LongType),
+    StructField("task", StringType),
+    StructField("computer_name", StringType),
+    StructField("keywords", ArrayType(StringType)),
+    StructField("opcode", StringType),
+    StructField("provider_guid", StringType),
+    StructField("version", IntegerType),
+    StructField("time_created", TimestampType),
+    StructField("outcome", StringType),
+    StructField("level", StringType),
+    StructField("message", StringType),
+    StructField("user_identifier", StringType),
+    StructField("event_data", MapType(StringType, StringType)),
+    StructField("user_data", MapType(StringType, StringType)),
+    StructField("activity_id", StringType),
+    StructField("related_activity_id", StringType),
+    StructField("process_pid", LongType),
+    StructField("process_thread_id", LongType),
+    StructField("processor_id", LongType),
+    StructField("session_id", LongType),
+    StructField("kernel_time", LongType),
+    StructField("user_time", LongType),
+    StructField("processor_time", LongType),
+    StructField("error_code", LongType)
+  ))
+
+  // winmeta.xml static tables (winmeta.go:29-63)
+  private val keywordMasks: Array[(Long, String)] = Array(
+    0x1000000000000L  -> "Response Time",
+    0x4000000000000L  -> "WDI Diag",
+    0x8000000000000L  -> "SQM",
+    0x10000000000000L -> "Audit Failure",
+    0x20000000000000L -> "Audit Success",
+    0x40000000000000L -> "Correlation Hint",
+    0x80000000000000L -> "Classic")
+  private val levels = Map(0 -> "Information", 1 -> "Critical", 2 -> "Error",
+    3 -> "Warning", 4 -> "Information", 5 -> "Verbose")
+  private val opcodes = Map(0 -> "Info", 1 -> "Start", 2 -> "Stop",
+    3 -> "DCStart", 4 -> "DCStop", 5 -> "Extension", 6 -> "Reply",
+    7 -> "Resume", 8 -> "Suspend", 9 -> "Send")
+
+  private val keywordAuditFailure = 0x10000000000000L
+  private val keywordAuditSuccess = 0x20000000000000L
+
+  /** sys.RemoveWindowsLineEndings (sys/strings.go:43-46). */
+  def removeWindowsLineEndings(s: String): String = {
+    var t = s.replace("\r\n", "\n")
+    var end = t.length
+    while (end > 0 && t.charAt(end - 1) == '\n') end -= 1
+    if (end == t.length) t else t.substring(0, end)
+  }
+
+  /** Marks a reference-equivalent decode failure (Go xml.Decode error). */
+  private object DecodeError extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** Go strconv.ParseUint(s, base, bits); throws DecodeError like a failed
+    * xml unmarshal. base 0 = Go auto: 0x/0X hex, leading-0 octal, decimal. */
+  private def parseUint(raw: String, base: Int, max: Long): Long = {
+    val s = raw.trim // encoding/xml copyValue trims space around numerics
+    if (s.isEmpty) throw DecodeError
+    var (b, i) = base match {
+      case 0 =>
+        if (s.length > 1 && s.charAt(0) == '0' &&
+            (s.charAt(1) == 'x' || s.charAt(1) == 'X')) (16, 2)
+        else if (s.length > 1 && s.charAt(0) == '0') (8, 1)
+        else (10, 0)
+      case b0 => (b0, 0)
+    }
+    if (i >= s.length) throw DecodeError
+    var acc = 0L
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val d =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else throw DecodeError
+      if (d >= b) throw DecodeError
+      acc = acc * b + d // uint64 wrap semantics are irrelevant below 2^63 use
+      i += 1
+    }
+    if (max > 0 && java.lang.Long.compareUnsigned(acc, max) > 0) throw DecodeError
+    acc
+  }
+
+  // --- DOM helpers (namespace-blind, like Go encoding/xml's local-name match)
+  private def children(e: org.w3c.dom.Element): Iterator[org.w3c.dom.Element] =
+    new Iterator[org.w3c.dom.Element] {
+      private val nodes = e.getChildNodes
+      private var i = 0
+      private var nxt: org.w3c.dom.Element = advance()
+      private def advance(): org.w3c.dom.Element = {
+        while (i < nodes.getLength) {
+          nodes.item(i) match {
+            case c: org.w3c.dom.Element => i += 1; return c
+            case _                      => i += 1
+          }
+        }
+        null
+      }
+      def hasNext: Boolean = nxt != null
+      def next(): org.w3c.dom.Element = { val r = nxt; nxt = advance(); r }
+    }
+
+  private def localName(e: org.w3c.dom.Element): String = {
+    val t = e.getTagName
+    val c = t.indexOf(':')
+    if (c >= 0) t.substring(c + 1) else t
+  }
+
+  private def child(e: org.w3c.dom.Element, name: String): org.w3c.dom.Element = {
+    val it = children(e)
+    while (it.hasNext) { val c = it.next(); if (localName(c) == name) return c }
+    null
+  }
+
+  /** direct character data of an element (Go `xml:",chardata"`). */
+  private def text(e: org.w3c.dom.Element): String = {
+    if (e == null) return ""
+    val sb = new StringBuilder
+    val nodes = e.getChildNodes
+    var i = 0
+    while (i < nodes.getLength) {
+      val n = nodes.item(i)
+      if (n.getNodeType == org.w3c.dom.Node.TEXT_NODE ||
+          n.getNodeType == org.w3c.dom.Node.CDATA_SECTION_NODE)
+        sb.append(n.getNodeValue)
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def attr(e: org.w3c.dom.Element, name: String): String =
+    if (e == null) "" else e.getAttribute(name)
+
+  private def utf8(s: String): UTF8String =
+    if (s == null || s.isEmpty) null else UTF8String.fromString(s)
+
+  /** AddPairs (maputil.go:44-83): ordered dict or null. */
+  private def addPairs(pairs: Seq[(String, String)])
+      : scala.collection.mutable.LinkedHashMap[String, String] = {
+    if (pairs.isEmpty) return null
+    val h = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var i = 0
+    pairs.foreach { case (key, value) =>
+      i += 1 // paramN counts every parsed pair, skipped empties included
+      if (value.nonEmpty) {
+        val k = if (key.isEmpty || key == "Data") s"param$i" else key
+        if (!h.contains(k)) h(k) = removeWindowsLineEndings(value)
+      }
+    }
+    if (h.isEmpty) null else h
+  }
+
+  private def toMapData(
+      h: scala.collection.mutable.LinkedHashMap[String, String]): ArrayBasedMapData =
+    if (h == null) null
+    else new ArrayBasedMapData(
+      new GenericArrayData(h.keysIterator.map(UTF8String.fromString).toArray[Any]),
+      new GenericArrayData(h.valuesIterator.map(UTF8String.fromString).toArray[Any]))
+
+  /** KeyValue children of a wrapper element (event.go:266-296). */
+  private def kvPairs(wrapper: org.w3c.dom.Element): Seq[(String, String)] =
+    if (wrapper == null) Nil
+    else children(wrapper).map { c =>
+      val nameAttr = attr(c, "Name")
+      val k = if (nameAttr.nonEmpty) nameAttr else localName(c)
+      (k, text(c))
+    }.toSeq
+
+  /** Full decode; null on any reference-equivalent unmarshal error. */
+  def decode(xml: String): InternalRow = {
+    val doc = XmlKernel.parseDoc(xml)
+    if (doc == null) return null
+    try decodeDoc(doc.getDocumentElement)
+    catch { case DecodeError => null }
+  }
+
+  private def decodeDoc(root: org.w3c.dom.Element): InternalRow = {
+    val sys = child(root, "System")
+    val provider = child(sys, "Provider")
+    def sysOrNull(name: String): org.w3c.dom.Element =
+      if (sys == null) null else child(sys, name)
+
+    val eventId = {
+      val e = sysOrNull("EventID")
+      if (e == null) 0L else parseUint(text(e), 10, 0xFFFFFFFFL)
+    }
+    val version = {
+      val e = sysOrNull("Version")
+      if (e == null) 0L
+      else try parseUint(text(e), 10, 0xFFL)
+      catch { case DecodeError => 0L } // invalid Version ignored (event.go:303)
+    }
+    val levelRaw = {
+      val e = sysOrNull("Level")
+      if (e == null) 0 else parseUint(text(e), 10, 0xFFL).toInt
+    }
+    val taskRaw = {
+      val e = sysOrNull("Task")
+      if (e == null) 0 else parseUint(text(e), 10, 0xFFFFL).toInt
+    }
+    val opcodeRaw: Integer = {
+      val e = sysOrNull("Opcode")
+      if (e == null) null else Int.box(parseUint(text(e), 10, 0xFFL).toInt)
+    }
+    val keywordsRaw = {
+      val e = sysOrNull("Keywords")
+      if (e == null) 0L else parseUint(text(e), 0, 0L) // HexInt64: base-0, 64-bit
+    }
+    val recordId = {
+      val e = sysOrNull("EventRecordID")
+      if (e == null) 0L else parseUint(text(e), 10, 0L)
+    }
+    val timeCreated: java.lang.Long = {
+      val tc = sysOrNull("TimeCreated")
+      val st = attr(tc, "SystemTime")
+      if (st.nonEmpty) {
+        val odt =
+          try java.time.OffsetDateTime.parse(st)
+          catch { case _: java.time.format.DateTimeParseException => throw DecodeError }
+        Long.box(odt.toInstant.getEpochSecond * 1000000L + odt.getNano / 1000L)
+      } else if (attr(tc, "RawTime").nonEmpty && attr(tc, "RawTime") != "0") {
+        throw DecodeError // "failed to unmarshal TimeCreated RawTime" (event.go:215)
+      } else null
+    }
+    val correlation = sysOrNull("Correlation")
+    val execution = sysOrNull("Execution")
+    def execAttr(name: String): Long = {
+      val v = attr(execution, name)
+      if (v.isEmpty) 0L else parseUint(v, 10, 0xFFFFFFFFL)
+    }
+    val channel = text(sysOrNull("Channel"))
+    val computer = text(sysOrNull("Computer"))
+    val userId = attr(sysOrNull("Security"), "UserID")
+
+    val eventData = addPairs(kvPairs(child(root, "EventData")))
+    val userDataWrapper = child(root, "UserData")
+    val userDataInner =
+      if (userDataWrapper == null) null else children(userDataWrapper).nextOption().orNull
+    // UserData.UnmarshalXML reads tokens until a StartElement; an empty
+    // <UserData/> hits end-of-element first and fails the WHOLE decode
+    // (event.go:240-262) — mirrored.
+    if (userDataWrapper != null && userDataInner == null) throw DecodeError
+    val userData = addPairs(kvPairs(userDataInner))
+    if (userData != null)
+      userData("xml_name") = localName(userDataInner) // Put overwrites (event.go:145)
+
+    val rendering = child(root, "RenderingInfo")
+    def rend(name: String): String = text(if (rendering == null) null else child(rendering, name))
+    val renderedKeywords: Seq[String] = {
+      val kw = if (rendering == null) null else child(rendering, "Keywords")
+      if (kw == null) Nil
+      else children(kw).filter(localName(_) == "Keyword").map(text).toSeq
+    }
+    val errorCode = {
+      val ped = child(root, "ProcessingErrorData")
+      val e = if (ped == null) null else child(ped, "ErrorCode")
+      if (e == null) 0L else parseUint(text(e), 10, 0xFFFFFFFFL)
+    }
+
+    // EnrichRawValuesWithNames(nil, evt) — event.go:336-390
+    val keywords: Seq[String] =
+      if (renderedKeywords.nonEmpty) renderedKeywords
+      else keywordMasks.collect { case (m, n) if (keywordsRaw & m) != 0 => n }.toSeq
+    val opcode = {
+      val r = rend("Opcode")
+      if (r.nonEmpty) r
+      else if (opcodeRaw != null) opcodes.getOrElse(opcodeRaw.intValue, "")
+      else ""
+    }
+    val level = { val r = rend("Level"); if (r.nonEmpty) r else levels.getOrElse(levelRaw, "") }
+    val task = { val r = rend("Task"); if (r.nonEmpty) r else if (taskRaw == 0) "None" else "" }
+    val message = removeWindowsLineEndings(rend("Message"))
+    val outcome =
+      if ((keywordsRaw & keywordAuditFailure) != 0) "failure"
+      else if ((keywordsRaw & keywordAuditSuccess) != 0) "success"
+      else ""
+
+    val r = new GenericInternalRow(27)
+    r.update(0, utf8(channel))
+    r.update(1, UTF8String.fromString(java.lang.Long.toUnsignedString(eventId))) // always present
+    r.update(2, utf8(attr(provider, "Name")))
+    r.update(3, if (recordId == 0L) null else Long.box(recordId))
+    r.update(4, utf8(task))
+    r.update(5, utf8(computer))
+    r.update(6, if (keywords.isEmpty) null
+      else new GenericArrayData(keywords.map(UTF8String.fromString).toArray[Any]))
+    r.update(7, utf8(opcode))
+    r.update(8, utf8(attr(provider, "Guid")))
+    r.update(9, if (version == 0L) null else Int.box(version.toInt))
+    r.update(10, timeCreated)
+    r.update(11, utf8(outcome))
+    r.update(12, utf8(level.toLowerCase(java.util.Locale.ROOT)))
+    r.update(13, utf8(message))
+    r.update(14, utf8(userId))
+    r.update(15, toMapData(eventData))
+    r.update(16, toMapData(userData))
+    r.update(17, utf8(attr(correlation, "ActivityID")))
+    r.update(18, utf8(attr(correlation, "RelatedActivityID")))
+    def optLong(v: Long, ord: Int): Unit =
+      r.update(ord, if (v == 0L) null else Long.box(v))
+    optLong(execAttr("ProcessID"), 19)
+    optLong(execAttr("ThreadID"), 20)
+    optLong(execAttr("ProcessorID"), 21)
+    optLong(execAttr("SessionID"), 22)
+    optLong(execAttr("KernelTime"), 23)
+    optLong(execAttr("UserTime"), 24)
+    optLong(execAttr("ProcessorTime"), 25)
+    optLong(errorCode, 26)
+    r
+  }
+}
+
+/** `decode_wineventlog(xml)` → typed winlog struct; NULL on undecodable
+  * input (→ the processor's error/dead-letter path, processor.go:90-97). */
+case class DecodeWinEventLog(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = WinEventLogKernel.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "decode_wineventlog"
+
+  def evalInput(input: UTF8String): InternalRow =
+    WinEventLogKernel.decode(input.toString)
+
+  override protected def nullSafeEval(input: Any): Any =
+    evalInput(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winevtExpr", this, classOf[DecodeWinEventLog].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.evalInput($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DecodeWinEventLog =
+    copy(child = newChild)
+}

@@ -41,15 +41,20 @@ object XmlKernel {
     def fatalError(e: org.xml.sax.SAXParseException): Unit = throw e
   }
 
+  /** Hardened DOM parse shared by every XML decode kernel; null on malformed
+    * input (per-row expected outcome, silent — see [[SilentErrors]]). */
+  private[functions] def parseDoc(xml: String): org.w3c.dom.Document =
+    try {
+      val b = factories.get()
+      b.reset()
+      b.setErrorHandler(SilentErrors) // reset() restores the printing default
+      b.parse(new org.xml.sax.InputSource(new java.io.StringReader(xml)))
+    } catch { case _: Exception => null }
+
   /** decode + flatten; null on malformed XML. */
   def toFlatMap(xml: String, toLower: Boolean): Seq[(String, String)] = {
-    val doc =
-      try {
-        val b = factories.get()
-        b.reset()
-        b.setErrorHandler(SilentErrors) // reset() restores the printing default
-        b.parse(new org.xml.sax.InputSource(new java.io.StringReader(xml)))
-      } catch { case _: Exception => return null }
+    val doc = parseDoc(xml)
+    if (doc == null) return null
 
     // LinkedHashMap: insertion-ordered output with map-overwrite semantics —
     // the reference builds Go maps, where addAttributes runs at EndElement

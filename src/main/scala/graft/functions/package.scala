@@ -230,6 +230,12 @@ package object functions {
   def decode_xml_map(xml: Column, toLower: Boolean = false): Column =
     ExpressionUtils.column(XmlToMap(ExpressionUtils.expression(xml), toLower))
 
+  /** decode_xml_wineventlog (x-pack winlogbeat projection, processors/
+    * decode_xml_wineventlog + winlogbeat/sys/winevent/event.go:93-155):
+    * Windows-event XML → typed `winlog` struct; NULL on undecodable input. */
+  def decode_wineventlog(xml: Column): Column =
+    ExpressionUtils.column(DecodeWinEventLog(ExpressionUtils.expression(xml)))
+
   /** registered_domain (processors/registered_domain): eTLD+1 via the Public
     * Suffix List algorithm over a plan-time-compiled rule set; NULL for
     * malformed domains and for domains that ARE a public suffix. */

@@ -107,6 +107,40 @@ object Actions {
       d.withColumn(name, try_element_at(col(arrCol), lit(idx + 1))) // reference is 0-based
     }
 
+  /** decode_xml_wineventlog (x-pack processor, decode_xml_wineventlog/
+    * processor.go:90-131): decode Windows-event XML in `field` into a typed
+    * winlog struct at `target`, and — `map_ecs_fields`, reference default
+    * true — project the ECS companion columns `fields()` derives
+    * (processor.go:138-156). The ECS projection is pure declarative column
+    * reuse of the one decode (Catalyst CSE keeps it a single kernel call);
+    * `message` keeps the reference's AddOptional + overwrite_keys semantics:
+    * the rendered message wins only when present. Undecodable XML → NULL
+    * struct (ignore_failure → dead-letter routing, like every decode here). */
+  def decodeXmlWineventlog(df: DataFrame, field: String, target: String = "winlog",
+                           mapEcsFields: Boolean = true): DataFrame = {
+    val decoded = df.withColumn(target, graft.functions.decode_wineventlog(col(field)))
+    if (!mapEcsFields) decoded
+    else {
+      // ecs carries "message" only when the rendered message is non-empty,
+      // and overwrite_keys writes only present keys — so an absent rendering
+      // keeps the prior message column (even when it was the decode input)
+      val msg =
+        if (df.columns.contains("message"))
+          coalesce(col(s"$target.message"), col("message"))
+        else col(s"$target.message")
+      decoded
+        .withColumn("event_code", col(s"$target.event_id"))
+        .withColumn("event_kind", lit("event"))
+        .withColumn("event_provider", col(s"$target.provider_name"))
+        .withColumn("event_action", col(s"$target.task"))
+        .withColumn("host_name", col(s"$target.computer_name"))
+        .withColumn("event_outcome", col(s"$target.outcome"))
+        .withColumn("log_level", col(s"$target.level"))
+        .withColumn("message", msg)
+        .withColumn("error_code", col(s"$target.error_code"))
+    }
+  }
+
   /** extract_field (deprecated, actions/extract_field.go:75-109): split a
     * field on a separator and take the index'th part; missing index → null
     * (the reference errors per event and leaves the field absent). */

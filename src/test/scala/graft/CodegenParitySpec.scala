@@ -103,4 +103,21 @@ class CodegenParitySpec extends SparkSpec {
       lines.select(ngram_char_fracs(col("t"), 2).as("r"))
     }
   }
+
+  test("round-4 parser: decode_wineventlog") {
+    lazy val events = Seq(
+      "<Event><System><Provider Name='P' Guid='{g}'/><EventID>7</EventID>" +
+        "<Level>2</Level><Task>0</Task><Opcode>1</Opcode>" +
+        "<Keywords>0x8020000000000000</Keywords>" +
+        "<TimeCreated SystemTime='2021-03-23T09:56:13.137310000Z'/>" +
+        "<EventRecordID>42</EventRecordID><Execution ProcessID='9' ThreadID='8'/>" +
+        "<Channel>Sec</Channel><Computer>host</Computer></System>" +
+        "<EventData><Data Name='K'>v1</Data><Data>v2</Data></EventData></Event>",
+      "<Event><System><Level>abc</Level></System></Event>", // decode error → NULL
+      "not xml", ""
+    ).toDF("t")
+    check("decode_wineventlog") {
+      events.select(decode_wineventlog(col("t")).as("r"))
+    }
+  }
 }

@@ -73,6 +73,15 @@ class PlanSpec extends SparkSpec {
       s"kernel must be evaluated once:\n$p2")
     assert(p2.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"repetition should scan 2 columns:\n$p2")
+    // wineventlog decode + ECS projection: still one kernel evaluation (the
+    // ECS columns are struct-field reuse, collapsed by collapse-project/CSE)
+    val p3 = graft.operators.Actions.decodeXmlWineventlog(input, "text")
+      .select(col("winlog.event_id"), col("event_code"), col("log_level"),
+        col("host_name"))
+      .queryExecution.executedPlan.toString
+    assert(!p3.contains("Exchange"), s"wineventlog decode must not shuffle:\n$p3")
+    assert("decode_wineventlog".r.findAllIn(p3).size == 1,
+      s"decode_wineventlog must be evaluated once:\n$p3")
   }
 
   test("route-only metrics plan prunes parse down to the status fast path") {

@@ -218,6 +218,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  private val xmlish: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    parts <- Gen.listOfN(n, Gen.oneOf(
+      Gen.const("<Event>"), Gen.const("</Event>"), Gen.const("<System>"),
+      Gen.const("</System>"), Gen.const("<EventID>"), Gen.const("</EventID>"),
+      Gen.const("<Level>"), Gen.const("</Level>"), Gen.const("<Keywords>0x"),
+      Gen.const("</Keywords>"), Gen.const("<Data Name='k'>"), Gen.const("</Data>"),
+      Gen.const("<EventData>"), Gen.const("</EventData>"), Gen.const("<UserData>"),
+      Gen.const("<"), Gen.const(">"), Gen.const("'"), Gen.const("&"),
+      Gen.numStr.map(_.take(4)), Gen.alphaNumStr.map(_.take(6))))
+  } yield parts.mkString
+
+  test("decode_wineventlog is total and deterministic on arbitrary input") {
+    import graft.functions.{DecodeWinEventLog, WinEventLogKernel}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = DecodeWinEventLog(Literal("x"))
+    forAll(Gen.oneOf(anyString, xmlish)) { s =>
+      val u = UTF8String.fromString(s)
+      val r = e.evalInput(u) // must not throw
+      assert(render(r, WinEventLogKernel.schema) ==
+        render(e.evalInput(u), WinEventLogKernel.schema))
+      // invariant: a non-null struct always carries event_id (fmt.Sprint)
+      if (r != null) assert(!r.isNullAt(1))
+    }
+  }
+
   test("ngram_char_fracs is total, deterministic, non-negative") {
     import graft.functions.RepetitionKernel
     forAll(Gen.zip(Gen.oneOf(anyString, loggy), Gen.choose(1, 5))) { case (s, n) =>
