@@ -140,6 +140,11 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       graft.textops.TextOps.dedupExact(docs(s, dir))),
 
+    // --- exact substring-duplication spans (Lee et al. ExactSubstr at
+    //     window granularity): per-document duplicated-token profile ---
+    "q_dedup_substring" -> ((s, dir) =>
+      graft.dedup.Dedup.substringDupSpans(docs(s, dir), w = 8)),
+
     "q_dedup_jaccard" -> ((s, dir) =>
       graft.dedup.Dedup.jaccardPairs(docs(s, dir), 80)),
 
@@ -781,6 +786,54 @@ object SparkEntry {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         | min(doc_id) AS keep_id, count(*) AS n_dupes
         | FROM documents GROUP BY 1""".stripMargin,
+
+    // substring spans: the oracle groups on the window STRING itself (the
+    // Spark path shuffles an xxhash64 fingerprint of the same window — a
+    // 64-bit collision is the only way the two can diverge), then mirrors
+    // the gaps-and-islands merge with window functions.
+    "q_dedup_substring" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS INTEGER) AS n_tok FROM tok
+        |), wins AS (
+        |  SELECT doc_id, u.pos AS pos, u.win AS win FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 7),
+        |      i -> {'pos': i, 'win': array_to_string(toks[i:i+7], ' ')})) AS u
+        |    FROM tk WHERE len(toks) >= 8)
+        |), dup AS (
+        |  SELECT win FROM wins GROUP BY win HAVING count(*) >= 2
+        |), d AS (
+        |  SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (win)
+        |), marks AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |         THEN 0 ELSE 1 END AS ni
+        |  FROM d
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island_id
+        |  FROM marks
+        |), spans AS (
+        |  SELECT doc_id, island_id, min(pos) AS s, max(pos) + 8 AS e
+        |  FROM isl GROUP BY 1, 2
+        |), per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(e - s) AS BIGINT) AS cov
+        |  FROM spans GROUP BY 1
+        |), nd AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM d GROUP BY 1
+        |)
+        | SELECT t.doc_id, t.n_tok,
+        |  CAST(coalesce(nd.n_dup, 0) AS BIGINT) AS n_dup,
+        |  CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(per.cov, 0) AS BIGINT) AS cov,
+        |  CAST(coalesce(per.cov, 0) AS DOUBLE) / t.n_tok AS dup_frac
+        | FROM tk t
+        | LEFT JOIN per ON t.doc_id = per.doc_id
+        | LEFT JOIN nd ON t.doc_id = nd.doc_id""".stripMargin,
 
     "q_dedup_jaccard" ->
       (OracleCte.jaccardPairs + " SELECT * FROM jpairs"),

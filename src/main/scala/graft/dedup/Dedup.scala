@@ -329,6 +329,65 @@ object Dedup {
       .withColumn("kept", col("stage") === "kept")
   }
 
+  /** Exact substring-duplication spans — the distributed shape of Lee et
+    * al. 2022's ExactSubstr dedup ("Deduplicating Training Data Makes
+    * Language Models Better"), at fixed window granularity: every length-`w`
+    * token window of every document is fingerprinted; a window whose
+    * fingerprint occurs ≥ `minCount` times ANYWHERE in the corpus (across
+    * documents or repeated inside one) marks a duplicated span. Adjacent /
+    * overlapping duplicated windows are merged into maximal spans
+    * (gaps-and-islands over window start positions, gap ≤ `w`), and each
+    * document gets its duplication profile:
+    * `(doc_id, n_tok, n_dup, n_spans, cov, dup_frac)` where `cov` is the
+    * token count covered by merged spans. The true suffix-array formulation
+    * finds arbitrary-length repeats; fixed-stride windows are the standard
+    * distributed approximation (a repeat of length L ≥ w yields L−w+1
+    * duplicated windows and is recovered exactly by the merge; repeats
+    * shorter than w are below the dedup threshold by definition).
+    *
+    * 100 TB posture: the only wide stages are (1) the window-fingerprint
+    * count — map-side-combinable groupBy on an 8-byte xxhash64 key, never
+    * the window text — and (2) the join-back of the ≥minCount fingerprint
+    * set, co-partitioned on the same key. The per-document island merge
+    * shuffles only (doc_id, pos) pairs of DUPLICATED windows (post-filter,
+    * a small fraction of the corpus) and is bounded per key by document
+    * length, like every other per-doc ordered fold here. */
+  def substringDupSpans(docs: DataFrame, w: Int = 8, minCount: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextOps.tokens(TextOps.normalized(col("text")))
+    val base = docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tok"))
+    // windows: (doc_id, pos, h); pos is the 1-based first-token index.
+    // sequence() is not emitted for n_tok < w (Spark's sequence(1, 0) would
+    // DESCEND) — short docs simply contribute no windows.
+    val wins = base.where(col("n_tok") >= w)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), col("n_tok") - (w - 1)),
+          i => struct(i.as("pos"),
+            xxhash64(array_join(slice(col("toks"), i, lit(w)), " ")).as("h")))).as("pw"))
+      .select(col("doc_id"), col("pw.pos").as("pos"), col("pw.h").as("h"))
+    val dupHashes = wins.groupBy("h").count()
+      .where(col("count") >= minCount).select("h")
+    val dups = wins.join(dupHashes, Seq("h")).select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = dups
+      .withColumn("new_island",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= w, 0).otherwise(1))
+      .withColumn("island_id", sum("new_island").over(byDoc))
+    val spans = islands.groupBy("doc_id", "island_id")
+      .agg(min("pos").as("s"), (max("pos") + w).as("e"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).as("cov"))
+      .join(dups.groupBy("doc_id").agg(count(lit(1)).as("n_dup")), Seq("doc_id"))
+    base.select("doc_id", "n_tok")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("cov"), lit(0L)).as("cov"),
+        (coalesce(col("cov"), lit(0L)) / col("n_tok")).as("dup_frac"))
+  }
+
   /** Family 4 — embedding cosine near-dup (brute force with id ordering;
     * the bucketed scale path is [[embeddingPairsLsh]]). */
   def embeddingPairs(embeds: DataFrame, tau: Double): DataFrame = {

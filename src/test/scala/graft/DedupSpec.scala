@@ -18,6 +18,44 @@ class DedupSpec extends SparkSpec {
   private def pairSet(df: DataFrame): Set[(Long, Long, Int, Int)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
 
+  test("substring spans: an exact L-token repeat merges to ONE span of coverage L") {
+    import spark.implicits._
+    // doc 1 and doc 2 share an exact 12-token run inside otherwise-unique
+    // text; doc 3 repeats a 9-token run INSIDE itself; doc 4 is clean.
+    val rep = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val self = (1 to 9).map(i => s"loop$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"alpha beta gamma $rep delta epsilon"),
+      (2L, s"one two three four five $rep six seven"),
+      (3L, s"head $self middle $self tail"),
+      (4L, "totally unique words with no repeats anywhere at all here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupSpans(corpus, w = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // L=12, w=8 → L-w+1 = 5 dup windows, one island, coverage 12
+    assert(out(1L) == (17, 5L, 1L, 12L))
+    assert(out(2L) == (19, 5L, 1L, 12L))
+    // the 9-token self-repeat: 2 dup windows per occurrence, 2 islands, 9+9
+    assert(out(3L) == (21, 4L, 2L, 18L))
+    assert(out(4L)._2 == 0L && out(4L)._3 == 0L && out(4L)._4 == 0L)
+    // dup_frac of the clean doc is exactly 0
+    val clean = Dedup.substringDupSpans(corpus, w = 8)
+      .where(col("doc_id") === 4L).select("dup_frac").head().getDouble(0)
+    assert(clean == 0.0)
+  }
+
+  test("substring spans: repeats shorter than w are invisible; touching islands merge") {
+    import spark.implicits._
+    val short = (1 to 7).map(i => s"s$i").mkString(" ") // 7 < w=8
+    val corpus = Seq(
+      (1L, s"a b c $short d e f g h"),
+      (2L, s"x y z $short p q r s t")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupSpans(corpus, w = 8).collect()
+    assert(out.forall(_.getLong(2) == 0L), "a 7-token repeat must produce no dup windows")
+  }
+
   test("brute-force jaccard pairs find the planted near-dups and nothing else") {
     val pairs = Dedup.jaccardPairs(docs, 80).collect()
     assert(pairs.length > 5 && pairs.length < 100,
