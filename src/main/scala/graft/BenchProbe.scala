@@ -92,13 +92,17 @@ object BenchProbe {
       // each kernel with zero line-construction cost inside the timed pass.
       val sysPath = s"/tmp/graft_probe_syslog_$rows"
       val cefPath = s"/tmp/graft_probe_cef_$rows"
+      val winPath = s"/tmp/graft_probe_winevt_$rows"
       if (!new java.io.File(s"$sysPath/_SUCCESS").exists() ||
-          !new java.io.File(s"$cefPath/_SUCCESS").exists()) {
+          !new java.io.File(s"$cefPath/_SUCCESS").exists() ||
+          !new java.io.File(s"$winPath/_SUCCESS").exists()) {
         val s = session(32)
         s.read.parquet(path).select(SparkEntry.syslogLine.as("line"))
           .write.mode("overwrite").parquet(sysPath)
         s.read.parquet(path).select(SparkEntry.cefLine.as("line"))
           .write.mode("overwrite").parquet(cefPath)
+        s.read.parquet(path).select(SparkEntry.winevtXml.as("line"))
+          .write.mode("overwrite").parquet(winPath)
         s.stop()
       }
       for ((name, p, agg) <- Seq(
@@ -111,6 +115,11 @@ object BenchProbe {
           val x = d.withColumn("_c", graft.functions.decode_cef(col("line")))
           x.agg(count(col("_c.device_vendor")), count(col("_c.extensions")),
             count(col("_c.errors"))).collect()
+        }),
+        ("decode_wineventlog", winPath, (d: org.apache.spark.sql.DataFrame) => {
+          val x = d.withColumn("_w", graft.functions.decode_wineventlog(col("line")))
+          x.agg(count(col("_w.event_id")), count(col("_w.level")),
+            count(col("_w.event_data")), sum(col("_w.record_id"))).collect()
         }))) {
         val walls = scala.collection.mutable.Map(8 -> Double.MaxValue, 32 -> Double.MaxValue)
         for (round <- 0 until 3; cpus <- Seq(32, 8)) {

@@ -74,6 +74,38 @@ object SparkEntry {
       .otherwise(concat(lit("raw "), col("conv_id")))
   }
 
+  /** deterministic 9-variant Windows-event XML (plain System enrichment /
+    * RenderingInfo override / EventData pairs / malformed), shared by
+    * q_decode_wineventlog and the parser throughput probe. */
+  private[graft] def winevtXml: Column = {
+    val v = col("turn_idx") % 9
+    val eid = (col("turn_idx") % 10 + 4600).cast("string")
+    val kwHex = when(col("turn_idx") % 3 === 0, lit("0x8020000000000000"))
+      .when(col("turn_idx") % 3 === 1, lit("0x8010000000000000"))
+      .otherwise(lit("0x80000000000000"))
+    val sys = concat(
+      lit("<System><Provider Name='Prov' Guid='{g-1}'/><EventID>"), eid,
+      lit("</EventID><Level>"), (col("turn_idx") % 8).cast("string"),
+      lit("</Level><Task>0</Task><Opcode>"), (col("turn_idx") % 4).cast("string"),
+      lit("</Opcode><Keywords>"), kwHex,
+      lit("</Keywords><TimeCreated SystemTime='2021-03-23T09:56:13.137310000Z'/>" +
+        "<EventRecordID>"), (col("turn_idx") + 1).cast("string"),
+      lit("</EventRecordID><Execution ProcessID='"),
+      (col("turn_idx") % 100 + 1).cast("string"),
+      lit("' ThreadID='7'/><Channel>Security</Channel><Computer>host-"),
+      col("conv_id"), lit("</Computer></System>"))
+    val tail = when(v === 1, concat(
+        lit("<RenderingInfo><Message>ok "), col("role"),
+        lit("\n</Message><Level>Custom</Level><Task>T1</Task><Opcode>OpX</Opcode>" +
+          "<Keywords><Keyword>RK</Keyword></Keywords></RenderingInfo>")))
+      .when(v === 2, concat(
+        lit("<EventData><Data Name='Role'>"), col("role"), lit("</Data><Data>"),
+        col("tool"), lit("</Data></EventData>")))
+      .otherwise(lit(""))
+    when(v === 0, lit("<Event><broken>"))
+      .otherwise(concat(lit("<Event>"), sys, tail, lit("</Event>")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- transcripts derivation (the shared input table) ---
     "q_transcripts" -> ((s, dir) => t(s, dir)),
@@ -308,33 +340,7 @@ object SparkEntry {
     //     EventData Name/paramN pairs) plus the malformed-XML NULL path ---
     "q_decode_wineventlog" -> ((s, dir) => {
       val base = t(s, dir)
-      val v = col("turn_idx") % 9
-      val eid = (col("turn_idx") % 10 + 4600).cast("string")
-      val kwHex = when(col("turn_idx") % 3 === 0, lit("0x8020000000000000"))
-        .when(col("turn_idx") % 3 === 1, lit("0x8010000000000000"))
-        .otherwise(lit("0x80000000000000"))
-      val sys = concat(
-        lit("<System><Provider Name='Prov' Guid='{g-1}'/><EventID>"), eid,
-        lit("</EventID><Level>"), (col("turn_idx") % 8).cast("string"),
-        lit("</Level><Task>0</Task><Opcode>"), (col("turn_idx") % 4).cast("string"),
-        lit("</Opcode><Keywords>"), kwHex,
-        lit("</Keywords><TimeCreated SystemTime='2021-03-23T09:56:13.137310000Z'/>" +
-          "<EventRecordID>"), (col("turn_idx") + 1).cast("string"),
-        lit("</EventRecordID><Execution ProcessID='"),
-        (col("turn_idx") % 100 + 1).cast("string"),
-        lit("' ThreadID='7'/><Channel>Security</Channel><Computer>host-"),
-        col("conv_id"), lit("</Computer></System>"))
-      val tail = when(v === 1, concat(
-          lit("<RenderingInfo><Message>ok "), col("role"),
-          lit("\n</Message><Level>Custom</Level><Task>T1</Task><Opcode>OpX</Opcode>" +
-            "<Keywords><Keyword>RK</Keyword></Keywords></RenderingInfo>")))
-        .when(v === 2, concat(
-          lit("<EventData><Data Name='Role'>"), col("role"), lit("</Data><Data>"),
-          col("tool"), lit("</Data></EventData>")))
-        .otherwise(lit(""))
-      val xml = when(v === 0, lit("<Event><broken>"))
-        .otherwise(concat(lit("<Event>"), sys, tail, lit("</Event>")))
-      base.withColumn("w", graft.functions.decode_wineventlog(xml)).select(
+      base.withColumn("w", graft.functions.decode_wineventlog(winevtXml)).select(
         col("conv_id"), col("turn_idx"),
         col("w.event_id").as("eid"),
         col("w.level").as("lvl"),

@@ -171,4 +171,23 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("substring-span plan shuffles only scalar keys — never window text or token arrays") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exchanges =
+      try graft.dedup.Dedup.substringDupSpans(docs, w = 8).queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e.output.map(a => (a.name, a.dataType.simpleString)) }
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { cols =>
+      cols.foreach { case (name, tpe) =>
+        assert(name != "text" && name != "win" && name != "toks",
+          s"window text / tokens cross a shuffle: $cols")
+        assert(!tpe.startsWith("array<"), s"an array crosses a shuffle: $cols")
+        assert(tpe != "string" || name == "doc_id",
+          s"a string column crosses a shuffle: $cols")
+      }
+    }
+  }
 }

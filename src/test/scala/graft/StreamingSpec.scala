@@ -90,6 +90,33 @@ class StreamingSpec extends SparkSpec {
     assert(versionsAfter == versionsBefore, "replayed batches must not commit new snapshots")
   }
 
+  test("the parser kernels run unchanged in streaming and match batch outputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[graft.model.TranscriptEvent]
+    val events = input.limit(300).as[graft.model.TranscriptEvent].collect().toSeq
+    mem.addData(events)
+    // the whole parse family is stateless per-row Catalyst expressions, so
+    // the SAME columns work over readStream — this pins that no parser
+    // accidentally grows a batch-only dependency (window, collect, etc.)
+    def parsed(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("sy", graft.functions.parse_syslog(SparkEntry.syslogLine, "auto", 2024, 0))
+      .withColumn("cf", graft.functions.decode_cef(SparkEntry.cefLine))
+      .withColumn("we", graft.functions.decode_wineventlog(SparkEntry.winevtXml))
+      .select(col("conv_id"), col("turn_idx"), col("sy.format"),
+        col("sy.severity"), col("cf.name"), col("cf.severity").as("cef_sev"),
+        col("we.event_id"), col("we.level"), col("we.outcome"))
+    val q = parsed(mem.toDS().toDF()).writeStream.format("memory")
+      .queryName("parsed_stream").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(30000)
+    q.stop()
+    val got = spark.table("parsed_stream").collect().map(_.toString).sorted.toSeq
+    val want = parsed(events.toDS().toDF()).collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("convOffsets tracks per-conv high-water marks") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
