@@ -93,16 +93,18 @@ object BenchProbe {
       val sysPath = s"/tmp/graft_probe_syslog_$rows"
       val cefPath = s"/tmp/graft_probe_cef_$rows"
       val winPath = s"/tmp/graft_probe_winevt_$rows"
-      if (!new java.io.File(s"$sysPath/_SUCCESS").exists() ||
-          !new java.io.File(s"$cefPath/_SUCCESS").exists() ||
-          !new java.io.File(s"$winPath/_SUCCESS").exists()) {
+      val builders = Seq(
+        sysPath -> (() => SparkEntry.syslogLine),
+        cefPath -> (() => SparkEntry.cefLine),
+        winPath -> (() => SparkEntry.winevtXml))
+      val missing = builders.filterNot { case (p, _) =>
+        new java.io.File(s"$p/_SUCCESS").exists()
+      }
+      if (missing.nonEmpty) { // regenerate only the absent caches
         val s = session(32)
-        s.read.parquet(path).select(SparkEntry.syslogLine.as("line"))
-          .write.mode("overwrite").parquet(sysPath)
-        s.read.parquet(path).select(SparkEntry.cefLine.as("line"))
-          .write.mode("overwrite").parquet(cefPath)
-        s.read.parquet(path).select(SparkEntry.winevtXml.as("line"))
-          .write.mode("overwrite").parquet(winPath)
+        for ((p, line) <- missing)
+          s.read.parquet(path).select(line().as("line"))
+            .write.mode("overwrite").parquet(p)
         s.stop()
       }
       for ((name, p, agg) <- Seq(

@@ -113,29 +113,51 @@ object WinEventLogKernel {
   }
 
   /** Go strconv.ParseUint(s, base, bits); throws DecodeError like a failed
-    * xml unmarshal. base 0 = Go auto: 0x/0X hex, leading-0 octal, decimal. */
+    * xml unmarshal. base 0 = Go auto: 0x/0X hex, 0b/0B binary, 0o/0O or
+    * bare-leading-0 octal, decimal, with Go 1.13 underscore separators
+    * (between digits / after the prefix, base-0 mode only). Overflow past
+    * uint64 or past `max` is ErrRange → decode failure, like Go. */
   private def parseUint(raw: String, base: Int, max: Long): Long = {
     val s = raw.trim // encoding/xml copyValue trims space around numerics
     if (s.isEmpty) throw DecodeError
-    var (b, i) = base match {
-      case 0 =>
-        if (s.length > 1 && s.charAt(0) == '0' &&
-            (s.charAt(1) == 'x' || s.charAt(1) == 'X')) (16, 2)
-        else if (s.length > 1 && s.charAt(0) == '0') (8, 1)
-        else (10, 0)
-      case b0 => (b0, 0)
+    val auto = base == 0
+    var b = base
+    var i = 0
+    if (auto) {
+      if (s.length > 1 && s.charAt(0) == '0') {
+        s.charAt(1) match {
+          case 'x' | 'X' => b = 16; i = 2
+          case 'b' | 'B' => b = 2; i = 2
+          case 'o' | 'O' => b = 8; i = 2
+          case _         => b = 8; i = 1
+        }
+      } else b = 10
     }
+    // Go allows one '_' after the prefix (e.g. 0x_1f) in base-0 mode
+    if (auto && i > 0 && i < s.length && s.charAt(i) == '_') i += 1
     if (i >= s.length) throw DecodeError
+    val cutoff = java.lang.Long.divideUnsigned(-1L, b) // maxUint64 / base
     var acc = 0L
+    var lastWasDigit = false
     while (i < s.length) {
       val c = s.charAt(i)
-      val d =
-        if (c >= '0' && c <= '9') c - '0'
-        else if (c >= 'a' && c <= 'f') c - 'a' + 10
-        else if (c >= 'A' && c <= 'F') c - 'A' + 10
-        else throw DecodeError
-      if (d >= b) throw DecodeError
-      acc = acc * b + d // uint64 wrap semantics are irrelevant below 2^63 use
+      if (c == '_') {
+        // separator: base-0 mode only, between digits
+        if (!auto || !lastWasDigit || i + 1 >= s.length) throw DecodeError
+        lastWasDigit = false
+      } else {
+        val d =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else throw DecodeError
+        if (d >= b) throw DecodeError
+        if (java.lang.Long.compareUnsigned(acc, cutoff) > 0) throw DecodeError
+        acc = acc * b
+        if (java.lang.Long.compareUnsigned(acc + d, acc) < 0) throw DecodeError
+        acc = acc + d
+        lastWasDigit = true
+      }
       i += 1
     }
     if (max > 0 && java.lang.Long.compareUnsigned(acc, max) > 0) throw DecodeError
@@ -168,6 +190,7 @@ object WinEventLogKernel {
   }
 
   private def child(e: org.w3c.dom.Element, name: String): org.w3c.dom.Element = {
+    if (e == null) return null // absent parent ⇒ absent child (zero-valued Go struct)
     val it = children(e)
     while (it.hasNext) { val c = it.next(); if (localName(c) == name) return c }
     null
@@ -243,6 +266,11 @@ object WinEventLogKernel {
 
     val eventId = {
       val e = sysOrNull("EventID")
+      // Qualifiers is a uint16 attr in the reference struct (event.go:188):
+      // present-but-malformed fails the whole Go decode, though its value is
+      // never emitted by Fields() — validate-and-discard mirrors that.
+      if (e != null && e.hasAttribute("Qualifiers"))
+        parseUint(e.getAttribute("Qualifiers"), 10, 0xFFFFL)
       if (e == null) 0L else parseUint(text(e), 10, 0xFFFFFFFFL)
     }
     val version = {

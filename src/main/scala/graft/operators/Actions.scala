@@ -130,7 +130,9 @@ object Actions {
         else col(s"$target.message")
       decoded
         .withColumn("event_code", col(s"$target.event_id"))
-        .withColumn("event_kind", lit("event"))
+        // the reference returns before writing ANY ecs field when the decode
+        // errors (processor.go:113-115) — a failed row carries no event.kind
+        .withColumn("event_kind", when(col(target).isNotNull, lit("event")))
         .withColumn("event_provider", col(s"$target.provider_name"))
         .withColumn("event_action", col(s"$target.task"))
         .withColumn("host_name", col(s"$target.computer_name"))

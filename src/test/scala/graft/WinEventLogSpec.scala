@@ -203,6 +203,43 @@ class WinEventLogSpec extends SparkSpec {
     assert(str(r, "channel") == "Ch")
   }
 
+  test("an Event with no System decodes as the zero-valued Go struct") {
+    // Go unmarshals <Event/> without error: ID 0, LevelRaw 0, TaskRaw 0 →
+    // enrichment still yields information/None
+    for (xml <- Seq("<Event></Event>", "<Event/>", "<Event><Other/></Event>")) {
+      val r = parse(xml)
+      assert(r != null, xml)
+      assert(str(r, "event_id") == "0")
+      assert(str(r, "level") == "information") // Levels[0]
+      assert(str(r, "task") == "None")         // Tasks[0]
+      assert(r.isNullAt(I("keywords")) && r.isNullAt(I("opcode")))
+    }
+  }
+
+  test("parseUint parity: uint64 overflow fails, Go prefixes and separators accepted") {
+    // > 2^64 → ErrRange in Go → whole decode fails
+    assert(parse(sysEvent("<Keywords>0x11111111111111111</Keywords>")) == null)
+    assert(parse(sysEvent("<EventID>4294967296</EventID>")) == null) // > uint32
+    val ok = parse(sysEvent("<EventID>4294967295</EventID>"))
+    assert(str(ok, "event_id") == "4294967295")
+    // Go 1.13 base-0 forms: 0b binary, 0o octal, underscore separators
+    val bin = parse(sysEvent("<Keywords>0b101</Keywords>"))
+    assert(bin != null && bin.isNullAt(I("keywords"))) // bits not in winmeta
+    val oct = parse(sysEvent("<Keywords>0o17</Keywords>"))
+    assert(oct != null)
+    val sep = parse(sysEvent("<Keywords>0x_20_000000000000</Keywords>"))
+    assert(keywords(sep) == Seq("Audit Success"))
+    // malformed separators still fail
+    assert(parse(sysEvent("<Keywords>1__0</Keywords>")) == null)
+    assert(parse(sysEvent("<Keywords>10_</Keywords>")) == null)
+  }
+
+  test("a malformed EventID Qualifiers attribute fails the decode like Go") {
+    assert(parse(sysEvent("<EventID Qualifiers='abc'>7</EventID>")) == null)
+    val r = parse(sysEvent("<EventID Qualifiers='16384'>7</EventID>"))
+    assert(str(r, "event_id") == "7") // valid Qualifiers parsed and discarded
+  }
+
   test("security SID, correlation, execution etl attrs") {
     val r = parse(sysEvent(
       "<Security UserID='S-1-5-18'/>" +
@@ -255,9 +292,12 @@ class WinEventLogSpec extends SparkSpec {
     assert(ok.getAs[String]("event_outcome") == "success")
     assert(ok.getAs[String]("log_level") == "information")
     assert(ok.getAs[String]("message").startsWith("Special privileges"))
-    // undecodable row: NULL struct, ECS nulls, original message retained
+    // undecodable row: NULL struct, ECS nulls, original message retained;
+    // the reference writes NO ecs field on a failed decode — including kind
     assert(bad.getAs[org.apache.spark.sql.Row]("winlog") == null)
     assert(bad.getAs[String]("event_code") == null)
+    assert(bad.getAs[String]("event_kind") == null)
+    assert(ok.getAs[String]("event_kind") == "event")
     assert(bad.getAs[String]("message") == "garbage")
   }
 }
