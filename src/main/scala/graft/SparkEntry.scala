@@ -358,6 +358,29 @@ object SparkEntry {
         col("w.process_pid").as("pid"))
     }),
 
+    // --- container input read pipeline: docker-JSON + CRI lines (format
+    //     per conversation), P/F partial runs of three joined into whole
+    //     messages, first-piece identity, unterminated tails dropped ---
+    "q_container" -> ((s, dir) => {
+      val base = t(s, dir)
+      val cid = substring(col("conv_id"), 6, 10).cast("int")
+      val isDocker = cid % 2 === 0
+      val strm = when(col("turn_idx") % 7 === 0, lit("stderr")).otherwise(lit("stdout"))
+      val full = col("turn_idx") % 3 === 2
+      val piece = concat(lit("p"), col("turn_idx").cast("string"), lit("_"), col("role"))
+      val dockerLine = concat(lit("{\"log\":\""), piece,
+        when(full, lit("\\n")).otherwise(lit("")),
+        lit("\",\"stream\":\""), strm,
+        lit("\",\"time\":\"2024-01-01T10:00:00.123456789Z\"}"))
+      val criLine = concat(lit("2024-01-01T10:00:00.123456789Z "), strm,
+        when(full, lit(" F ")).otherwise(lit(" P ")), piece)
+      val lines = base.withColumn("line", when(isDocker, dockerLine).otherwise(criLine))
+      graft.operators.Container.assemble(lines, "conv_id", "turn_idx", "line")
+        .select(col("conv_id"), col("first_turn_idx").as("first_turn"),
+          col("format"), unix_micros(col("ts")).as("ts_us"), col("stream"),
+          col("message"), col("n_pieces"))
+    }),
+
     // --- registered_domain: PSL eTLD+1 over synthesized domains covering
     //     exact, multi-label, private, wildcard, exception, and default
     //     rules plus the bare-suffix NULL case ---
@@ -1090,6 +1113,36 @@ object SparkEntry {
           |  CASE WHEN turn_idx % 9 = 0 THEN NULL
           |       ELSE CAST(turn_idx % 100 + 1 AS BIGINT) END AS pid
           | FROM transcripts""".stripMargin),
+
+    // container assembly: groups are the %3 runs by construction (P,P,F),
+    // so the oracle predicts each message closed-form; docker messages end
+    // with the real newline the full piece carries, CRI ones do not.
+    "q_container" ->
+      (OracleCte.transcripts +
+        """, g AS (
+          |  SELECT conv_id,
+          |    CAST(substr(conv_id, 6) AS INTEGER) % 2 AS fmtbit,
+          |    turn_idx // 3 AS grp, turn_idx,
+          |    CASE WHEN turn_idx % 7 = 0 THEN 'stderr' ELSE 'stdout' END AS stream,
+          |    'p' || CAST(turn_idx AS VARCHAR) || '_' || role AS piece
+          |  FROM transcripts
+          |), full_g AS (
+          |  SELECT conv_id, grp FROM g GROUP BY conv_id, grp HAVING count(*) = 3
+          |), agg AS (
+          |  SELECT g.conv_id, g.grp,
+          |    any_value(fmtbit) AS fmtbit,
+          |    min(turn_idx) AS first_turn,
+          |    string_agg(piece, '' ORDER BY turn_idx) AS body,
+          |    min(CASE WHEN turn_idx % 3 = 0 THEN stream END) AS stream0
+          |  FROM g JOIN full_g USING (conv_id, grp) GROUP BY 1, 2
+          |)
+          | SELECT conv_id, first_turn,
+          |  CASE WHEN fmtbit = 0 THEN 'docker' ELSE 'cri' END AS format,
+          |  epoch_us(TIMESTAMP '2024-01-01 10:00:00.123456') AS ts_us,
+          |  stream0 AS stream,
+          |  body || CASE WHEN fmtbit = 0 THEN chr(10) ELSE '' END AS message,
+          |  CAST(3 AS BIGINT) AS n_pieces
+          | FROM agg""".stripMargin),
 
     "q_registered_domain" ->
       """WITH d AS (

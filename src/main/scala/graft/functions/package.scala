@@ -230,6 +230,12 @@ package object functions {
   def decode_xml_map(xml: Column, toLower: Boolean = false): Column =
     ExpressionUtils.column(XmlToMap(ExpressionUtils.expression(xml), toLower))
 
+  /** container-log line decode (reader/readjson/docker_json.go): docker
+    * JSON / CRI / auto per line → typed struct; undecodable → valid=false. */
+  def container_line(line: Column, format: String = "auto",
+                     criFlags: Boolean = true): Column =
+    ExpressionUtils.column(ContainerLine(ExpressionUtils.expression(line), format, criFlags))
+
   /** decode_xml_wineventlog (x-pack winlogbeat projection, processors/
     * decode_xml_wineventlog + winlogbeat/sys/winevent/event.go:93-155):
     * Windows-event XML → typed `winlog` struct; NULL on undecodable input. */
