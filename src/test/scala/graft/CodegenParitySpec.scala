@@ -104,6 +104,23 @@ class CodegenParitySpec extends SparkSpec {
     }
   }
 
+  test("round-4 parser: container_line") {
+    lazy val lines = Seq(
+      """{"log":"full line\n","stream":"stdout","time":"2017-11-09T13:27:36.277747246Z"}""",
+      """{"log":"partial ","stream":"stderr","time":"2017-11-09T13:27:36Z","attrs":{"a":"1"}}""",
+      """{"log":"x\n","stream":"stdout"}""", // missing time → invalid
+      "2017-09-12T22:32:21.212861448Z stdout F a cri line",
+      "2017-09-12T22:32:21.212861448Z stderr P partial cri\n",
+      "neither json nor cri", ""
+    ).toDF("t")
+    check("container_line") {
+      lines.select(container_line(col("t")).as("r"))
+    }
+    check("container_line_cri_noflags") {
+      lines.select(container_line(col("t"), "cri", criFlags = false).as("r"))
+    }
+  }
+
   test("round-4 parser: decode_wineventlog") {
     lazy val events = Seq(
       "<Event><System><Provider Name='P' Guid='{g}'/><EventID>7</EventID>" +

@@ -244,6 +244,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  private val containerish: Gen[String] = for {
+    n <- Gen.choose(0, 10)
+    parts <- Gen.listOfN(n, Gen.oneOf(
+      Gen.const("""{"log":""""), Gen.const("""","stream":"stdout""""),
+      Gen.const("""","time":"2017-11-09T13:27:36Z"}"""), Gen.const("{"),
+      Gen.const("}"), Gen.const("2017-09-12T22:32:21.212861448Z "),
+      Gen.const("stdout "), Gen.const("P "), Gen.const("F "), Gen.const("P:B "),
+      Gen.const("\\n"), Gen.const("\n"), Gen.const(" "), Gen.const(":"),
+      Gen.alphaNumStr.map(_.take(6))))
+  } yield parts.mkString
+
+  test("container_line is total and deterministic on arbitrary input") {
+    import graft.functions.{ContainerKernel, ContainerLine}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val exprs = Seq(ContainerLine(Literal("x")),
+      ContainerLine(Literal("x"), "docker"),
+      ContainerLine(Literal("x"), "cri", criFlags = false))
+    forAll(Gen.oneOf(anyString, containerish)) { s =>
+      val u = UTF8String.fromString(s)
+      exprs.foreach { e =>
+        val r = e.evalInput(u) // must not throw
+        assert(render(r, ContainerKernel.schema) ==
+          render(e.evalInput(u), ContainerKernel.schema))
+        // invariant: a valid row always carries a timestamp and content
+        if (r.getBoolean(0)) {
+          assert(!r.isNullAt(2), s.take(60))
+          assert(!r.isNullAt(5), s.take(60))
+        }
+      }
+    }
+  }
+
   test("ngram_char_fracs is total, deterministic, non-negative") {
     import graft.functions.RepetitionKernel
     forAll(Gen.zip(Gen.oneOf(anyString, loggy), Gen.choose(1, 5))) { case (s, n) =>
