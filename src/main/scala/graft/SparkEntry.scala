@@ -197,6 +197,37 @@ object SparkEntry {
     "q_curation" -> ((s, dir) =>
       graft.dedup.Dedup.curate(docs(s, dir))),
 
+    // --- benchmark decontamination: a deterministic eval split (doc_id %
+    //     17 == 3) plays the benchmark corpus; 4-gram overlap marks leaks ---
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.textops.CorpusOps.decontaminate(
+        d.filter(col("doc_id") % 17 =!= 3),
+        d.filter(col("doc_id") % 17 === 3), n = 4)
+    }),
+
+    // --- PII redaction over deterministically-injected emails / IPv4s /
+    //     phone numbers (built closed-form from doc_id so the oracle
+    //     constructs the identical input) ---
+    "q_pii_redact" -> ((s, dir) =>
+      graft.textops.CorpusOps.redactPii(
+        docs(s, dir).select(col("doc_id"), when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id") % 50,
+            lit("@ex"), col("doc_id") % 7, lit(".org or 10."),
+            col("doc_id") % 256, lit("."), (col("doc_id") * 3) % 256,
+            lit("."), (col("doc_id") * 7) % 256, lit(" now")))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit(" call +1 555-0"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+              lit(" today")))
+          .otherwise(col("text")).as("text")))),
+
+    // --- corpus mixing: per-source epoch schedule (down-sample src0, 2.25
+    //     epochs of src1, drop src2, keep the rest) on the md5 coin ---
+    "q_sample_mix" -> ((s, dir) =>
+      graft.textops.CorpusOps.mixStrata(docs(s, dir), col("source"),
+        Map("src0" -> 0.5, "src1" -> 2.25, "src2" -> 0.0))),
+
     "q_dedup_embedding" -> ((s, dir) =>
       graft.dedup.Dedup.embeddingPairs(embeds(s, dir), 0.4)),
 
@@ -863,6 +894,82 @@ object SparkEntry {
         | FROM tk t
         | LEFT JOIN per ON t.doc_id = per.doc_id
         | LEFT JOIN nd ON t.doc_id = nd.doc_id""".stripMargin,
+
+    // decontamination: the oracle joins on the n-gram STRING itself (the
+    // Spark path broadcasts xxhash64 fingerprints of the same grams — a
+    // 64-bit collision is the only way the two can diverge)
+    "q_decontaminate" ->
+      """WITH nt AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents
+        |), wins AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS g
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS i
+        |        FROM nt WHERE len(toks) >= 4)
+        |), bg AS (
+        |  SELECT DISTINCT g FROM wins WHERE doc_id % 17 = 3
+        |), tg AS (
+        |  SELECT DISTINCT doc_id, g FROM wins WHERE doc_id % 17 <> 3
+        |), ng AS (
+        |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_grams FROM tg GROUP BY 1
+        |), h AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS hits
+        |  FROM tg JOIN bg USING (g) GROUP BY 1
+        |)
+        | SELECT t.doc_id, coalesce(ng.n_grams, 0) AS n_grams,
+        |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |  coalesce(h.hits, 0) >= 1 AS contaminated
+        | FROM (SELECT doc_id FROM nt WHERE doc_id % 17 <> 3) t
+        | LEFT JOIN ng USING (doc_id) LEFT JOIN h USING (doc_id)""".stripMargin,
+
+    // PII redaction: identical injected input built closed-form from
+    // doc_id, then the same three-stage regex cascade (the patterns live in
+    // the Java∩RE2 agreement subset — CorpusOps.EmailRe/Ipv4Re/PhoneRe)
+    "q_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || CAST(doc_id % 50 AS VARCHAR) || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org or 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 3) % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' now'
+        |         WHEN doc_id % 3 = 1 THEN text || ' call +1 555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' today'
+        |         ELSE text END AS t0
+        |  FROM documents
+        |), r1 AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+        |    regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM p
+        |), r2 AS (
+        |  SELECT doc_id, n_email,
+        |    CAST(len(regexp_extract_all(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INTEGER) AS n_ip,
+        |    regexp_replace(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM r1
+        |), r3 AS (
+        |  SELECT doc_id, n_email, n_ip,
+        |    CAST(len(regexp_extract_all(t2, '\+[0-9][0-9 \-]{6,14}[0-9]')) AS INTEGER) AS n_phone,
+        |    regexp_replace(t2, '\+[0-9][0-9 \-]{6,14}[0-9]', '<PHONE>', 'g') AS t3
+        |  FROM r2
+        |)
+        | SELECT doc_id, t3 AS redacted, n_email, n_ip, n_phone,
+        |  n_email + n_ip + n_phone > 0 AS had_pii
+        | FROM r3""".stripMargin,
+
+    // corpus mixing: the md5 coin and the per-stratum thresholds are
+    // closed-form (floor(frac·2³²) as 8-hex-digit strings: 0.5→'80000000',
+    // 0.25→'40000000', frac 0→'00000000' which keeps nothing extra)
+    "q_sample_mix" ->
+      """WITH base AS (
+        |  SELECT doc_id, source AS stratum,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 8) AS bucket,
+        |    CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 2 WHEN 'src2' THEN 0 ELSE 1 END AS full_copies,
+        |    CASE source WHEN 'src0' THEN '80000000' WHEN 'src1' THEN '40000000' WHEN 'src2' THEN '00000000' ELSE '00000000' END AS thr
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, stratum,
+        |    full_copies + CASE WHEN bucket < thr THEN 1 ELSE 0 END AS copies
+        |  FROM base
+        |)
+        | SELECT doc_id, stratum, CAST(unnest(generate_series(1, copies)) AS INTEGER) AS epoch
+        | FROM c WHERE copies > 0""".stripMargin,
 
     "q_dedup_jaccard" ->
       (OracleCte.jaccardPairs + " SELECT * FROM jpairs"),

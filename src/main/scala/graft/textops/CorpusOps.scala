@@ -1,0 +1,136 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level curation operators a pre-training data pipeline runs after
+  * (or alongside) dedup: benchmark decontamination, PII redaction, and
+  * per-stratum corpus mixing. Like the rest of the textops tier these are
+  * pure DataFrame/Column compositions over codegen'd built-ins — the wide
+  * stages are declared joins/aggregations Catalyst can plan (broadcast the
+  * benchmark side, map-side-combine the per-doc hit counts), never
+  * driver-side loops.
+  *
+  * The reference engine has no corpus-level analogue (its unit is one event
+  * in flight, libbeat/processors); these extend the same per-document
+  * column algebra (TextOps) to whole-corpus decisions.
+  */
+object CorpusOps {
+
+  /** distinct xxhash64 fingerprints of the word n-grams of the normalized
+    * text; a document shorter than `n` tokens contributes no n-grams. The
+    * 8-byte hash — not the n-gram string — is what crosses every shuffle
+    * and broadcast downstream (the [[Dedup.substringDupSpans]] contract: a
+    * 64-bit collision is the only possible divergence from string grams). */
+  def ngramHashes(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(TextOps.normalized(text))
+    when(size(toks) < n, array().cast("array<bigint>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => xxhash64(array_join(slice(toks, i, lit(n)), " ")))))
+  }
+
+  /** Benchmark decontamination — the GPT-3/Gopher/Llama eval-leak gate:
+    * a training document is CONTAMINATED when it shares at least `minHits`
+    * distinct word n-grams with the evaluation corpus (they use 8–13-grams;
+    * `n` is the caller's). Output: one row per training document with its
+    * distinct-n-gram count, the number of benchmark-colliding n-grams, and
+    * the verdict — `filter(!col("contaminated"))` is the clean corpus.
+    *
+    * 100 TB posture: the benchmark n-gram set is DISTINCT-aggregated and
+    * broadcast (eval suites are MBs against a 100 TB corpus — the asymmetry
+    * is the whole point of the design); the training side then probes it
+    * map-side, so the only rows that reach the per-doc `groupBy(doc_id)`
+    * are the matching (doc_id, gram) pairs — proportional to contamination,
+    * not corpus size. No n-gram string ever leaves a task. */
+  def decontaminate(train: DataFrame, bench: DataFrame, n: Int = 8,
+                    minHits: Int = 1): DataFrame = {
+    val benchGrams = bench
+      .select(explode(ngramHashes(col("text"), n)).as("g"))
+      .distinct()
+    val hits = train
+      .select(col("doc_id"), explode(ngramHashes(col("text"), n)).as("g"))
+      .join(broadcast(benchGrams), Seq("g"))
+      // per-doc grams are array_distinct'd, so count(*) counts DISTINCT
+      // colliding grams — map-side combinable, unlike a countDistinct
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    train.select(col("doc_id"), size(ngramHashes(col("text"), n)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("contaminated", col("hits") >= minHits)
+  }
+
+  /** PII patterns — deliberately in the regex subset where Java and RE2
+    * (DuckDB, Go, Hyperscan) agree byte-for-byte: character classes,
+    * bounded quantifiers, `\b`, non-capturing groups; no lookaround, no
+    * `\s`/`\p` (engines disagree on their members). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9][0-9 \\-]{6,14}[0-9]"
+
+  /** PII redaction — masks emails, then IPv4 literals, then international
+    * phone numbers with typed placeholders, counting each kind. Applied in
+    * that fixed order ON THE PREVIOUS STAGE'S OUTPUT (an email's host part
+    * could otherwise double-match the IP pattern), and the placeholders
+    * contain no `@`, digit, or `+`, so the pass is idempotent. Pure narrow
+    * map over codegen'd `regexp_replace`/`regexp_extract_all` — runs inside
+    * the scan's codegen span at any scale. */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
+    val t3 = regexp_replace(t2, PhoneRe, "<PHONE>")
+    val nEmail = size(regexp_extract_all(t0, lit(EmailRe), lit(0)))
+    val nIp = size(regexp_extract_all(t1, lit(Ipv4Re), lit(0)))
+    val nPhone = size(regexp_extract_all(t2, lit(PhoneRe), lit(0)))
+    docs.select(col("doc_id"), t3.as("redacted"),
+      nEmail.as("n_email"), nIp.as("n_ip"), nPhone.as("n_phone"),
+      (nEmail + nIp + nPhone > 0).as("had_pii"))
+  }
+
+  /** first 8 md5 hex chars of `key:salt` — a uniform per-document bucket in
+    * [0, 2³²) that ANY engine computes identically (md5 hex is canonical;
+    * the comparison is plain string order on fixed-width lowercase hex).
+    * This is the sampling coin: deterministic, seedable via `salt`,
+    * independent of partitioning and row order. */
+  def hashBucket(key: Column, salt: String): Column =
+    substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 8)
+
+  /** the keep-threshold for a fractional rate as an 8-hex-digit string:
+    * bucket < threshold ⇔ keep, P(keep) = frac (frac must be in [0,1)). */
+  private[graft] def fracHex(frac: Double): String = {
+    require(frac >= 0.0 && frac < 1.0, s"fractional rate out of [0,1): $frac")
+    f"${math.floor(frac * 4294967296.0).toLong}%08x"
+  }
+
+  /** Corpus mixing — the per-source epoch schedule of a training-data mix
+    * (e.g. "3.5 epochs of Wikipedia, 0.3 of CommonCrawl"): each document's
+    * stratum weight `w` yields `floor(w)` full copies plus one more with
+    * probability `frac(w)`, decided by the deterministic md5 coin — so the
+    * realized mix converges to the target weights with zero coordination.
+    * Output: (doc_id, stratum, epoch) with epoch ∈ [1, copies]; weight 0
+    * drops the stratum, weight ≤ 1 is plain stratified sampling.
+    *
+    * 100 TB posture: a narrow map (weight/coin/copies are per-row column
+    * arithmetic) followed by an explode — no shuffle at all; downstream
+    * consumers shuffle-free-read the mix in source order, and the epoch
+    * column gives them a deterministic interleave key. */
+  def mixStrata(docs: DataFrame, stratum: Column, weights: Map[String, Double],
+                defaultWeight: Double = 1.0, salt: String = "mix1"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0.0),
+      "stratum weights must be non-negative")
+    def chain(f: Double => Column): Column =
+      weights.toSeq.sortBy(_._1).foldRight(f(defaultWeight)) {
+        case ((k, v), els) => when(stratum === k, f(v)).otherwise(els)
+      }
+    val fullCopies = chain(v => lit(math.floor(v).toInt))
+    val fracThreshold = chain(v => lit(fracHex(v - math.floor(v))))
+    val copies = fullCopies +
+      when(hashBucket(col("doc_id"), salt) < fracThreshold, 1).otherwise(0)
+    docs.select(col("doc_id"), stratum.as("stratum"), copies.as("copies"))
+      .where(col("copies") > 0)
+      .select(col("doc_id"), col("stratum"),
+        explode(sequence(lit(1), col("copies"))).as("epoch"))
+  }
+}

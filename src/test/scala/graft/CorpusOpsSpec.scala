@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.textops.CorpusOps
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  // --- ngramHashes ---
+
+  test("ngramHashes: short docs contribute no grams; grams are distinct") {
+    val out = docs(1L -> "a b", 2L -> "a b c d", 3L -> "x y x y x y")
+      .select(col("doc_id"), CorpusOps.ngramHashes(col("text"), 3).as("g"))
+      .withColumn("n", size(col("g")))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out(1L) == 0)      // 2 tokens < n=3
+    assert(out(2L) == 2)      // "a b c", "b c d"
+    assert(out(3L) == 2)      // "x y x" and "y x y", each repeated → distinct
+  }
+
+  // --- decontaminate ---
+
+  test("decontaminate flags exactly the docs sharing an n-gram with bench") {
+    val train = docs(
+      1L -> "the quick brown fox jumps",     // shares "quick brown fox"
+      2L -> "totally clean document here four",
+      3L -> "ab cd",                         // too short for any 3-gram
+      4L -> "quick brown fox quick brown fox")
+    val bench = docs(100L -> "a quick brown fox ran")
+    val out = CorpusOps.decontaminate(train, bench, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((3, 1L, true)))
+    assert(out(2L) == ((3, 0L, false)))
+    assert(out(3L) == ((0, 0L, false)))
+    // doc 4: grams {quick brown fox, brown fox quick, fox quick brown} —
+    // only the first is in bench, counted ONCE despite repeating in-doc
+    assert(out(4L) == ((3, 1L, true)))
+    // every training doc gets a verdict row
+    assert(out.size == 4)
+  }
+
+  test("decontaminate plans a broadcast join for the benchmark gram set") {
+    val d = docs(1L -> "a b c d e", 2L -> "c d e f g")
+    val plan = CorpusOps.decontaminate(d, d.filter(col("doc_id") === 1), n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side must broadcast, not shuffle:\n$plan")
+  }
+
+  test("decontaminate minHits raises the contamination bar") {
+    val train = docs(1L -> "a b c d e")          // grams: abc bcd cde
+    val bench = docs(9L -> "a b c d")            // grams: abc bcd
+    val one = CorpusOps.decontaminate(train, bench, n = 3, minHits = 3)
+      .collect().head
+    assert(one.getLong(2) == 2L && !one.getBoolean(3))
+  }
+
+  // --- redactPii ---
+
+  test("redactPii masks emails, IPs, phones with counts") {
+    val out = CorpusOps.redactPii(docs(
+      1L -> "mail bob.smith+x@corp.example.com and alice@ex.org ok",
+      2L -> "host 10.1.2.3 and 192.168.0.255 up",
+      3L -> "call +1 555-0123 or +44 20 7946 0958 now",
+      4L -> "no pii at all here"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == (("mail <EMAIL> and <EMAIL> ok", 2, 0, 0, true)))
+    assert(out(2L) == (("host <IP> and <IP> up", 0, 2, 0, true)))
+    assert(out(3L) == (("call <PHONE> or <PHONE> now", 0, 0, 2, true)))
+    assert(out(4L) == (("no pii at all here", 0, 0, 0, false)))
+  }
+
+  test("redactPii stage order: an email's dotted host never double-counts as IP") {
+    val out = CorpusOps.redactPii(docs(1L -> "x u@10.1.2.3.example.com y"))
+      .collect().head
+    assert(out.getString(1) == "x <EMAIL> y")
+    assert(out.getInt(2) == 1 && out.getInt(3) == 0)
+  }
+
+  test("redactPii is idempotent: a second pass changes nothing") {
+    val once = CorpusOps.redactPii(docs(
+      1L -> "a@b.co 1.2.3.4 +1 555-0100 end")).select(col("doc_id"), col("redacted").as("text"))
+    val twice = CorpusOps.redactPii(once).collect().head
+    assert(twice.getString(1) == "<EMAIL> <IP> <PHONE> end")
+    assert(twice.getInt(2) == 0 && twice.getInt(3) == 0 && twice.getInt(4) == 0)
+  }
+
+  // --- mixStrata ---
+
+  private val mixed = docs((0L until 400L).map(i => i -> s"doc $i"): _*)
+    .withColumn("source",
+      concat(lit("s"), (col("doc_id") % 4).cast("string")))
+
+  test("mixStrata: integer weights give exact copy counts; 0 drops") {
+    val out = CorpusOps.mixStrata(mixed, col("source"),
+      Map("s0" -> 2.0, "s1" -> 0.0), defaultWeight = 1.0)
+      .groupBy("stratum").agg(countDistinct("doc_id").as("docs"),
+        count(lit(1)).as("rows"), max("epoch").as("maxe"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out("s0") == ((100L, 200L, 2)))     // every doc exactly twice
+    assert(!out.contains("s1"))                // dropped stratum
+    assert(out("s2") == ((100L, 100L, 1)))     // default weight 1
+    assert(out("s3") == ((100L, 100L, 1)))
+  }
+
+  test("mixStrata: fractional weights sample at the expected rate, deterministically") {
+    def run() = CorpusOps.mixStrata(mixed, col("source"),
+      Map("s0" -> 0.5, "s1" -> 2.25), defaultWeight = 1.0)
+    val rows = run().collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted
+    assert(rows.sameElements(run().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted))
+    val byStratum = rows.groupBy(_._2)
+    // s0 at w=0.5: kept docs ∈ (20%, 80%) of 100 (md5 coin, n=100)
+    val s0 = byStratum("s0").map(_._1).distinct.size
+    assert(s0 > 20 && s0 < 80, s"s0 kept $s0")
+    // s1 at w=2.25: every doc has 2 or 3 copies
+    val s1Copies = byStratum("s1").groupBy(_._1).map(_._2.size).toSet
+    assert(s1Copies.subsetOf(Set(2, 3)))
+    // epoch numbering is 1..copies
+    assert(rows.filter(r => r._2 == "s1" && r._3 == 2).nonEmpty)
+  }
+
+  test("mixStrata: different salts give different samples, same rates") {
+    def kept(salt: String) = CorpusOps.mixStrata(mixed, col("source"),
+      Map("s0" -> 0.5), salt = salt)
+      .filter(col("stratum") === "s0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val a = kept("mix1")
+    val b = kept("other-seed")
+    assert(a != b)
+  }
+
+  test("mixStrata plan is shuffle-free (narrow map + explode only)") {
+    val plan = CorpusOps.mixStrata(mixed, col("source"), Map("s0" -> 2.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mixing must not shuffle:\n$plan")
+  }
+
+  test("fracHex thresholds are exact fixed-point") {
+    assert(CorpusOps.fracHex(0.5) == "80000000")
+    assert(CorpusOps.fracHex(0.25) == "40000000")
+    assert(CorpusOps.fracHex(0.0) == "00000000")
+    intercept[IllegalArgumentException](CorpusOps.fracHex(1.0))
+  }
+}
