@@ -228,6 +228,24 @@ object SparkEntry {
       graft.textops.CorpusOps.mixStrata(docs(s, dir), col("source"),
         Map("src0" -> 0.5, "src1" -> 2.25, "src2" -> 0.0))),
 
+    // --- HTML boilerplate strip over deterministically-wrapped documents
+    //     (script/style blocks, tags, entities, whitespace collapse) ---
+    "q_strip_html" -> ((s, dir) =>
+      graft.textops.CorpusOps.extractHtml(
+        docs(s, dir).select(col("doc_id"), concat(
+          lit("<html><head><style>p{color:red}</style><script>var x=1;</script></head><body><h1>Doc "),
+          col("doc_id"), lit("</h1><p>"), col("text"),
+          lit("</p><br/>&amp; &lt;tail&gt; &nbsp;ok</body></html>")).as("text")))),
+
+    // --- within-document line dedup (repeated boilerplate lines kept at
+    //     first occurrence) over a closed-form multi-line synthesis ---
+    "q_line_dedup" -> ((s, dir) =>
+      graft.textops.CorpusOps.dedupLines(
+        docs(s, dir).select(col("doc_id"), concat(
+          substring(col("text"), 1, 40), lit("\nSHARED FOOTER line\n"),
+          substring(col("text"), 1, 40), lit("\nSHARED FOOTER line\n"),
+          substring(col("text"), 41, 40)).as("text")))),
+
     "q_dedup_embedding" -> ((s, dir) =>
       graft.dedup.Dedup.embeddingPairs(embeds(s, dir), 0.4)),
 
@@ -970,6 +988,59 @@ object SparkEntry {
         |)
         | SELECT doc_id, stratum, CAST(unnest(generate_series(1, copies)) AS INTEGER) AS epoch
         | FROM c WHERE copies > 0""".stripMargin,
+
+    // HTML strip: identical wrapped input, then the same block-drop →
+    // tag-strip → entity-decode (&amp; last) → whitespace-collapse cascade
+    "q_strip_html" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p{color:red}</style><script>var x=1;</script></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p><br/>&amp; &lt;tail&gt; &nbsp;ok</body></html>' AS h
+        |  FROM documents
+        |), nb AS (
+        |  SELECT doc_id, h,
+        |    regexp_replace(regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS b
+        |  FROM p
+        |), nt AS (
+        |  SELECT doc_id, h, regexp_replace(b, '<[^>]+>', ' ', 'g') AS t0,
+        |    CAST(len(regexp_extract_all(b, '<[^>]+>')) AS INTEGER) AS n_tags
+        |  FROM nb
+        |), de AS (
+        |  SELECT doc_id, h, n_tags,
+        |    replace(replace(replace(replace(replace(replace(t0,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&') AS d
+        |  FROM nt
+        |), fin AS (
+        |  SELECT doc_id, n_tags, h,
+        |    trim(regexp_replace(d, '[ \t\r\n]+', ' ', 'g')) AS text
+        |  FROM de
+        |)
+        | SELECT doc_id, text, n_tags,
+        |  CAST(floor(CAST(length(text) AS DOUBLE) / length(h) * 10000.0 + 0.5) AS INTEGER) AS visible_e4
+        | FROM fin""".stripMargin,
+
+    // line dedup: keep-first is `list_position(lines, x) = i` — DuckDB's
+    // 1-based lambda index states the identical rule as Spark's
+    // `array_position(_l, x) = i + 1` over its 0-based filter index
+    "q_line_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || chr(10) || 'SHARED FOOTER line' || chr(10) ||
+        |    substr(text, 1, 40) || chr(10) || 'SHARED FOOTER line' || chr(10) ||
+        |    substr(text, 41, 40) AS t
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, string_split(t, chr(10)) AS ls FROM p
+        |), k AS (
+        |  SELECT doc_id, ls,
+        |    list_filter(ls, (x, i) -> list_position(ls, x) = i) AS ks
+        |  FROM l
+        |)
+        | SELECT doc_id, array_to_string(ks, chr(10)) AS text,
+        |  CAST(len(ls) AS INTEGER) AS n_lines,
+        |  CAST(len(ls) - len(ks) AS INTEGER) AS n_dropped
+        | FROM k""".stripMargin,
 
     "q_dedup_jaccard" ->
       (OracleCte.jaccardPairs + " SELECT * FROM jpairs"),

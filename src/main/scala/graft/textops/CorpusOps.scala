@@ -104,6 +104,57 @@ object CorpusOps {
     f"${math.floor(frac * 4294967296.0).toLong}%08x"
   }
 
+  /** HTML boilerplate stripping — the first step of every web-crawl corpus
+    * pipeline (C4, RefinedWeb): drop `<script>`/`<style>` blocks wholesale,
+    * replace every remaining tag with a space, decode the six entities that
+    * dominate crawl text (`&amp;` LAST, so `&amp;lt;` decodes to the literal
+    * text `&lt;` and never double-decodes), collapse whitespace. Pure narrow
+    * map over codegen'd `regexp_replace`/`replace`; the regexes live in the
+    * Java∩RE2 agreement subset (inline `(?is)` flags, lazy `.*?`, no
+    * lookaround). */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
+    trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+  }
+
+  /** count of non-block tags the strip removes — a cheap boilerplate-density
+    * signal (markup-heavy pages score high). */
+  def tagCount(html: Column): Column =
+    size(regexp_extract_all(regexp_replace(
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " "), lit("<[^>]+>"), lit(0)))
+
+  /** extraction frame: cleaned text, tag count, and the visible-text ratio
+    * (cleaned length / raw length, 4-decimal fixed-point) — the standard
+    * "is this page mostly markup" filter signal. */
+  def extractHtml(docs: DataFrame, htmlCol: String = "text"): DataFrame = {
+    val h = col(htmlCol)
+    docs.select(col("doc_id"), stripHtml(h).as("text"),
+      tagCount(h).as("n_tags"),
+      TextOps.scaled4(length(stripHtml(h)).cast("double") /
+        length(h).cast("double")).as("visible_e4"))
+  }
+
+  /** Within-document line dedup (RefinedWeb/CCNet boilerplate rule): a line
+    * repeated inside one document (navigation, footers, cookie banners) is
+    * kept at its FIRST occurrence only. Narrow per-row array algebra — the
+    * keep-first rule is `array_position(lines, x) == i+1`, which any engine
+    * with list lambdas states identically — no shuffle, no state. */
+  def dedupLines(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("_l", split(col(textCol), "\n"))
+      .withColumn("_k",
+        expr("filter(_l, (x, i) -> array_position(_l, x) = i + 1)"))
+      .select(col("doc_id"), array_join(col("_k"), "\n").as("text"),
+        size(col("_l")).as("n_lines"),
+        (size(col("_l")) - size(col("_k"))).as("n_dropped"))
+
   /** Corpus mixing — the per-source epoch schedule of a training-data mix
     * (e.g. "3.5 epochs of Wikipedia, 0.3 of CommonCrawl"): each document's
     * stratum weight `w` yields `floor(w)` full copies plus one more with

@@ -92,6 +92,53 @@ class CorpusOpsSpec extends SparkSpec {
     assert(twice.getInt(2) == 0 && twice.getInt(3) == 0 && twice.getInt(4) == 0)
   }
 
+  // --- stripHtml / extractHtml ---
+
+  test("stripHtml drops blocks, strips tags, decodes entities, collapses space") {
+    val out = CorpusOps.extractHtml(docs(
+      1L -> "<html><head><style>p{x}</style><script>if(a<b){}</script></head><body><h1>T</h1><p>A &amp; B &lt;ok&gt;</p></body></html>",
+      2L -> "plain text, no markup",
+      3L -> "<ul><li>x</li><li>x</li></ul>&nbsp;&#39;q&quot;"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) == (("T A & B <ok>", 10)))
+    assert(out(2L) == (("plain text, no markup", 0)))
+    assert(out(3L) == (("x x 'q\"", 6)))
+  }
+
+  test("stripHtml never double-decodes: &amp;lt; is the literal text &lt;") {
+    val one = CorpusOps.extractHtml(docs(1L -> "a &amp;lt;script&amp;gt; b"))
+      .collect().head
+    assert(one.getString(1) == "a &lt;script&gt; b")
+  }
+
+  test("stripHtml lazy block match stops at the first close tag") {
+    val one = CorpusOps.extractHtml(docs(
+      1L -> "<script>x</script>keep<script>y</script>also")).collect().head
+    assert(one.getString(1) == "keep also")
+  }
+
+  // --- dedupLines ---
+
+  test("dedupLines keeps first occurrence of each repeated line") {
+    val out = CorpusOps.dedupLines(docs(
+      1L -> "alpha\nfooter\nbeta\nfooter\nalpha\ngamma",
+      2L -> "only\none of each",
+      3L -> "same\nsame\nsame"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("alpha\nfooter\nbeta\ngamma", 6, 2)))
+    assert(out(2L) == (("only\none of each", 2, 0)))
+    assert(out(3L) == (("same", 3, 2)))
+  }
+
+  test("dedupLines preserves empty lines' keep-first rule and is shuffle-free") {
+    val d = docs(1L -> "a\n\nb\n\nc")
+    val out = CorpusOps.dedupLines(d)
+    val row = out.collect().head
+    assert(row.getString(1) == "a\n\nb\nc")   // second empty line dropped
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   // --- mixStrata ---
 
   private val mixed = docs((0L until 400L).map(i => i -> s"doc $i"): _*)
