@@ -237,6 +237,15 @@ object SparkEntry {
           col("doc_id"), lit("</h1><p>"), col("text"),
           lit("</p><br/>&amp; &lt;tail&gt; &nbsp;ok</body></html>")).as("text")))),
 
+    // --- sequence packing: concat-and-chunk into 128-token training
+    //     sequences, per-source corpus order ---
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.textops.CorpusOps.packSequences(docs(s, dir), seqLen = 128)),
+
+    // --- vocabulary with min-count pruning over normalized tokens ---
+    "q_vocabulary" -> ((s, dir) =>
+      graft.textops.CorpusOps.vocabulary(docs(s, dir), minCount = 5)),
+
     // --- within-document line dedup (repeated boilerplate lines kept at
     //     first occurrence) over a closed-form multi-line synthesis ---
     "q_line_dedup" -> ((s, dir) =>
@@ -1019,6 +1028,31 @@ object SparkEntry {
         | SELECT doc_id, text, n_tags,
         |  CAST(floor(CAST(length(text) AS DOUBLE) / length(h) * 10000.0 + 0.5) AS INTEGER) AS visible_e4
         | FROM fin""".stripMargin,
+
+    // packing: the cumsum window + integer chunk arithmetic mirror exactly
+    // (both engines: nonneg values < 2^53, so floor-division is exact)
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source AS stratum,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, stratum, n_tok,
+        |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY stratum ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM t
+        |)
+        | SELECT doc_id, stratum, n_tok, start_tok,
+        |  start_tok // 128 AS first_seq,
+        |  (start_tok + n_tok - 1) // 128 AS last_seq,
+        |  (start_tok + n_tok - 1) // 128 - start_tok // 128 + 1 AS n_seqs
+        | FROM c""".stripMargin,
+
+    "q_vocabulary" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n
+        | FROM (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+        |       FROM documents)
+        | GROUP BY token HAVING count(*) >= 5""".stripMargin,
 
     // line dedup: keep-first is `list_position(lines, x) = i` — DuckDB's
     // 1-based lambda index states the identical rule as Spark's

@@ -155,6 +155,48 @@ object CorpusOps {
         size(col("_l")).as("n_lines"),
         (size(col("_l")) - size(col("_k"))).as("n_dropped"))
 
+  /** Sequence packing — the concat-and-chunk step that turns a curated
+    * corpus into fixed-length training sequences: documents in a
+    * deterministic corpus order (stratum, doc_id) are concatenated and cut
+    * every `seqLen` tokens. Per document: its absolute token offset within
+    * the stratum, the first/last sequence it lands in, and how many
+    * sequences it spans — enough for a loader to materialize any sequence
+    * by range-reading the docs that overlap it.
+    *
+    * 100 TB posture: ONE running-sum window per stratum — the same per-key
+    * ordered-fold contract as sessionize (a stratum's cumsum goes through
+    * one task; strata are the parallelism unit, so pack per (stratum,
+    * shard) when a single stratum dominates). Everything after the cumsum
+    * is narrow integer arithmetic. */
+  def packSequences(docs: DataFrame, seqLen: Int,
+                    stratum: Column = col("source")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen > 0, "seqLen must be positive")
+    val w = Window.partitionBy("stratum").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def seqOf(tok: Column): Column =
+      floor(tok.cast("double") / seqLen).cast("long")
+    docs
+      .select(col("doc_id"), stratum.as("stratum"),
+        TextOps.tokenCount(col("text")).as("n_tok"))
+      .withColumn("start_tok",
+        coalesce(sum("n_tok").over(w), lit(0)).cast("long"))
+      .withColumn("first_seq", seqOf(col("start_tok")))
+      .withColumn("last_seq", seqOf(col("start_tok") + col("n_tok") - 1))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+  }
+
+  /** Vocabulary — corpus token counts with min-count pruning (the seed of
+    * BPE/unigram vocab builds and a corpus-health report in its own right).
+    * One map-side-combinable groupBy on the token itself; the min-count
+    * filter prunes the long tail BEFORE anything downstream materializes
+    * it. */
+  def vocabulary(docs: DataFrame, minCount: Long = 5): DataFrame =
+    docs
+      .select(explode(TextOps.tokens(TextOps.normalized(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+
   /** Corpus mixing — the per-source epoch schedule of a training-data mix
     * (e.g. "3.5 epochs of Wikipedia, 0.3 of CommonCrawl"): each document's
     * stratum weight `w` yields `floor(w)` full copies plus one more with

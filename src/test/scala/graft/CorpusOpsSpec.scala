@@ -139,6 +139,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  // --- packSequences ---
+
+  test("packSequences: contiguous chunking with exact offsets and spans") {
+    val d = Seq(
+      (1L, ("a " * 10).trim, "s"),   // 10 tokens  → [0, 10)
+      (2L, ("b " * 3).trim, "s"),    // 3 tokens   → [10, 13)
+      (3L, ("c " * 7).trim, "s"),    // 7 tokens   → [13, 20)
+      (9L, ("z " * 5).trim, "t"))    // other stratum restarts at 0
+      .toDF("doc_id", "text", "source")
+    val out = CorpusOps.packSequences(d, seqLen = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out(1L) == ((0L, 0L, 1L, 2L)))    // tokens 0..9 span seqs 0,1
+    assert(out(2L) == ((10L, 1L, 1L, 1L)))   // tokens 10..12 inside seq 1
+    assert(out(3L) == ((13L, 1L, 2L, 2L)))   // tokens 13..19 span seqs 1,2
+    assert(out(9L) == ((0L, 0L, 0L, 1L)))    // stratum t: tokens 0..4
+  }
+
+  test("packSequences: a doc longer than seqLen spans ceil(n/seqLen) chunks") {
+    val d = Seq((1L, ("x " * 100).trim, "s")).toDF("doc_id", "text", "source")
+    val row = CorpusOps.packSequences(d, seqLen = 8).collect().head
+    assert(row.getLong(5) == 12L && row.getLong(6) == 13L) // tokens 0..99
+  }
+
+  // --- vocabulary ---
+
+  test("vocabulary counts normalized tokens and prunes below minCount") {
+    val d = Seq(
+      (1L, "The the THE cat"),
+      (2L, "the cat cat dog")).toDF("doc_id", "text")
+    val out = CorpusOps.vocabulary(d, minCount = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("the" -> 4L, "cat" -> 3L))   // dog pruned at n=1
+  }
+
   // --- mixStrata ---
 
   private val mixed = docs((0L until 400L).map(i => i -> s"doc $i"): _*)
