@@ -197,6 +197,15 @@ object SparkEntry {
     "q_curation" -> ((s, dir) =>
       graft.dedup.Dedup.curate(docs(s, dir))),
 
+    // --- the curation pipeline with the decontamination stage active:
+    //     quality → benchmark-gram decontamination → exact → near-dup;
+    //     bench = the doc_id % 17 == 3 split, corpus = the rest ---
+    "q_curation_decon" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.dedup.Dedup.curate(d.filter(col("doc_id") % 17 =!= 3),
+        bench = Some(d.filter(col("doc_id") % 17 === 3)), deconN = 4)
+    }),
+
     // --- benchmark decontamination: a deterministic eval split (doc_id %
     //     17 == 3) plays the benchmark corpus; 4-gram overlap marks leaks ---
     "q_decontaminate" -> ((s, dir) => {
@@ -1161,6 +1170,90 @@ object SparkEntry {
           |         ELSE 'kept' END AS stage
           |  FROM documents d
           |  LEFT JOIN gq g ON d.doc_id = g.doc_id
+          |  LEFT JOIN winners w ON d.doc_id = w.doc_id
+          |  LEFT JOIN comp c ON d.doc_id = c.doc_id
+          |)
+          | SELECT doc_id, stage, stage = 'kept' AS kept FROM staged""".stripMargin),
+
+    // the decontaminating curation chain: the q_curation mirror with (a) the
+    // corpus restricted to doc_id % 17 <> 3, (b) a 4-gram benchmark probe
+    // spliced between the quality gate and the exact stage, (c) the
+    // dropped_contaminated lineage rung
+    "q_curation_decon" ->
+      (OracleCte.repetition.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, gq AS (
+          |  SELECT d.doc_id, d.text FROM documents d JOIN repetition r ON d.doc_id = r.doc_id
+          |  WHERE d.doc_id % 17 <> 3
+          |    AND len(string_split_regex(trim(d.text), '\s+')) BETWEEN 8 AND 10000
+          |    AND CAST(length(replace(d.text, ' ', '')) AS DOUBLE)
+          |        / len(string_split_regex(trim(d.text), '\s+')) BETWEEN 3.0 AND 10.0
+          |    AND len(list_filter(string_split_regex(trim(d.text), '\s+'),
+          |        t -> list_contains(['the','a','and','of','to','in','is','it'], lower(t)))) >= 2
+          |    AND CAST(length(d.text) - length(regexp_replace(d.text, '[.,!?;:''"()]', '', 'g')) AS DOUBLE)
+          |        / length(d.text) <= 0.1
+          |    AND r.top_frac2 <= 0.20 AND r.dup_frac3 <= 0.18
+          |), bqt AS (
+          |  SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+          |  FROM documents WHERE doc_id % 17 = 3
+          |), bgrams AS (
+          |  SELECT DISTINCT array_to_string(toks[i:i+3], ' ') AS g
+          |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 3)) AS i
+          |        FROM bqt WHERE len(toks) >= 4)
+          |), gqt AS (
+          |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+          |  FROM gq
+          |), cgrams AS (
+          |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+3], ' ') AS g
+          |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS i
+          |        FROM gqt WHERE len(toks) >= 4)
+          |), contam AS (
+          |  SELECT DISTINCT doc_id FROM cgrams JOIN bgrams USING (g)
+          |), clean AS (
+          |  SELECT g.doc_id, g.text FROM gq g
+          |  LEFT JOIN contam c ON g.doc_id = c.doc_id WHERE c.doc_id IS NULL
+          |), fps AS (
+          |  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM clean
+          |), winners AS (
+          |  SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp
+          |), uniq AS (
+          |  SELECT g.doc_id, g.text FROM clean g JOIN winners w ON g.doc_id = w.doc_id
+          |), utok AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+          |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS unorm
+          |  FROM uniq
+          |), ush AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(string_split(unorm, ' ')) < 3 THEN [unorm]
+          |         ELSE list_distinct(list_transform(
+          |           generate_series(1, len(string_split(unorm, ' ')) - 2),
+          |           i -> array_to_string((string_split(unorm, ' '))[i:i+2], ' ')))
+          |    END AS sh, CAST(len(toks) AS INTEGER) AS n_tok
+          |  FROM utok
+          |), upairs AS (
+          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM ush a JOIN ush b
+          |    ON a.doc_id < b.doc_id AND abs(a.n_tok - b.n_tok) <= 40
+          |   AND len(list_intersect(a.sh, b.sh)) * 100 >=
+          |       (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 80
+          |), und AS (
+          |  SELECT a_id AS u, b_id AS v FROM upairs
+          |  UNION SELECT b_id AS u, a_id AS v FROM upairs
+          |), reach(u, v) AS (
+          |  SELECT u, v FROM und
+          |  UNION
+          |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u AND e.v <> r.u
+          |), comp AS (
+          |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+          |), staged AS (
+          |  SELECT d.doc_id,
+          |    CASE WHEN g.doc_id IS NULL THEN 'dropped_quality'
+          |         WHEN ct.doc_id IS NOT NULL THEN 'dropped_contaminated'
+          |         WHEN w.doc_id IS NULL THEN 'dropped_exact'
+          |         WHEN COALESCE(c.cluster_id, d.doc_id) <> d.doc_id THEN 'dropped_neardup'
+          |         ELSE 'kept' END AS stage
+          |  FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 3) d
+          |  LEFT JOIN gq g ON d.doc_id = g.doc_id
+          |  LEFT JOIN contam ct ON d.doc_id = ct.doc_id
           |  LEFT JOIN winners w ON d.doc_id = w.doc_id
           |  LEFT JOIN comp c ON d.doc_id = c.doc_id
           |)

@@ -295,7 +295,15 @@ object Dedup {
     * 100 TB curation run needs for auditability. Later stages only process
     * earlier survivors, so the expensive near-dup step sees the smallest
     * corpus. */
-  def curate(docs: DataFrame, tau: Int = 80): DataFrame = {
+  /** With `bench` set, a DECONTAMINATION stage runs between the quality
+    * gate and exact dedup (the canonical slot: cheap narrow gates first,
+    * then the broadcast n-gram probe over quality survivors only, then the
+    * shuffling dedup stages over the clean set): documents sharing a word
+    * `deconN`-gram with the benchmark corpus leave as
+    * `dropped_contaminated`. `bench = None` (default) is byte-identical to
+    * the three-stage pipeline. */
+  def curate(docs: DataFrame, tau: Int = 80, bench: Option[DataFrame] = None,
+             deconN: Int = 8): DataFrame = {
     // quality verdict as an inline column — a narrow map in the SAME scan,
     // not a recomputed frame joined back on doc_id. A null text is dropped
     // explicitly (the SQL mirror's rule conjunction also rejects it).
@@ -312,17 +320,29 @@ object Dedup {
         graft.textops.TextOps.gopherReason(col("text")).isNull)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val qdocs = annotated.filter(col("q_keep"))
+    // optional decontamination: benchmark-gram probe over quality survivors
+    val contam = bench.map(b =>
+      graft.textops.CorpusOps.decontaminate(qdocs, b, deconN)
+        .filter(col("contaminated"))
+        .select(col("doc_id"), lit(true).as("is_contam")))
+    val cleanDocs = contam.fold(qdocs)(c =>
+      qdocs.join(c.select("doc_id"), Seq("doc_id"), "left_anti"))
     // exact stage = the canonical fingerprint dedup rule, defined ONCE
-    val winners = graft.textops.TextOps.dedupExact(qdocs)
+    val winners = graft.textops.TextOps.dedupExact(cleanDocs)
       .select(col("keep_id").as("doc_id"))
-    val uniq = qdocs.join(winners, Seq("doc_id"), "left_semi")
+    val uniq = cleanDocs.join(winners, Seq("doc_id"), "left_semi")
     val clusters = dedupClusters(uniq, minhashPairs(uniq, tau))
       .select(col("doc_id"), col("keep").as("nd_keep"))
-    annotated.select("doc_id", "q_keep")
+    val lineage = contam.fold(
+      annotated.select("doc_id", "q_keep")
+        .withColumn("is_contam", lit(null).cast("boolean")))(c =>
+      annotated.select("doc_id", "q_keep").join(c, Seq("doc_id"), "left"))
+    lineage
       .join(winners.withColumn("is_winner", lit(true)), Seq("doc_id"), "left")
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(!col("q_keep"), "dropped_quality")
+          .when(col("is_contam"), "dropped_contaminated")
           .when(col("is_winner").isNull, "dropped_exact")
           .when(!col("nd_keep"), "dropped_neardup")
           .otherwise("kept").as("stage"))

@@ -139,6 +139,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  // --- curate with the decontamination stage ---
+
+  test("curate with bench drops contaminated docs between quality and exact") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog today"),    // shares 4-grams with bench
+      (2L, "the tall green tree stands near a quiet river bank"), // clean → kept
+      (3L, "x y"))                                                // fails quality first
+      .toDF("doc_id", "text")
+    val bench = Seq((9L, "watch the quick brown fox jumps away")).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.curate(corpus, bench = Some(bench), deconN = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "dropped_contaminated")
+    assert(out(2L) == "kept")
+    assert(out(3L) == "dropped_quality")
+    // bench = None stays the three-stage pipeline: doc 1 is kept again
+    val plain = graft.dedup.Dedup.curate(corpus)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(plain(1L) == "kept")
+  }
+
   // --- packSequences ---
 
   test("packSequences: contiguous chunking with exact offsets and spans") {
