@@ -321,10 +321,15 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val qdocs = annotated.filter(col("q_keep"))
     // optional decontamination: benchmark-gram probe over quality survivors
+    // the contaminated id set feeds every downstream scan (minhashPairs
+    // alone reads its input three times, and each read would re-run the
+    // full corpus gram probe) — materialize it once; it is proportional to
+    // contamination, tiny next to the corpus, same trade as `annotated`
     val contam = bench.map(b =>
       graft.textops.CorpusOps.decontaminate(qdocs, b, deconN)
         .filter(col("contaminated"))
-        .select(col("doc_id"), lit(true).as("is_contam")))
+        .select(col("doc_id"), lit(true).as("is_contam"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val cleanDocs = contam.fold(qdocs)(c =>
       qdocs.join(c.select("doc_id"), Seq("doc_id"), "left_anti"))
     // exact stage = the canonical fingerprint dedup rule, defined ONCE

@@ -42,7 +42,10 @@ object CorpusOps {
     * is the whole point of the design); the training side then probes it
     * map-side, so the only rows that reach the per-doc `groupBy(doc_id)`
     * are the matching (doc_id, gram) pairs — proportional to contamination,
-    * not corpus size. No n-gram string ever leaves a task. */
+    * not corpus size. No n-gram string ever leaves a task. The plan reads
+    * the training corpus twice ((doc_id, text) pruned both times): once for
+    * the probe, once for the verdict base — persist the gram projection
+    * first when that scan dominates the job. */
   def decontaminate(train: DataFrame, bench: DataFrame, n: Int = 8,
                     minHits: Int = 1): DataFrame = {
     val benchGrams = bench
