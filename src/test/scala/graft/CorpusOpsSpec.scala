@@ -183,6 +183,14 @@ class CorpusOpsSpec extends SparkSpec {
     assert(row.getLong(5) == 12L && row.getLong(6) == 13L) // tokens 0..99
   }
 
+  test("packSequences plans exactly one shuffle: the per-stratum window") {
+    val d = Seq((1L, "a b", "s")).toDF("doc_id", "text", "source")
+    val plan = CorpusOps.packSequences(d, seqLen = 8)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected the single window exchange:\n$plan")
+  }
+
   // --- vocabulary ---
 
   test("vocabulary counts normalized tokens and prunes below minCount") {
