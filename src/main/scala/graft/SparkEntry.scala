@@ -237,6 +237,14 @@ object SparkEntry {
       graft.textops.CorpusOps.mixStrata(docs(s, dir), col("source"),
         Map("src0" -> 0.5, "src1" -> 2.25, "src2" -> 0.0))),
 
+    // --- deterministic global corpus shuffle (pre-packing permutation) ---
+    "q_shuffle_corpus" -> ((s, dir) =>
+      graft.textops.CorpusOps.shuffleCorpus(docs(s, dir))),
+
+    // --- per-(source, lang) token-budget accounting ---
+    "q_token_budget" -> ((s, dir) =>
+      graft.textops.CorpusOps.tokenBudget(docs(s, dir))),
+
     // --- HTML boilerplate strip over deterministically-wrapped documents
     //     (script/style blocks, tags, entities, whitespace collapse) ---
     "q_strip_html" -> ((s, dir) =>
@@ -1037,6 +1045,19 @@ object SparkEntry {
         | SELECT doc_id, text, n_tags,
         |  CAST(floor(CAST(length(text) AS DOUBLE) / length(h) * 10000.0 + 0.5) AS INTEGER) AS visible_e4
         | FROM fin""".stripMargin,
+
+    "q_shuffle_corpus" ->
+      """SELECT doc_id,
+        | md5(CAST(doc_id AS VARCHAR) || ':shuf1') AS shuffle_key,
+        | CAST(position(substr(md5(CAST(doc_id AS VARCHAR) || ':shuf1'), 1, 1)
+        |   IN '0123456789abcdef') - 1 AS INTEGER) AS shard
+        | FROM documents""".stripMargin,
+
+    "q_token_budget" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        | CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0))) AS BIGINT) AS n_subwords
+        | FROM documents GROUP BY 1, 2""".stripMargin,
 
     // packing: the cumsum window + integer chunk arithmetic mirror exactly
     // (both engines: nonneg values < 2^53, so floor-division is exact)

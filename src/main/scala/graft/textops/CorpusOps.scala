@@ -200,6 +200,30 @@ object CorpusOps {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
 
+  /** Deterministic global corpus shuffle — the step before [[packSequences]]
+    * in a real run: every document gets a pseudo-random but deterministic
+    * 128-bit sort key (the md5 coin again) and a 16-way shard from the
+    * key's first hex digit; the loader range-reads shards and sorts within
+    * them, giving a reproducible global permutation with zero coordination.
+    * Narrow map — the shard column is a declared partition key downstream
+    * (`repartitionByRange`/`partitionBy(shard)`), not a shuffle here. */
+  def shuffleCorpus(docs: DataFrame, salt: String = "shuf1"): DataFrame =
+    docs
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":" + salt))).as("shuffle_key"))
+      .withColumn("shard",
+        (expr("position(substring(shuffle_key, 1, 1) IN '0123456789abcdef')")
+          - 1).cast("int"))
+
+  /** Token-budget report — per-(source, lang) document / whitespace-token /
+    * subword totals: the accounting every mix design starts from. One
+    * map-side-combinable groupBy on the two stratum columns. */
+  def tokenBudget(docs: DataFrame): DataFrame =
+    docs.groupBy("source", "lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+      sum(TextOps.subwordCount(col("text")).cast("long")).as("n_subwords"))
+
   /** Corpus mixing — the per-source epoch schedule of a training-data mix
     * (e.g. "3.5 epochs of Wikipedia, 0.3 of CommonCrawl"): each document's
     * stratum weight `w` yields `floor(w)` full copies plus one more with

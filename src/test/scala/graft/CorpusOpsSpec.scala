@@ -191,6 +191,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(shuffles == 1, s"expected the single window exchange:\n$plan")
   }
 
+  // --- shuffleCorpus / tokenBudget ---
+
+  test("shuffleCorpus: deterministic 16-way sharding, roughly uniform, narrow") {
+    val d = Seq.tabulate(320)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val out = CorpusOps.shuffleCorpus(d)
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.sameElements(
+      CorpusOps.shuffleCorpus(d).collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))))
+    assert(rows.forall { case (_, k, s) => s >= 0 && s < 16 && k.length == 32 })
+    // the key's first hex digit IS the shard
+    assert(rows.forall { case (_, k, s) => Integer.parseInt(k.substring(0, 1), 16) == s })
+    // rough uniformity over 320 docs: every shard non-empty
+    assert(rows.map(_._3).distinct.length == 16)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("tokenBudget aggregates per-stratum token totals") {
+    val d = Seq(
+      (1L, "one two three", "s0", "en"),
+      (2L, "four five", "s0", "en"),
+      (3L, "六 七", "s1", "zh")).toDF("doc_id", "text", "source", "lang")
+    val out = CorpusOps.tokenBudget(d)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("s0", "en")) == ((2L, 5L)))
+    assert(out(("s1", "zh")) == ((1L, 2L)))
+  }
+
   // --- vocabulary ---
 
   test("vocabulary counts normalized tokens and prunes below minCount") {
