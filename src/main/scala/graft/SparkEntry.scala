@@ -263,6 +263,14 @@ object SparkEntry {
     "q_vocabulary" -> ((s, dir) =>
       graft.textops.CorpusOps.vocabulary(docs(s, dir), minCount = 5)),
 
+    // --- CCNet-style unigram cross-entropy quality score: LM trained on
+    //     the corpus itself (min-count 5), every document scored under it ---
+    "q_cross_entropy" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.textops.CorpusOps.crossEntropy(d,
+        graft.textops.CorpusOps.vocabulary(d, minCount = 5))
+    }),
+
     // --- within-document line dedup (repeated boilerplate lines kept at
     //     first occurrence) over a closed-form multi-line synthesis ---
     "q_line_dedup" -> ((s, dir) =>
@@ -1083,6 +1091,25 @@ object SparkEntry {
         | FROM (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
         |       FROM documents)
         | GROUP BY token HAVING count(*) >= 5""".stripMargin,
+
+    // cross-entropy: same tokenization as q_vocabulary; the ln/sum float
+    // drift across engines (~1e-15 relative) is absorbed by the 1e-4 grid
+    "q_cross_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+        |  FROM documents
+        |), lm AS (
+        |  SELECT token, count(*) AS n FROM toks GROUP BY 1 HAVING count(*) >= 5
+        |), mass AS (
+        |  SELECT CAST(sum(n) AS DOUBLE) + 0.5 AS lm_mass FROM lm
+        |)
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN lm.n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov,
+        |  CAST(floor(sum(-ln(coalesce(CAST(lm.n AS DOUBLE), 0.5) / lm_mass))
+        |    / count(*) * 10000.0 + 0.5) AS INTEGER) AS ce_e4
+        | FROM toks LEFT JOIN lm USING (token), mass
+        | GROUP BY doc_id""".stripMargin,
 
     // line dedup: keep-first is `list_position(lines, x) = i` — DuckDB's
     // 1-based lambda index states the identical rule as Spark's

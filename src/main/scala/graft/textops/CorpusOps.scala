@@ -253,4 +253,45 @@ object CorpusOps {
       .select(col("doc_id"), col("stratum"),
         explode(sequence(lit(1), col("copies"))).as("epoch"))
   }
+
+  /** Unigram cross-entropy score — the CCNet/Llama-pipeline quality signal:
+    * score each document by the mean negative log-probability of its tokens
+    * under a unigram language model `lm(token, n)` (the [[vocabulary]]
+    * output, typically built from a trusted reference corpus). Low
+    * cross-entropy ≈ looks like the reference corpus; the caller keeps the
+    * head/middle of the distribution and drops the tail (CCNet buckets at
+    * the per-stratum tertiles). Out-of-vocabulary tokens take the smoothing
+    * mass `alpha` (one pseudo-count shared by all OOV), so every document
+    * is scorable and the score is total.
+    *
+    * Output: (doc_id, n_tokens, oov, ce_e4) — ce_e4 is the mean NLL in
+    * nats scaled by [[TextOps.scaled4]] for cross-engine comparison.
+    *
+    * 100 TB posture: the LM is min-count pruned and BROADCAST (a unigram
+    * vocab is MBs against a 100 TB corpus); the exploded token stream
+    * probes it map-side, and the per-doc aggregation is map-side
+    * combinable — tokens of one document sit in one input partition, so
+    * the shuffle carries ~one partial row per document, not per token.
+    * Float parity: each token's NLL is a fixed IEEE-double expression tree
+    * (ln differs ≤ 1 ulp across libm implementations) and the per-doc sum
+    * order may differ across engines — both effects are ~1e-15 relative
+    * against scaled4's 1e-4 grid, so the rounded score is stable. */
+  def crossEntropy(docs: DataFrame, lm: DataFrame,
+                   alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0, "smoothing mass alpha must be positive")
+    val tot = lm.agg((sum(col("n")).cast("double") + alpha).as("lm_mass"))
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(TextOps.normalized(col("text")))).as("token"))
+    toks
+      .join(broadcast(lm), Seq("token"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n").isNull.as("is_oov"),
+        (-log(coalesce(col("n").cast("double"), lit(alpha)) / col("lm_mass")))
+          .as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("is_oov"), 1L).otherwise(0L)).as("oov"),
+        TextOps.scaled4(
+          sum(col("nll")) / count(lit(1)).cast("double")).as("ce_e4"))
+  }
 }

@@ -288,4 +288,48 @@ class CorpusOpsSpec extends SparkSpec {
     assert(CorpusOps.fracHex(0.0) == "00000000")
     intercept[IllegalArgumentException](CorpusOps.fracHex(1.0))
   }
+
+  // --- crossEntropy ---
+
+  private def ce4(nlls: Double*): Int =
+    math.floor(nlls.sum / nlls.size * 10000.0 + 0.5).toInt
+
+  test("crossEntropy: closed-form unigram NLL, all tokens in-vocab") {
+    val d = docs(1L -> "a a b", 2L -> "a z")
+    // counts: a=3, b=1, z=1 → mass = 5 + 0.5
+    val out = CorpusOps.crossEntropy(d, CorpusOps.vocabulary(d, minCount = 1))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    val (pa, p1) = (3.0 / 5.5, 1.0 / 5.5)
+    assert(out(1L) == ((3L, 0L,
+      ce4(-math.log(pa), -math.log(pa), -math.log(p1)))))
+    assert(out(2L) == ((2L, 0L, ce4(-math.log(pa), -math.log(p1)))))
+  }
+
+  test("crossEntropy: OOV tokens take the smoothing mass and are counted") {
+    val lm = CorpusOps.vocabulary(docs(1L -> "a a b"), minCount = 1)
+    // LM: a=2, b=1 → mass 3.5; "q" is OOV → p = 0.5/3.5
+    val out = CorpusOps.crossEntropy(docs(9L -> "a q"), lm).collect().head
+    assert(out.getLong(1) == 2L && out.getLong(2) == 1L)
+    assert(out.getInt(3) ==
+      ce4(-math.log(2.0 / 3.5), -math.log(0.5 / 3.5)))
+    // rarer-than-anything OOV: its NLL exceeds every in-vocab token's
+    assert(-math.log(0.5 / 3.5) > -math.log(1.0 / 3.5))
+  }
+
+  test("crossEntropy: min-count pruning sends tail tokens to OOV") {
+    val train = docs(1L -> "a a a a a b")
+    val lm = CorpusOps.vocabulary(train, minCount = 5) // only "a" survives
+    val out = CorpusOps.crossEntropy(train, lm).collect().head
+    assert(out.getLong(2) == 1L) // "b" scored as OOV
+  }
+
+  test("crossEntropy: the LM probe is a broadcast join, never a sort-merge") {
+    val d = docs(1L -> "a b c", 2L -> "b c d")
+    val plan = CorpusOps.crossEntropy(d, CorpusOps.vocabulary(d, minCount = 1))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"LM side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no corpus-wide sort-merge:\n$plan")
+  }
 }
