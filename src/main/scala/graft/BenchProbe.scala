@@ -137,6 +137,113 @@ object BenchProbe {
       }
       return
     }
+    if (args.length > 1 && args(1) == "curation") {
+      // corpus-tier scaling evidence: run the curation-family operators on a
+      // large documents-shaped corpus synthesized ONCE from the bench input
+      // (one doc per transcript turn, doc_id = conv·1e8 + turn — unique,
+      // deterministic), then pure operator walls at 8 and 32 threads.
+      // Survivor counts print alongside the walls so the reader sees the
+      // workload shape each stage actually processed (log-like text fails
+      // the Gopher stopword rule often — that is the honest corpus).
+      val docsN = if (args.length > 2) args(2).toLong else 8000000L
+      val every = math.max(1L, rows / docsN)
+      val docsPath = s"/tmp/graft_probe_docs_$docsN"
+      if (!new java.io.File(s"$docsPath/_SUCCESS").exists()) {
+        val s = session(32)
+        s.read.parquet(path)
+          .select(
+            (expr("CAST(substring(conv_id, 6, 8) AS BIGINT)") * 100000000L +
+              col("turn_idx").cast("long")).as("doc_id"),
+            col("text"), col("role").as("source"))
+          .where(pmod(col("doc_id"), lit(every)) === 0)
+          .write.mode("overwrite").parquet(docsPath)
+        s.stop()
+      }
+      def curStages(s: SparkSession): Seq[(String, () => Array[Long])] = {
+        def d = s.read.parquet(docsPath)
+        Seq(
+          "quality_gate" -> (() => {
+            val r = textops.TextOps.gopherFilter(d)
+              .agg(count(lit(1)), sum(when(col("keep"), 1L).otherwise(0L)))
+              .collect()(0)
+            Array(r.getLong(0), r.getLong(1))
+          }),
+          "exact_dedup" -> (() => {
+            val r = textops.TextOps.dedupExact(d)
+              .agg(count(lit(1)), sum(col("n_dupes"))).collect()(0)
+            Array(r.getLong(0), r.getLong(1))
+          }),
+          "decontaminate" -> (() => {
+            val r = textops.CorpusOps.decontaminate(
+              d.where(pmod(col("doc_id"), lit(17)) =!= 3),
+              d.where(pmod(col("doc_id"), lit(17)) === 3), n = 4)
+              .agg(count(lit(1)),
+                sum(when(col("contaminated"), 1L).otherwise(0L))).collect()(0)
+            Array(r.getLong(0), r.getLong(1))
+          }),
+          // pack per (source, 64-way shard): the scaladoc's own advice when
+          // one stratum dominates — the probe exercises the sharded shape
+          "pack_sequences" -> (() => {
+            val r = textops.CorpusOps.packSequences(
+              d, seqLen = 2048,
+              stratum = concat(col("source"), lit(":"),
+                pmod(col("doc_id"), lit(64)).cast("string")))
+              .agg(count(lit(1)), max(col("last_seq"))).collect()(0)
+            Array(r.getLong(0), r.getLong(1))
+          }),
+          // near-dup machinery on a deterministic ~1/32 subset (banded LSH
+          // explode + guarded bucket join + packed-Jaccard verification).
+          // Template-generated log text is a worst-case near-dup corpus —
+          // nearly every bucket sits at the guard cap, so candidate pairs
+          // (and the verified output itself) grow quadratically in the
+          // subset; 1/32 keeps the stage a bucketed-join measurement rather
+          // than an output-materialization one.
+          "minhash_pairs" -> (() => {
+            val sub = d.where(pmod(col("doc_id"), lit(every * 32)) === 0)
+            Array(dedup.Dedup.minhashPairs(sub, 80).count())
+          }))
+      }
+      val walls = scala.collection.mutable.Map.empty[(String, Int), Double]
+      val counts = scala.collection.mutable.Map.empty[String, Array[Long]]
+      // three tiers, interleaved: 2→8 is the pre-saturation gate tier (the
+      // same operating point the main Bench gate uses), 32 the all-cores
+      // throughput point read against the host's memory ceiling
+      for (round <- 0 until 3; cpus <- Seq(32, 8, 2)) {
+        val s = session(cpus)
+        for ((name, fn) <- curStages(s)) {
+          val t0 = System.nanoTime()
+          val c = fn()
+          val sec = (System.nanoTime() - t0) / 1e9
+          counts(name) = c
+          val key = (name, cpus)
+          if (round > 0)
+            walls(key) = math.min(walls.getOrElse(key, Double.MaxValue), sec)
+          // partial evidence survives a crash; stderr keeps stdout JSON-only
+          System.err.println(
+            f"[curation] round=$round cpus=$cpus $name%-14s $sec%7.2f s " +
+              s"counts=${c.mkString(",")}")
+          // the stage's DataFrames are unreachable now — give ContextCleaner
+          // a GC cycle so its shuffle files leave /tmp before the next stage
+          // piles on (five stages × 8M docs of spill exceed the sandbox disk)
+          System.gc()
+          Thread.sleep(1500)
+        }
+        s.stop()
+      }
+      for (name <- Seq("quality_gate", "exact_dedup", "decontaminate",
+        "pack_sequences", "minhash_pairs")) {
+        val s2 = walls((name, 2)); val s8 = walls((name, 8))
+        val s32 = walls((name, 32))
+        val stageDocs = if (name == "minhash_pairs") docsN / 32 else docsN
+        val c = counts(name).mkString("[", ",", "]")
+        println(f"""{"probe":"curation_$name","docs":$stageDocs,"counts":$c,""" +
+          f""""sec_2":$s2%.2f,"sec_8":$s8%.2f,"sec_32":$s32%.2f,""" +
+          f""""docs_per_sec_32":${stageDocs / s32}%.0f,""" +
+          f""""eff_2_to_8":${s2 / s8 / 4.0}%.3f,""" +
+          f""""eff_8_to_32":${s8 / s32 / 4.0}%.3f}""")
+      }
+      return
+    }
     if (args.length > 1 && args(1) == "curve") {
       // full-transform wall at 4/8/16/32 threads, best-of-2 after warm-up
       val walls = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
