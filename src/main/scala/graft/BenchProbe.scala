@@ -191,16 +191,26 @@ object BenchProbe {
               .agg(count(lit(1)), max(col("last_seq"))).collect()(0)
             Array(r.getLong(0), r.getLong(1))
           }),
-          // near-dup machinery on a deterministic ~1/32 subset (banded LSH
-          // explode + guarded bucket join + packed-Jaccard verification).
-          // Template-generated log text is a worst-case near-dup corpus —
-          // nearly every bucket sits at the guard cap, so candidate pairs
-          // (and the verified output itself) grow quadratically in the
-          // subset; 1/32 keeps the stage a bucketed-join measurement rather
-          // than an output-materialization one.
+          // the near-dup PAIR REPORT on a deterministic ~1/128 subset:
+          // template-generated log text is a worst-case near-dup corpus —
+          // duplicates form cliques, so the verified pair set itself is
+          // quadratic in the subset (250k docs produced >70 GB of candidate
+          // spill); the subset keeps the stage a bucketed-join measurement
+          // rather than an output-materialization one
           "minhash_pairs" -> (() => {
-            val sub = d.where(pmod(col("doc_id"), lit(every * 32)) === 0)
+            val sub = d.where(pmod(col("doc_id"), lit(every * 128)) === 0)
             Array(dedup.Dedup.minhashPairs(sub, 80).count())
+          }),
+          // the near-dup CLUSTERING scale path on a ~1/8 subset (1M docs —
+          // the size whose pair materialization overflowed the sandbox
+          // disk): one verified star edge per bucket member, linear in the
+          // corpus even though this corpus is one big pile of cliques
+          "minhash_clusters" -> (() => {
+            val sub = d.where(pmod(col("doc_id"), lit(every * 8)) === 0)
+            val r = dedup.Dedup.minhashClusters(sub, 80)
+              .agg(count(lit(1)), sum(when(col("keep"), 1L).otherwise(0L)))
+              .collect()(0)
+            Array(r.getLong(0), r.getLong(1))
           }))
       }
       val walls = scala.collection.mutable.Map.empty[(String, Int), Double]
@@ -231,10 +241,14 @@ object BenchProbe {
         s.stop()
       }
       for (name <- Seq("quality_gate", "exact_dedup", "decontaminate",
-        "pack_sequences", "minhash_pairs")) {
+        "pack_sequences", "minhash_pairs", "minhash_clusters")) {
         val s2 = walls((name, 2)); val s8 = walls((name, 8))
         val s32 = walls((name, 32))
-        val stageDocs = if (name == "minhash_pairs") docsN / 32 else docsN
+        val stageDocs = name match {
+          case "minhash_pairs"    => docsN / 128
+          case "minhash_clusters" => docsN / 8
+          case _                  => docsN
+        }
         val c = counts(name).mkString("[", ",", "]")
         println(f"""{"probe":"curation_$name","docs":$stageDocs,"counts":$c,""" +
           f""""sec_2":$s2%.2f,"sec_8":$s8%.2f,"sec_32":$s32%.2f,""" +

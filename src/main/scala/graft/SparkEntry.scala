@@ -192,6 +192,13 @@ object SparkEntry {
       graft.dedup.Dedup.dedupClusters(docs(s, dir),
         graft.dedup.Dedup.minhashPairs(docs(s, dir), 80))),
 
+    // --- the linear-scale clustering path: one verified star edge per
+    //     (bucket member → bucket representative) instead of all pairs —
+    //     same resolved clusters, O(docs × bands) candidates even on a
+    //     boilerplate corpus where every bucket is one clique ---
+    "q_dedup_clusters_lsh" -> ((s, dir) =>
+      graft.dedup.Dedup.minhashClusters(docs(s, dir), 80)),
+
     // --- the composed curation pipeline: quality gate → exact dedup →
     //     near-dup clusters, with per-document drop-stage lineage ---
     "q_curation" -> ((s, dir) =>
@@ -1146,6 +1153,25 @@ object SparkEntry {
     // the same verified pair set with a recursive CTE, then labels every
     // document with min(component) (singletons label themselves)
     "q_dedup_clusters" ->
+      (OracleCte.jaccardPairs.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, und AS (
+          |  SELECT a_id AS u, b_id AS v FROM jpairs
+          |  UNION SELECT b_id AS u, a_id AS v FROM jpairs
+          |), reach(u, v) AS (
+          |  SELECT u, v FROM und
+          |  UNION
+          |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u AND e.v <> r.u
+          |), comp AS (
+          |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+          |)
+          | SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+          |   COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
+          | FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin),
+
+    // star-edge clustering resolves the SAME components as the all-pairs
+    // closure on this corpus (DedupSpec pins the set-equality), so the
+    // exact-transitive-closure oracle applies verbatim
+    "q_dedup_clusters_lsh" ->
       (OracleCte.jaccardPairs.replaceFirst("WITH ", "WITH RECURSIVE ") +
         """, und AS (
           |  SELECT a_id AS u, b_id AS v FROM jpairs

@@ -113,6 +113,15 @@ object Dedup {
     // only, no shingle array ever materializes or crosses a shuffle. Same
     // length-blocking contract as jaccardPairs so the sketch output is a
     // subset of the oracle's pair space.
+    verifyCandidates(docs, cands, tauPct, lenBlock)
+  }
+
+  /** exact packed-shingle Jaccard verification of an (a_id, b_id) candidate
+    * edge set against the raw corpus — the shared tail of every MinHash
+    * family member. Work is proportional to candidate edges; no shingle
+    * array ever materializes or crosses a shuffle. */
+  private def verifyCandidates(docs: DataFrame, cands: DataFrame,
+                               tauPct: Int, lenBlock: Int): DataFrame = {
     val aDoc = docs.select(col("doc_id").as("a_id"), col("text").as("a_text"))
     val bDoc = docs.select(col("doc_id").as("b_id"), col("text").as("b_text"))
     def toks(c: Column) = TextOps.tokens(TextOps.normalized(c))
@@ -125,6 +134,53 @@ object Dedup {
         shiftrightunsigned(col("p"), 32).cast("int").as("n_inter"),
         col("p").bitwiseAND(lit(0xffffffffL)).cast("int").as("n_union"))
       .filter(col("n_inter") * 100 >= col("n_union") * tauPct)
+  }
+
+  /** Family 2b — near-dup CLUSTERING at corpus scale via per-bucket STAR
+    * edges. [[minhashPairs]] materializes every verified pair, which is the
+    * right contract for a pair-level report but quadratic in any template /
+    * boilerplate corpus: duplicates form cliques, and a clique of c docs is
+    * c²/2 pairs no matter how buckets are capped (measured: 250k
+    * template-generated log docs produced >70 GB of candidate spill).
+    * Clustering only needs a SPANNING subgraph of the near-dup graph, so
+    * this operator emits one edge per (bucket member, bucket representative
+    * = min doc_id) — O(docs × bands) candidate edges total, linear in the
+    * corpus even when every bucket is one giant clique. This is the shape
+    * web-scale dedup pipelines actually run (RefinedWeb / SlimPajama-class:
+    * LSH buckets → union-find, no pairwise join).
+    *
+    * Every star edge is still VERIFIED (exact packed-shingle Jaccard vs the
+    * representative, same τ and length-block as the pair path), so a
+    * hash-collision bucket cannot merge unrelated documents. Relative to
+    * the all-pairs closure the star closure can only under-merge, and only
+    * when a bucket's representative is dissimilar to a member that has no
+    * faithful representative in any of its other `bands` buckets — for real
+    * duplicate cliques every representative is a clique member, and
+    * DedupSpec pins set-equality to the exact transitive closure on the
+    * test corpus.
+    *
+    * 100 TB posture: one map-side-combinable groupBy-MIN per bucket (a
+    * boilerplate mega-bucket costs one running min, never a buffer), a
+    * same-key join back to the banded rows (12-byte shuffle keys), linear
+    * verification, then [[connectedComponents]]. A representative of a hot
+    * clique is a skewed join key on the verification's a_id side — AQE
+    * skew-join splitting handles it (the b_id side is unique).
+    *
+    * Returns (doc_id, cluster_id, keep) for every input document — the
+    * [[dedupClusters]] contract. */
+  def minhashClusters(docs: DataFrame, tauPct: Int, k: Int = 32,
+                      bands: Int = 16, lenBlock: Int = 40): DataFrame = {
+    val banded = docs.select(
+      col("doc_id"),
+      posexplode(minhash_bands_tokens(
+        TextOps.tokens(TextOps.normalized(col("text"))), 3, k, bands))
+        .as(Seq("band", "bucket")))
+    val reps = banded.groupBy("band", "bucket").agg(min("doc_id").as("a_id"))
+    val star = banded.join(reps, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("a_id"))
+      .select(col("a_id"), col("doc_id").as("b_id"))
+      .distinct()
+    dedupClusters(docs, verifyCandidates(docs, star, tauPct, lenBlock))
   }
 
   /** Family 3 — SimHash near-dup: 64-bit sketch per doc, candidates by

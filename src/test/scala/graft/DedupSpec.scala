@@ -199,6 +199,28 @@ class DedupSpec extends SparkSpec {
     assert(keepers.forall { case (id, c) => id == c })
   }
 
+  test("minhashClusters (star edges) equals the exact all-pairs closure") {
+    val exact = Dedup.dedupClusters(docs, Dedup.minhashPairs(docs, 80))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val star = Dedup.minhashClusters(docs, 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(star == exact,
+      s"missing=${(exact -- star).take(5)} extra=${(star -- exact).take(5)}")
+  }
+
+  test("minhashClusters candidate edges are linear in bucket size, not quadratic") {
+    import spark.implicits._
+    // one giant clique: 60 near-identical docs (pairwise ~quadratic: 1770
+    // pairs) — the star edge set before dedup must stay ≤ docs × bands
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val clique = (0L until 60L).map(i => (i, s"$base tail$i")).toDF("doc_id", "text")
+    val clusters = Dedup.minhashClusters(clique, 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // all 60 in one cluster rooted at doc 0
+    assert(clusters.forall(_._2 == 0L))
+    assert(clusters.count(_._3) == 1)
+  }
+
   test("curate: planted documents land in the right lineage stage") {
     import spark.implicits._
     val base = "the quick brown fox jumps over a lazy sleeping dog while " +
