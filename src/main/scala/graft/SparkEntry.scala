@@ -687,6 +687,28 @@ object SparkEntry {
           element_at(element_at(col("_p.sd"), "graft@1"), "role").as("sd_role"),
           col("_p.message").as("msg"), col("_p.valid").as("valid"))),
 
+    // --- RFC6587 TCP frame splitting (inputsource/common/streaming/
+    //     scan.go): per-turn synthetic streams exercise octet counting,
+    //     non-transparent framing, per-frame mode alternation, and the
+    //     dropped-tail rules; the oracle predicts every frame closed-form ---
+    "q_rfc6587" -> ((s, dir) => {
+      def octet(c: Column) =
+        concat(octet_length(c).cast("string"), lit(" "), c)
+      val safe = concat(lit("<"), regexp_replace(col("text"), "\n", " "))
+      val v = pmod(col("turn_idx"), lit(4))
+      val stream = when(v === 0,
+          concat(octet(col("text")), octet(concat(lit("ack "), col("conv_id")))))
+        .when(v === 1, concat(safe, lit("\n"), safe, lit(" again\n")))
+        .when(v === 2, concat(octet(concat(col("text"), lit("\nx"))),
+          safe, lit("\n"), lit("42 zz")))
+        .otherwise(concat(octet(col("text")), lit("1")))
+      t(s, dir)
+        .select(col("conv_id"), col("turn_idx"), stream.as("s"))
+        .select(col("conv_id"), col("turn_idx"),
+          posexplode(graft.functions.frame_split(col("s")))
+            .as(Seq("frame_idx", "frame")))
+    }),
+
     // --- the composed syslog pipeline: parse → first-match-wins route →
     //     per-sink aggregate (the reference's syslog input + output selector
     //     shape, end to end) ---
@@ -1659,6 +1681,29 @@ object SparkEntry {
           |  CASE WHEN v = 3 THEN 'raw: ' || text ELSE text END AS msg,
           |  v IN (0,1,2,4) AS valid
           | FROM syl""".stripMargin),
+
+    // RFC6587 framing: the streams are synthesized closed-form from the
+    // transcript columns, so every emitted frame (and every DROPPED tail —
+    // variant 2's short octet frame, variant 3's 1-byte tail) is predicted
+    // without running a scanner
+    "q_rfc6587" ->
+      (OracleCte.transcripts +
+        """, f AS (
+          |  SELECT conv_id, turn_idx, turn_idx % 4 AS v, text,
+          |    '<' || replace(text, chr(10), ' ') AS st
+          |  FROM transcripts
+          |)
+          | SELECT conv_id, turn_idx, 0 AS frame_idx,
+          |   CASE WHEN v = 1 THEN st
+          |        WHEN v = 2 THEN text || chr(10) || 'x'
+          |        ELSE text END AS frame
+          | FROM f
+          | UNION ALL
+          | SELECT conv_id, turn_idx, 1 AS frame_idx,
+          |   CASE WHEN v = 0 THEN 'ack ' || conv_id
+          |        WHEN v = 1 THEN st || ' again'
+          |        ELSE st END AS frame
+          | FROM f WHERE v IN (0, 1, 2)""".stripMargin),
 
     // the composed syslog pipeline: severity/validity per variant are
     // closed-form, so the routed per-sink aggregate is too. v=3 parses to

@@ -253,4 +253,14 @@ package object functions {
     * once at plan time (the deployment path for the real ~9k-rule list). */
   def registered_domain_from_file(domain: Column, rulesFile: String): Column =
     registered_domain(domain, PslKernel.loadRules(rulesFile))
+
+  /** TCP-stream frame split (inputsource/common/streaming/scan.go): RFC6587
+    * octet-counting + non-transparent framing per frame (the syslog input's
+    * `framing: rfc6587`), or pure custom-delimiter framing with
+    * `rfc6587 = false` (`FactoryDelimiter`). One row = one reassembled
+    * stream; returns its frames in order. */
+  def frame_split(stream: Column, delimiter: String = "\n",
+                  rfc6587: Boolean = true): Column =
+    ExpressionUtils.column(
+      FrameSplit(ExpressionUtils.expression(stream), delimiter, rfc6587))
 }

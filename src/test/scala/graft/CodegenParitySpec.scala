@@ -121,6 +121,20 @@ class CodegenParitySpec extends SparkSpec {
     }
   }
 
+  test("round-4 framing: frame_split") {
+    lazy val streams = Seq(
+      "13 <9> message 09 <6> msg 113 <3> message 2",
+      "14 <9> message \n0<6> msg 1\n14 <3> message \n2",
+      "<9> a\n<8> b\n", "5 hell", "0 5 hello", "1a b rest", "x", ""
+    ).toDF("t")
+    check("frame_split_rfc6587") {
+      streams.select(frame_split(col("t")).as("r"))
+    }
+    check("frame_split_delim") {
+      streams.select(frame_split(col("t"), "<END>", rfc6587 = false).as("r"))
+    }
+  }
+
   test("round-4 parser: decode_wineventlog") {
     lazy val events = Seq(
       "<Event><System><Provider Name='P' Guid='{g}'/><EventID>7</EventID>" +

@@ -276,6 +276,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("frame_split is total, deterministic, and reconstructs within bounds") {
+    import graft.functions.FramingKernel
+    val framish = Gen.listOf(Gen.oneOf(
+      Gen.const("5 hello"), Gen.const("0 "), Gen.const("\n"),
+      Gen.const("<x> msg"), Gen.const("13 "), Gen.const(" "),
+      Gen.numStr.map(_.take(4)), Gen.alphaNumStr.map(_.take(6))))
+      .map(_.mkString)
+    forAll(Gen.oneOf(anyString, framish)) { s =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val nl = Array('\n'.toByte)
+      for (mode <- Seq(true, false)) {
+        val raw1 = FramingKernel.frames(b, nl, mode)
+        val r1 = raw1.map(_.toString).toSeq
+        val r2 = FramingKernel.frames(b, nl, mode).map(_.toString).toSeq
+        assert(r1 == r2, s.take(60))
+        // frames never exceed the stream's byte budget (an octet count may
+        // split mid-codepoint, so measure the raw bytes, not a re-encode)
+        assert(raw1.map(_.numBytes.toLong).sum <= b.length)
+      }
+      // pure delimiter mode partitions the stream exactly (delimiters aside)
+      val d = FramingKernel.frames(b, nl, rfc6587 = false).map(_.toString)
+      assert(d.mkString("\n") == s || d.mkString("\n") == s.stripSuffix("\n"),
+        s.take(60))
+    }
+  }
+
   test("ngram_char_fracs is total, deterministic, non-negative") {
     import graft.functions.RepetitionKernel
     forAll(Gen.zip(Gen.oneOf(anyString, loggy), Gen.choose(1, 5))) { case (s, n) =>
