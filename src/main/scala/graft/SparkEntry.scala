@@ -143,6 +143,22 @@ object SparkEntry {
         .reduce(_ unionByName _)
     }),
 
+    // --- snapshot time travel: two committed batches, then read the table
+    //     as of EACH version — history must not move under the second
+    //     commit, and per-version contents are predicted closed-form ---
+    "q_snapshot_timetravel" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q-tt").toString
+      val tbl = new graft.checkpoint.SnapshotTable(root, s)
+      val base = t(s, dir)
+      tbl.append(base.filter(pmod(col("turn_idx"), lit(3)) === 0), Some("batch-a"))
+      tbl.append(base.filter(pmod(col("turn_idx"), lit(3)) =!= 0), Some("batch-b"))
+      (1L to 2L).map { v =>
+        tbl.readVersion(v).get.groupBy("role")
+          .agg(count(lit(1)).as("events"))
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _)
+    }),
+
     "q_bucket_metrics" -> ((s, dir) =>
       TranscriptPipeline.transform(t(s, dir))
         .withColumn("bucket", substring(col("conv_id"), 6, 8).cast("int") % 8)
@@ -218,6 +234,16 @@ object SparkEntry {
     "q_decontaminate" -> ((s, dir) => {
       val d = docs(s, dir)
       graft.textops.CorpusOps.decontaminate(
+        d.filter(col("doc_id") % 17 =!= 3),
+        d.filter(col("doc_id") % 17 === 3), n = 4)
+    }),
+
+    // the join-free shape: the benchmark gram set rides inside a codegen'd
+    // expression; the train side is one narrow map (same verdict, same
+    // oracle — equivalence also pinned in CorpusOpsSpec)
+    "q_decontaminate_inline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.textops.CorpusOps.decontaminateInline(
         d.filter(col("doc_id") % 17 =!= 3),
         d.filter(col("doc_id") % 17 === 3), n = 4)
     }),
@@ -824,6 +850,33 @@ object SparkEntry {
   private def embeds(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** shared by q_decontaminate and q_decontaminate_inline — the two
+    * evaluation shapes of the same verdict. */
+  private val deconOracle: String =
+    """WITH nt AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents
+        |), wins AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS g
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS i
+        |        FROM nt WHERE len(toks) >= 4)
+        |), bg AS (
+        |  SELECT DISTINCT g FROM wins WHERE doc_id % 17 = 3
+        |), tg AS (
+        |  SELECT DISTINCT doc_id, g FROM wins WHERE doc_id % 17 <> 3
+        |), ng AS (
+        |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_grams FROM tg GROUP BY 1
+        |), h AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS hits
+        |  FROM tg JOIN bg USING (g) GROUP BY 1
+        |)
+        | SELECT t.doc_id, coalesce(ng.n_grams, 0) AS n_grams,
+        |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |  coalesce(h.hits, 0) >= 1 AS contaminated
+        | FROM (SELECT doc_id FROM nt WHERE doc_id % 17 <> 3) t
+        | LEFT JOIN ng USING (doc_id) LEFT JOIN h USING (doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_transcripts" ->
       (OracleCte.transcripts + " SELECT * FROM transcripts"),
@@ -853,6 +906,16 @@ object SparkEntry {
       (OracleCte.parsed +
         " SELECT sink, count(*) AS events FROM parsed" +
         " WHERE sink <> 'filtered' GROUP BY sink"),
+
+    // time travel: version 1 = the turn_idx%3=0 batch, version 2 = the
+    // whole table — each version's per-role counts are closed-form
+    "q_snapshot_timetravel" ->
+      (OracleCte.transcripts +
+        """ SELECT role, count(*) AS events, CAST(1 AS BIGINT) AS version
+          | FROM transcripts WHERE turn_idx % 3 = 0 GROUP BY role
+          | UNION ALL
+          | SELECT role, count(*) AS events, CAST(2 AS BIGINT) AS version
+          | FROM transcripts GROUP BY role""".stripMargin),
 
     "q_routed_rows" ->
       (OracleCte.parsed +
@@ -979,30 +1042,11 @@ object SparkEntry {
     // decontamination: the oracle joins on the n-gram STRING itself (the
     // Spark path broadcasts xxhash64 fingerprints of the same grams — a
     // 64-bit collision is the only way the two can diverge)
-    "q_decontaminate" ->
-      """WITH nt AS (
-        |  SELECT doc_id,
-        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
-        |  FROM documents
-        |), wins AS (
-        |  SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS g
-        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS i
-        |        FROM nt WHERE len(toks) >= 4)
-        |), bg AS (
-        |  SELECT DISTINCT g FROM wins WHERE doc_id % 17 = 3
-        |), tg AS (
-        |  SELECT DISTINCT doc_id, g FROM wins WHERE doc_id % 17 <> 3
-        |), ng AS (
-        |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_grams FROM tg GROUP BY 1
-        |), h AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS hits
-        |  FROM tg JOIN bg USING (g) GROUP BY 1
-        |)
-        | SELECT t.doc_id, coalesce(ng.n_grams, 0) AS n_grams,
-        |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
-        |  coalesce(h.hits, 0) >= 1 AS contaminated
-        | FROM (SELECT doc_id FROM nt WHERE doc_id % 17 <> 3) t
-        | LEFT JOIN ng USING (doc_id) LEFT JOIN h USING (doc_id)""".stripMargin,
+    "q_decontaminate" -> deconOracle,
+
+    // the inline (join-free) path computes the IDENTICAL verdict —
+    // equivalence to the join path is also pinned in CorpusOpsSpec
+    "q_decontaminate_inline" -> deconOracle,
 
     // PII redaction: identical injected input built closed-form from
     // doc_id, then the same three-stage regex cascade (the patterns live in

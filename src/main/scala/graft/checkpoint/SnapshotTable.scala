@@ -162,6 +162,41 @@ final class SnapshotTable(val root: String, spark: SparkSession,
   def snapshotForTxn(txn: String): Option[SnapshotInfo] =
     state().snapshots.find(_.txn.contains(txn))
 
+  // --------------------------------------------------------- time travel
+
+  /** all metadata versions still on disk, ascending (1 = first commit).
+    * Retention is [[expireSnapshots]]' `keepVersions` — expired versions
+    * are no longer time-travelable, exactly like Iceberg's
+    * `expire_snapshots`. */
+  def liveVersions(): Seq[Long] = {
+    if (!fs.exists(metaDir)) return Seq.empty
+    fs.listStatus(metaDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .sorted.toSeq
+  }
+
+  /** committed state AT `version`; None once expired (or never committed). */
+  def stateAt(version: Long): Option[TableState] = {
+    val p = versionPath(version)
+    if (version < 1 || !fs.exists(p)) None else Some(parseMeta(readBytes(fs, p)))
+  }
+
+  /** time-travel read: the table exactly as of `version`. None when the
+    * version is expired/unknown or held no files. Every commit (append,
+    * merge, staged fan-out) is one version, so this is also
+    * read-as-of-snapshot — resolve ids via [[readSnapshot]]. */
+  def readVersion(version: Long): Option[DataFrame] =
+    stateAt(version).filter(_.files.nonEmpty)
+      .map(st => spark.read.parquet(absolute(st.files): _*))
+
+  /** read the table as of the commit that produced `snapshotId` (the id
+    * recorded in sink lineage rows and [[CommitResult]]s). */
+  def readSnapshot(snapshotId: String): Option[DataFrame] =
+    liveVersions().reverse
+      .find(v => stateAt(v).exists(_.snapshotId.contains(snapshotId)))
+      .flatMap(readVersion)
+
   // ------------------------------------------------------------- writing
 
   /** move externally staged parquet files (e.g. one sink's slice of a

@@ -254,6 +254,13 @@ package object functions {
   def registered_domain_from_file(domain: Column, rulesFile: String): Column =
     registered_domain(domain, PslKernel.loadRules(rulesFile))
 
+  /** membership-count of an array&lt;bigint&gt; of gram hashes against a fixed
+    * sorted set carried inside the expression → `(n_grams, hits)`; the
+    * join-free decontamination kernel. */
+  def ngram_set_hits(gramHashes: Column, sortedSet: Array[Long]): Column =
+    ExpressionUtils.column(
+      NgramSetHits(ExpressionUtils.expression(gramHashes), sortedSet))
+
   /** TCP-stream frame split (inputsource/common/streaming/scan.go): RFC6587
     * octet-counting + non-transparent framing per frame (the syslog input's
     * `framing: rfc6587`), or pure custom-delimiter framing with

@@ -64,6 +64,39 @@ object CorpusOps {
       .withColumn("contaminated", col("hits") >= minHits)
   }
 
+  /** Join-free decontamination for the shape real pipelines actually have:
+    * the evaluation suite is SMALL AND FIXED (GPT-3 decontaminated against
+    * benchmark sets of 10^4–10^5 documents), so its distinct gram hashes are
+    * collected once (driver-side, size-guarded), sorted into a primitive
+    * long array, and shipped inside a codegen'd expression
+    * ([[graft.functions.NgramSetHits]]). The 10^12-doc train side then stays
+    * a single narrow map over the scan — no 25×-row gram explode, no
+    * broadcast join, no per-doc aggregation shuffle, and the text is
+    * tokenized ONCE (the join path scans it twice: hits + n_grams).
+    *
+    * Same output contract as [[decontaminate]]; equivalence is spec-pinned.
+    * Use [[decontaminate]] when the "benchmark" side is itself corpus-sized
+    * (the set no longer fits a task binary) — `maxGrams` guards the cliff
+    * explicitly rather than letting the driver OOM. */
+  def decontaminateInline(train: DataFrame, bench: DataFrame, n: Int = 8,
+                          minHits: Int = 1,
+                          maxGrams: Int = 64 << 20): DataFrame = {
+    val session = bench.sparkSession
+    import session.implicits._
+    val grams = bench.select(explode(ngramHashes(col("text"), n)).as("g"))
+      .distinct().as[Long].collect()
+    require(grams.length <= maxGrams,
+      s"benchmark gram set (${grams.length}) exceeds maxGrams=$maxGrams — " +
+        "use the join-based decontaminate for corpus-sized right sides")
+    java.util.Arrays.sort(grams)
+    train
+      .select(col("doc_id"),
+        graft.functions.ngram_set_hits(ngramHashes(col("text"), n), grams).as("_r"))
+      .select(col("doc_id"), col("_r.n_grams").as("n_grams"),
+        col("_r.hits").cast("long").as("hits"),
+        (col("_r.hits") >= minHits).as("contaminated"))
+  }
+
   /** PII patterns — deliberately in the regex subset where Java and RE2
     * (DuckDB, Go, Hyperscan) agree byte-for-byte: character classes,
     * bounded quantifiers, `\b`, non-capturing groups; no lookaround, no

@@ -135,6 +135,17 @@ class CodegenParitySpec extends SparkSpec {
     }
   }
 
+  test("round-4 kernel: ngram_set_hits") {
+    lazy val d = Seq("a b c d e", "c d e f g", "x", "", "a  b\tc d").toDF("t")
+    val set = Seq("a b c", "c d e").toDF("g")
+      .select(xxhash64(col("g"))).as[Long].collect() :+ 42L
+    java.util.Arrays.sort(set)
+    check("ngram_set_hits") {
+      d.select(ngram_set_hits(
+        graft.textops.CorpusOps.ngramHashes(col("t"), 3), set).as("r"))
+    }
+  }
+
   test("round-4 parser: decode_wineventlog") {
     lazy val events = Seq(
       "<Event><System><Provider Name='P' Guid='{g}'/><EventID>7</EventID>" +

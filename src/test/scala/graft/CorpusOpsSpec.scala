@@ -53,6 +53,40 @@ class CorpusOpsSpec extends SparkSpec {
       s"benchmark side must broadcast, not shuffle:\n$plan")
   }
 
+  test("decontaminateInline equals the join path on every row") {
+    val train = docs(
+      1L -> "the quick brown fox jumps over lazy dogs",
+      2L -> "totally clean document here four five",
+      3L -> "ab cd",
+      4L -> "quick brown fox quick brown fox",
+      5L -> "the quick brown cat naps")
+    val bench = docs(100L -> "a quick brown fox ran", 101L -> "lazy dogs bark")
+    for (minHits <- Seq(1, 2)) {
+      val joined = CorpusOps.decontaminate(train, bench, n = 3, minHits)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+      val inline = CorpusOps.decontaminateInline(train, bench, n = 3, minHits)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+      assert(inline == joined, s"minHits=$minHits")
+    }
+  }
+
+  test("decontaminateInline plans a pure narrow map (no join, no shuffle)") {
+    val d = docs(1L -> "a b c d e", 2L -> "c d e f g")
+    val plan = CorpusOps.decontaminateInline(d, d.filter(col("doc_id") === 1), n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"the train side must stay a narrow map:\n$plan")
+  }
+
+  test("decontaminateInline refuses a corpus-sized benchmark side") {
+    val d = docs(1L -> "a b c d e f g h i j")
+    intercept[IllegalArgumentException] {
+      CorpusOps.decontaminateInline(d, d, n = 3, maxGrams = 2)
+    }
+  }
+
   test("decontaminate minHits raises the contamination bar") {
     val train = docs(1L -> "a b c d e")          // grams: abc bcd cde
     val bench = docs(9L -> "a b c d")            // grams: abc bcd

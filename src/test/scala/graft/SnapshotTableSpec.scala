@@ -143,4 +143,35 @@ class SnapshotTableSpec extends SparkSpec {
     val metaDir = new java.io.File(s"${t.root}/metadata")
     assert(metaDir.listFiles().count(_.getName.matches("v\\d+\\.json")) == 2)
   }
+
+  test("time travel: readVersion/readSnapshot see the table as of a commit") {
+    val t = tmpTable()
+    val r1 = t.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), None)
+    t.append(Seq((3, "c")).toDF("id", "v"), None)
+    // a COW merge rewrites the live file set; history must not move
+    t.merge(Seq((2, "B2")).toDF("id", "v"), keys = Seq("id"), None)
+    assert(t.liveVersions() == Seq(1L, 2L, 3L))
+    assert(t.readVersion(1).get.count() == 2)
+    assert(t.readVersion(2).get.count() == 3)
+    assert(t.readVersion(2).get.where(col("id") === 2).select("v")
+      .first().getString(0) == "b", "v2 predates the merge")
+    assert(t.readVersion(3).get.where(col("id") === 2).select("v")
+      .first().getString(0) == "B2")
+    assert(t.readSnapshot(r1.snapshotId).get.count() == 2)
+    assert(t.readVersion(0).isEmpty && t.readVersion(9).isEmpty &&
+      t.readSnapshot("no-such").isEmpty)
+  }
+
+  test("time travel window is bounded by expireSnapshots retention") {
+    val t = tmpTable()
+    t.append(Seq((1, "a")).toDF("id", "v"), None)
+    t.append(Seq((2, "b")).toDF("id", "v"), None)
+    t.append(Seq((3, "c")).toDF("id", "v"), None)
+    t.expireSnapshots(keepVersions = 2, orphanGraceMs = 0)
+    assert(t.liveVersions() == Seq(2L, 3L))
+    assert(t.readVersion(1).isEmpty, "expired versions are gone")
+    assert(t.readVersion(2).get.count() == 2)
+    assert(t.readVersion(3).get.count() == 3)
+    assert(t.read().get.count() == 3)
+  }
 }
