@@ -193,6 +193,17 @@ object BenchProbe {
                 sum(when(col("contaminated"), 1L).otherwise(0L))).collect()(0)
             Array(r.getLong(0), r.getLong(1))
           }),
+          // bloom-prefiltered decontamination: fixed-memory scale shape —
+          // bloom probe narrow map, exact verification join over the
+          // bloom-positive slice only
+          "decontaminate_bloom" -> (() => {
+            val r = textops.CorpusOps.decontaminateBloom(
+              d.where(pmod(col("doc_id"), lit(17)) =!= 3),
+              d.where(pmod(col("doc_id"), lit(17)) === 3), n = 4)
+              .agg(count(lit(1)),
+                sum(when(col("contaminated"), 1L).otherwise(0L))).collect()(0)
+            Array(r.getLong(0), r.getLong(1))
+          }),
           // pack per (source, 64-way shard): the scaladoc's own advice when
           // one stratum dominates — the probe exercises the sharded shape
           "pack_sequences" -> (() => {
@@ -236,7 +247,8 @@ object BenchProbe {
       // expensive stages get one warm-up + one recorded round; the cheap
       // narrow-map stages keep min-of-2 over three rounds
       val roundsOf = Map("decontaminate" -> 2, "decontaminate_inline" -> 2,
-        "minhash_pairs" -> 2, "minhash_clusters" -> 2).withDefaultValue(3)
+        "decontaminate_bloom" -> 2, "minhash_pairs" -> 2,
+        "minhash_clusters" -> 2).withDefaultValue(3)
       for (round <- 0 until 3; cpus <- Seq(32, 8, 2)) {
         val s = session(cpus)
         for ((name, fn) <- curStages(s) if round < roundsOf(name)) {
@@ -260,8 +272,8 @@ object BenchProbe {
         s.stop()
       }
       for (name <- Seq("quality_gate", "exact_dedup", "decontaminate",
-        "decontaminate_inline", "pack_sequences", "minhash_pairs",
-        "minhash_clusters")) {
+        "decontaminate_inline", "decontaminate_bloom", "pack_sequences",
+        "minhash_pairs", "minhash_clusters")) {
         val s2 = walls((name, 2)); val s8 = walls((name, 8))
         val s32 = walls((name, 32))
         val stageDocs = name match {

@@ -248,6 +248,17 @@ object SparkEntry {
         d.filter(col("doc_id") % 17 === 3), n = 4)
     }),
 
+    // the fixed-memory scale shape: Bloom prefilter (no false negatives) +
+    // exact verification of the bloom-positive slice only — the RESULT is
+    // exact, so the same oracle applies; fpp=0.25 deliberately forces real
+    // false positives through the verification join
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.textops.CorpusOps.decontaminateBloom(
+        d.filter(col("doc_id") % 17 =!= 3),
+        d.filter(col("doc_id") % 17 === 3), n = 4, fpp = 0.25)
+    }),
+
     // --- PII redaction over deterministically-injected emails / IPv4s /
     //     phone numbers (built closed-form from doc_id so the oracle
     //     constructs the identical input) ---
@@ -1047,6 +1058,11 @@ object SparkEntry {
     // the inline (join-free) path computes the IDENTICAL verdict —
     // equivalence to the join path is also pinned in CorpusOpsSpec
     "q_decontaminate_inline" -> deconOracle,
+
+    // the Bloom path is exact too (no-false-negative shortcut + exact
+    // verification of bloom positives), so the one oracle covers all three
+    // evaluation shapes
+    "q_decontaminate_bloom" -> deconOracle,
 
     // PII redaction: identical injected input built closed-form from
     // doc_id, then the same three-stage regex cascade (the patterns live in

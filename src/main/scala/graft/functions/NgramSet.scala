@@ -58,3 +58,60 @@ object NgramSetHits {
     StructField("n_grams", IntegerType, nullable = false),
     StructField("hits", IntegerType, nullable = false)))
 }
+
+/** `ngram_bloom_hits(gram_hashes)` — counts a document's gram hashes that a
+  * FIXED Bloom filter (Spark's `util.sketch.BloomFilter`, built once over the
+  * benchmark gram stream) might contain. The filter ships as its serialized
+  * bytes (the sketch's own stable `writeTo`/`readFrom` format) and is
+  * deserialized once per task, so the expression is a pure narrow map.
+  *
+  * A Bloom filter has NO false negatives, so `bloom_hits = 0` proves the
+  * document shares zero grams with the benchmark — that is the contract
+  * [[graft.textops.CorpusOps.decontaminateBloom]] builds on: the (tiny)
+  * bloom-positive slice is re-verified exactly, everything else is
+  * definitively clean without ever reaching a join. Returns
+  * `(n_grams, bloom_hits)` in one pass over the (expensive) gram-hash child. */
+case class NgramBloomHits(child: Expression, bfBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def dataType: DataType = NgramBloomHits.schema
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "ngram_bloom_hits"
+
+  @transient private lazy val bf =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bfBytes))
+
+  def evalInput(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    var i = 0
+    var hits = 0
+    while (i < n) {
+      if (bf.mightContainLong(arr.getLong(i))) hits += 1
+      i += 1
+    }
+    val r = new GenericInternalRow(2)
+    r.update(0, n)
+    r.update(1, hits)
+    r
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    evalInput(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramBloomHits", this, classOf[NgramBloomHits].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.evalInput($c);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramBloomHits =
+    copy(child = newChild)
+}
+
+object NgramBloomHits {
+  val schema: StructType = StructType(Seq(
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("bloom_hits", IntegerType, nullable = false)))
+}

@@ -261,6 +261,13 @@ package object functions {
     ExpressionUtils.column(
       NgramSetHits(ExpressionUtils.expression(gramHashes), sortedSet))
 
+  /** might-contain count of an array&lt;bigint&gt; of gram hashes against a
+    * serialized `util.sketch.BloomFilter` → `(n_grams, bloom_hits)`; zero
+    * bloom hits proves zero true hits (no false negatives). */
+  def ngram_bloom_hits(gramHashes: Column, bfBytes: Array[Byte]): Column =
+    ExpressionUtils.column(
+      NgramBloomHits(ExpressionUtils.expression(gramHashes), bfBytes))
+
   /** TCP-stream frame split (inputsource/common/streaming/scan.go): RFC6587
     * octet-counting + non-transparent framing per frame (the syslog input's
     * `framing: rfc6587`), or pure custom-delimiter framing with

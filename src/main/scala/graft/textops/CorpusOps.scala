@@ -97,6 +97,59 @@ object CorpusOps {
         (col("_r.hits") >= minHits).as("contaminated"))
   }
 
+  /** Bloom-prefiltered decontamination — the fixed-memory scale path for the
+    * third shape: a "benchmark" side too big for [[decontaminateInline]]'s
+    * exact in-task set AND too big to broadcast-join comfortably (e.g.
+    * decontaminating one corpus against another corpus's held-out split).
+    *
+    * Shape: (1) a Bloom filter over the benchmark gram stream — built with
+    * Spark's own distributed sketch aggregate, NO distinct shuffle (Bloom
+    * insertion is idempotent), `fpp` bounds its size at m ≈ -n·ln(fpp)/ln²2
+    * bits regardless of corpus size; (2) the train side probes it in one
+    * codegen'd narrow map ([[graft.functions.NgramBloomHits]]); (3) a Bloom
+    * filter has NO false negatives, so `bloom_hits = 0` (the overwhelming
+    * majority of a real corpus) is DEFINITIVELY clean with exact `hits = 0`;
+    * (4) only the bloom-positive slice — true contamination + an `fpp`
+    * fraction of false positives — re-verifies through the exact gram join,
+    * with no broadcast hint so AQE picks the join strategy from the actual
+    * slice sizes. The result is EXACT (same contract as [[decontaminate]],
+    * equivalence spec-pinned); the Bloom only decides who must be verified.
+    *
+    * Pass `expectedGrams` when the benchmark gram cardinality is known to
+    * skip the approx-count pass (one extra scan of the benchmark side). */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame, n: Int = 8,
+                         minHits: Int = 1, fpp: Double = 0.01,
+                         expectedGrams: Long = -1L): DataFrame = {
+    val grams = bench.select(explode(ngramHashes(col("text"), n)).as("g"))
+    val est = math.max(64L,
+      if (expectedGrams > 0) expectedGrams
+      else grams.agg(approx_count_distinct(col("g"))).first().getLong(0))
+    val bf = grams.stat.bloomFilter("g", est, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val probed = train.select(col("doc_id"), col("text"),
+      graft.functions.ngram_bloom_hits(
+        ngramHashes(col("text"), n), bos.toByteArray).as("_b"))
+    val clean = probed.filter(col("_b.bloom_hits") === 0)
+      .select(col("doc_id"), col("_b.n_grams").as("n_grams"),
+        lit(0L).as("hits"), lit(false).as("contaminated"))
+    val candidates = probed.filter(col("_b.bloom_hits") > 0)
+      .select("doc_id", "text")
+    // exact verification of the slice: same join algebra as [[decontaminate]]
+    // but unhinted — the benchmark side here is corpus-sized by premise
+    val hits = candidates
+      .select(col("doc_id"), explode(ngramHashes(col("text"), n)).as("g"))
+      .join(grams.distinct(), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    val verified = candidates
+      .select(col("doc_id"), size(ngramHashes(col("text"), n)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("contaminated", col("hits") >= minHits)
+    clean.unionByName(verified)
+  }
+
   /** PII patterns — deliberately in the regex subset where Java and RE2
     * (DuckDB, Go, Hyperscan) agree byte-for-byte: character classes,
     * bounded quantifiers, `\b`, non-capturing groups; no lookaround, no
