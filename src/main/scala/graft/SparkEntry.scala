@@ -250,13 +250,15 @@ object SparkEntry {
 
     // the fixed-memory scale shape: Bloom prefilter (no false negatives) +
     // exact verification of the bloom-positive slice only — the RESULT is
-    // exact, so the same oracle applies; fpp=0.25 deliberately forces real
-    // false positives through the verification join
+    // exact, so the same oracle applies. fpp=0.001 compounds to ~17% false
+    // candidates at ~200 grams/doc, so BOTH branches (definitively-clean
+    // shortcut AND FP-carrying verification join) are exercised; the
+    // equivalence spec additionally pins fpp=0.5
     "q_decontaminate_bloom" -> ((s, dir) => {
       val d = docs(s, dir)
       graft.textops.CorpusOps.decontaminateBloom(
         d.filter(col("doc_id") % 17 =!= 3),
-        d.filter(col("doc_id") % 17 === 3), n = 4, fpp = 0.25)
+        d.filter(col("doc_id") % 17 === 3), n = 4, fpp = 0.001)
     }),
 
     // --- PII redaction over deterministically-injected emails / IPv4s /
@@ -333,6 +335,13 @@ object SparkEntry {
     "q_dedup_embedding_lsh" -> ((s, dir) =>
       graft.dedup.Dedup.embeddingPairsLsh(embeds(s, dir), 0.4,
         planes = 3, tables = 2, probeHamming = 3)),
+
+    // --- SemDeDup: cluster-bucketed semantic dedup with the keep-farthest-
+    //     from-centroid rule; nlist=1 degenerates cell-pairing to brute
+    //     force and the centroid to the global mean → closed-form oracle
+    //     (real nlist/cell behavior pinned in DedupSpec) ---
+    "q_dedup_semantic" -> ((s, dir) =>
+      graft.dedup.Dedup.semanticDedup(embeds(s, dir), 0.4, nlist = 1)),
 
     // --- similarity search over embeddings ---
     "q_ann_topk" -> ((s, dir) => {
@@ -1424,6 +1433,39 @@ object SparkEntry {
       (OracleCte.cosinePairs +
         """ SELECT a_id, b_id, round(cos, 4) AS cos
           | FROM cpairs WHERE cos >= 0.4""".stripMargin),
+
+    // SemDeDup at nlist=1: τ-edges = brute-force cosine pairs, components =
+    // recursive transitive closure, centroid = the global per-dim mean in
+    // double, keep = row_number() over (rounded cent_cos, vec_id) — the
+    // exact mirror of the keep-farthest-from-centroid rule
+    "q_dedup_semantic" ->
+      (OracleCte.cosinePairs.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, edges AS (SELECT a_id, b_id FROM cpairs WHERE cos >= 0.4
+          |), und AS (
+          |  SELECT a_id AS u, b_id AS v FROM edges
+          |  UNION SELECT b_id AS u, a_id AS v FROM edges
+          |), reach(u, v) AS (
+          |  SELECT u, v FROM und
+          |  UNION
+          |  SELECT r.u, e2.v FROM reach r JOIN und e2 ON r.v = e2.u AND e2.v <> r.u
+          |), comp AS (
+          |  SELECT u AS vec_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+          |), dims AS (
+          |  SELECT vec_id, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM e
+          |), cent AS (SELECT d, avg(x) AS c FROM dims GROUP BY d
+          |), cc AS (
+          |  SELECT vec_id, sum(x * c) / (sqrt(sum(x * x)) * sqrt(sum(c * c))) AS cent_cos
+          |  FROM dims JOIN cent USING (d) GROUP BY vec_id
+          |), fullr AS (
+          |  SELECT e.vec_id, COALESCE(comp.cluster_id, e.vec_id) AS cluster_id,
+          |    round(cc.cent_cos, 4) AS cent_cos
+          |  FROM e LEFT JOIN comp ON e.vec_id = comp.vec_id
+          |  JOIN cc ON e.vec_id = cc.vec_id
+          |), ranked AS (
+          |  SELECT vec_id, cluster_id, cent_cos,
+          |    row_number() OVER (PARTITION BY cluster_id ORDER BY cent_cos, vec_id) AS rn
+          |  FROM fullr)
+          | SELECT vec_id, cluster_id, cent_cos, rn = 1 AS keep FROM ranked""".stripMargin),
 
     "q_ann_topk" ->
       (OracleCte.cosinePairs.replace(", cpairs AS (", ", cpairs_unused AS (") +

@@ -509,4 +509,73 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup over an
+    * embedding column: k-means-cluster the vectors (the IVF coarse quantizer
+    * from `similarity.Ann` doubles as the clusterer), find within-cluster
+    * pairs with cosine ≥ `tau`, resolve duplicate groups by connected
+    * components, and keep ONE vector per group — the member FARTHEST from
+    * its cluster centroid (the paper's keep-low-centroid-similarity rule:
+    * near-dup groups are made of prototypical text; the outlier member
+    * carries the most marginal information), ties to the smallest `vec_id`.
+    * Output: one row per vector `(vec_id, cluster_id, cent_cos, keep)`;
+    * `filter(col("keep"))` is the semantically deduplicated corpus.
+    *
+    * 100 TB posture: candidate generation is the published design — exact
+    * pairwise WITHIN a cell only, never across (the paper runs 50k clusters
+    * over LAION; `nlist` grows with the corpus so cells stay bounded, and
+    * `maxCell` drops degenerate cells through the shared count-aggregate +
+    * semi-join guard before any self-join, same as the LSH bucket guards).
+    * The centroid matrix is nlist×dim; the keep rule's per-cell centroid is
+    * recomputed in DOUBLE precision (one nlist×dim-row aggregation — the
+    * float quantizer only buckets) and `cent_cos` is a narrow map, rounded
+    * to the 1e-4 grid BEFORE the keep ordering so the decision is
+    * reproducible across engines. Exact-oracle config: `nlist = 1`
+    * degenerates cell-pairing to brute force and the centroid to the global
+    * mean, so a closed-form SQL twin predicts every row; real-config
+    * behavior is pinned in DedupSpec. */
+  def semanticDedup(embeds: DataFrame, tau: Double, nlist: Int = 16,
+                    iters: Int = 1, maxCell: Int = 100000): DataFrame = {
+    import graft.similarity.Lsh
+    val cents = graft.similarity.Ann.ivfCentroids(embeds, nlist, iters)
+    val assigned = embeds.select(col("vec_id"), col("embedding"),
+      element_at(nearest_centroids(col("embedding"), cents, 1), 1).as("cell"))
+    // per-cell centroid in double (nlist×dim rows out of the aggregation)
+    val centArr = assigned
+      .select(col("cell"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim").agg(avg("x").as("c"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("cent"))
+    def dot(u: Column, v: Column): Column =
+      aggregate(zip_with(u, v, _ * _), lit(0.0), _ + _)
+    val embD = col("embedding").cast("array<double>")
+    val withCos = assigned.join(broadcast(centArr), Seq("cell"))
+      .select(col("vec_id"), round(
+        dot(embD, col("cent")) /
+          (sqrt(dot(embD, embD)) * sqrt(dot(col("cent"), col("cent")))),
+        4).as("cent_cos"))
+    val a = Lsh.guardBuckets(
+      assigned.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("a_v")),
+      Seq("cell"), maxCell, minSize = 2)
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("b_v"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosine_sim(col("a_v"), col("b_v")) >= tau)
+      .select(col("a_id"), col("b_id"))
+    val comps = connectedComponents(pairs).withColumnRenamed("node", "vec_id")
+    val full = withCos.join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster_id"),
+        col("cent_cos"))
+    // lexicographic min over (cent_cos, vec_id): bounded buffer, map-side
+    // combinable — never a per-cluster window
+    val keepers = full.groupBy("cluster_id")
+      .agg(min(struct(col("cent_cos"), col("vec_id"))).as("k"))
+    full.join(keepers, Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"), col("cent_cos"),
+        (col("vec_id") === col("k.vec_id")).as("keep"))
+  }
 }

@@ -115,10 +115,17 @@ object CorpusOps {
     * slice sizes. The result is EXACT (same contract as [[decontaminate]],
     * equivalence spec-pinned); the Bloom only decides who must be verified.
     *
+    * `fpp` is PER GRAM and compounds per document — a doc with g grams is a
+    * false candidate with probability 1-(1-fpp)^g, so at g≈200 a 1% filter
+    * sends ~85% of the clean corpus through verification while 10⁻³ sends
+    * ~17% and 10⁻⁴ ~2%. The default 10⁻³ (~14.4 bits/gram — 1.8 GB for 10⁹
+    * benchmark grams) balances filter size against verification volume;
+    * push it DOWN as grams-per-document grows.
+    *
     * Pass `expectedGrams` when the benchmark gram cardinality is known to
     * skip the approx-count pass (one extra scan of the benchmark side). */
   def decontaminateBloom(train: DataFrame, bench: DataFrame, n: Int = 8,
-                         minHits: Int = 1, fpp: Double = 0.01,
+                         minHits: Int = 1, fpp: Double = 0.001,
                          expectedGrams: Long = -1L): DataFrame = {
     val grams = bench.select(explode(ngramHashes(col("text"), n)).as("g"))
     val est = math.max(64L,
@@ -134,7 +141,7 @@ object CorpusOps {
       .select(col("doc_id"), col("_b.n_grams").as("n_grams"),
         lit(0L).as("hits"), lit(false).as("contaminated"))
     val candidates = probed.filter(col("_b.bloom_hits") > 0)
-      .select("doc_id", "text")
+      .select(col("doc_id"), col("text"), col("_b.n_grams").as("n_grams"))
     // exact verification of the slice: same join algebra as [[decontaminate]]
     // but unhinted — the benchmark side here is corpus-sized by premise
     val hits = candidates
@@ -142,7 +149,7 @@ object CorpusOps {
       .join(grams.distinct(), Seq("g"))
       .groupBy("doc_id").agg(count(lit(1)).as("hits"))
     val verified = candidates
-      .select(col("doc_id"), size(ngramHashes(col("text"), n)).as("n_grams"))
+      .select(col("doc_id"), col("n_grams"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("hits"), lit(0L)).as("hits"))

@@ -123,6 +123,65 @@ class DedupSpec extends SparkSpec {
       s"recall too low: ${lsh.size}/${brute.size}")
   }
 
+  test("semanticDedup: keep-farthest-from-centroid, one keeper per cluster") {
+    import spark.implicits._
+    // two planted near-dup groups plus isolated vectors; group members are
+    // scaled copies (cosine = 1 exactly, far above tau)
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      1L -> v(1, 0, 0, 0), 2L -> v(2, 0, 0, 0), 3L -> v(0.5, 0, 0, 0), // group A
+      4L -> v(0, 1, 0, 0), 5L -> v(0, 3, 0, 0),                        // group B
+      6L -> v(0, 0, 1, 0), 7L -> v(0, 0, 0, 1))                        // singletons
+    val embeds = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(embeds, 0.9, nlist = 1)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(3)))).toMap
+    assert(out.keySet == rows.map(_._1).toSet)
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(3L)._1 == 1L)
+    assert(out(4L)._1 == 4L && out(5L)._1 == 4L)
+    assert(out(6L) == (6L, true) && out(7L) == (7L, true))
+    // exactly one keeper per cluster; the keeper has the LOWEST cent_cos
+    // (farthest from the global mean) — all of group A has identical
+    // direction so identical cent_cos, and the tie goes to min vec_id
+    assert(Seq(1L, 2L, 3L).count(out(_)._2) == 1)
+    assert(out(1L)._2, "tie on cent_cos must keep the smallest vec_id")
+    assert(Seq(4L, 5L).count(out(_)._2) == 1)
+  }
+
+  test("semanticDedup at nlist=1 equals closure of brute-force pairs") {
+    val embeds = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Dedup.semanticDedup(embeds, 0.4, nlist = 1)
+    // cluster assignment must equal dedupClusters' transitive closure of the
+    // brute-force τ-pairs (only the keep rule differs: centroid distance,
+    // not min id)
+    val viaCc = Dedup.dedupClusters(
+      embeds.select(col("vec_id").as("doc_id")),
+      Dedup.embeddingPairs(embeds, 0.4))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == viaCc)
+    // one keeper per cluster, everywhere
+    val perCluster = out.collect().groupBy(_.getLong(1))
+      .map { case (c, rs) => c -> rs.count(_.getBoolean(3)) }
+    assert(perCluster.values.forall(_ == 1), s"keeper counts: $perCluster")
+  }
+
+  test("semanticDedup real config: within-cell pairing only, guard drops mega-cells") {
+    val embeds = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val multi = Dedup.semanticDedup(embeds, 0.4, nlist = 4)
+    // cells partition candidate generation: every cluster is a SUBSET of a
+    // full closure cluster (cells can only split groups, never merge more)
+    val fullC = Dedup.semanticDedup(embeds, 0.4, nlist = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sub = multi.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val members = sub.groupBy(_._2).values
+    assert(members.forall(ms => ms.map(m => fullC(m._1)).distinct.size == 1),
+      "a multi-cell cluster crossed a brute-force cluster boundary")
+    // a maxCell of 1 drops every cell → no pairs → everyone a kept singleton
+    val guarded = Dedup.semanticDedup(embeds, 0.4, nlist = 4, maxCell = 1)
+    assert(guarded.filter(col("keep") && col("cluster_id") === col("vec_id"))
+      .count() == embeds.count())
+  }
+
   test("shingles: short docs fall back to whole-text shingle") {
     import spark.implicits._
     val df = Seq((1L, "one two"), (2L, "a b c d e")).toDF("doc_id", "text")
