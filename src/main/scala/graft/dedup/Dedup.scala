@@ -25,12 +25,15 @@ object Dedup {
   /** distinct word w-shingles of the normalized text; a document shorter than
     * `w` tokens contributes its whole text as one shingle. */
   def shingles(text: Column, w: Int = 3): Column = {
-    val toks = TextOps.tokens(TextOps.normalized(text))
-    array_distinct(
-      when(size(toks) < w, array(array_join(toks, " ")))
-        .otherwise(transform(
-          sequence(lit(0), size(toks) - w),
-          i => array_join(slice(toks, i + 1, lit(w)), " "))))
+    // token array bound as a lambda variable so the tokenizer runs once per
+    // row, not once per shingle (see CorpusOps.ngramHashes for the measured
+    // lambda re-evaluation trap)
+    element_at(transform(array(TextOps.tokens(TextOps.normalized(text))), toks =>
+      array_distinct(
+        when(size(toks) < w, array(array_join(toks, " ")))
+          .otherwise(transform(
+            sequence(lit(0), size(toks) - w),
+            i => array_join(slice(toks, i + 1, lit(w)), " "))))), 1)
   }
 
   /** exact set Jaccard between two distinct-element arrays (both engines can
@@ -441,11 +444,16 @@ object Dedup {
     // windows: (doc_id, pos, h); pos is the 1-based first-token index.
     // sequence() is not emitted for n_tok < w (Spark's sequence(1, 0) would
     // DESCEND) — short docs simply contribute no windows.
+    // the token array rides into the window lambda as a LAMBDA VARIABLE:
+    // CollapseProject inlines the `toks` alias into this projection, and a
+    // lambda body re-evaluates any non-variable subexpression per element —
+    // i.e. two regexes per window (the ngramHashes trap, same fix)
     val wins = base.where(col("n_tok") >= w)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), col("n_tok") - (w - 1)),
-          i => struct(i.as("pos"),
-            xxhash64(array_join(slice(col("toks"), i, lit(w)), " ")).as("h")))).as("pw"))
+        explode(element_at(transform(array(col("toks")), ts =>
+          transform(sequence(lit(1), col("n_tok") - (w - 1)),
+            i => struct(i.as("pos"),
+              xxhash64(array_join(slice(ts, i, lit(w)), " ")).as("h")))), 1)).as("pw"))
       .select(col("doc_id"), col("pw.pos").as("pos"), col("pw.h").as("h"))
     val dupHashes = wins.groupBy("h").count()
       .where(col("count") >= minCount).select("h")

@@ -23,11 +23,17 @@ object CorpusOps {
     * and broadcast downstream (the [[Dedup.substringDupSpans]] contract: a
     * 64-bit collision is the only possible divergence from string grams). */
   def ngramHashes(text: Column, n: Int): Column = {
-    val toks = TextOps.tokens(TextOps.normalized(text))
-    when(size(toks) < n, array().cast("array<bigint>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => xxhash64(array_join(slice(toks, i, lit(n)), " ")))))
+    // the token array is BOUND AS A LAMBDA VARIABLE (transform over a
+    // 1-element array): a lambda body re-evaluates every non-variable
+    // subexpression per element, so referencing the tokenizer subtree
+    // directly from the window lambda re-ran two regexes per n-gram —
+    // ~50× the whole operator's cost at 50 grams/doc (measured; the same
+    // fix applies to Dedup.shingles)
+    element_at(transform(array(TextOps.tokens(TextOps.normalized(text))), toks =>
+      when(size(toks) < n, array().cast("array<bigint>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => xxhash64(array_join(slice(toks, i, lit(n)), " ")))))), 1)
   }
 
   /** Benchmark decontamination — the GPT-3/Gopher/Llama eval-leak gate:
@@ -242,14 +248,20 @@ object CorpusOps {
     * kept at its FIRST occurrence only. Narrow per-row array algebra — the
     * keep-first rule is `array_position(lines, x) == i+1`, which any engine
     * with list lambdas states identically — no shuffle, no state. */
-  def dedupLines(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
-      .withColumn("_l", split(col(textCol), "\n"))
-      .withColumn("_k",
-        expr("filter(_l, (x, i) -> array_position(_l, x) = i + 1)"))
-      .select(col("doc_id"), array_join(col("_k"), "\n").as("text"),
-        size(col("_l")).as("n_lines"),
-        (size(col("_l")) - size(col("_k"))).as("n_dropped"))
+  def dedupLines(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // lines and the kept subset are BOUND AS LAMBDA VARIABLES (the
+    // ngramHashes trap: CollapseProject inlines a split alias into every
+    // reference, and a lambda body re-evaluates non-variable subtrees per
+    // ELEMENT — the keep-first filter referenced the line array from its
+    // own body, re-splitting the document once per line)
+    val s = element_at(transform(array(split(col(textCol), "\n")), l =>
+      element_at(transform(
+        array(filter(l, (x, i) => array_position(l, x) === i.cast("bigint") + 1)), k =>
+        struct(array_join(k, "\n").as("text"), size(l).as("n_lines"),
+          (size(l) - size(k)).as("n_dropped"))), 1)), 1)
+    docs.select(col("doc_id"), s.getField("text").as("text"),
+      s.getField("n_lines").as("n_lines"), s.getField("n_dropped").as("n_dropped"))
+  }
 
   /** Sequence packing — the concat-and-chunk step that turns a curated
     * corpus into fixed-length training sequences: documents in a
