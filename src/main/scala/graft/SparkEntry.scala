@@ -326,6 +326,26 @@ object SparkEntry {
           substring(col("text"), 1, 40), lit("\nSHARED FOOTER line\n"),
           substring(col("text"), 41, 40)).as("text")))),
 
+    // --- CCNet cross-document paragraph dedup over a closed-form multi-
+    //     paragraph synthesis (a boilerplate paragraph shared by every
+    //     document plus the docs' own prefix/suffix paragraphs) ---
+    "q_paragraph_dedup" -> ((s, dir) =>
+      graft.textops.CorpusOps.dedupParagraphs(
+        docs(s, dir).select(col("doc_id"), concat(
+          substring(col("text"), 1, 60),
+          lit("\n\nSHARED BOILERPLATE PARAGRAPH.\n\n"),
+          substring(col("text"), 61, 60)).as("text")))),
+
+    // --- bootstrapped quality classifier: multinomial NB with add-one
+    //     smoothing, labels from the Gopher gate (the CCNet/Llama
+    //     heuristic-bootstrap pattern), every document scored ---
+    "q_quality_nb" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val labeled = d.select(col("doc_id"), col("text"),
+        graft.textops.TextOps.gopherReason(col("text")).isNull.as("label"))
+      graft.textops.CorpusOps.nbScore(d, labeled)
+    }),
+
     "q_dedup_embedding" -> ((s, dir) =>
       graft.dedup.Dedup.embeddingPairs(embeds(s, dir), 0.4)),
 
@@ -1230,6 +1250,86 @@ object SparkEntry {
         |  CAST(len(ls) AS INTEGER) AS n_lines,
         |  CAST(len(ls) - len(ks) AS INTEGER) AS n_dropped
         | FROM k""".stripMargin,
+
+    // paragraph dedup: keep-first is row_number()=1 over (doc_id, pos)
+    // within each normalized paragraph — the string-keyed twin of Spark's
+    // min(struct(doc_id, pos)) per xxhash64(norm) (64-bit collision is the
+    // only possible divergence); reassembly is ordered string_agg
+    "q_paragraph_dedup" ->
+      """WITH p0 AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 60) || chr(10) || chr(10) || 'SHARED BOILERPLATE PARAGRAPH.' ||
+        |    chr(10) || chr(10) || substr(text, 61, 60) AS t
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ps FROM p0
+        |), p AS (
+        |  SELECT doc_id, unnest(ps) AS para, generate_subscripts(ps, 1) - 1 AS pos FROM l
+        |), r AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (
+        |      PARTITION BY lower(trim(regexp_replace(para, '\s+', ' ', 'g')))
+        |      ORDER BY doc_id, pos) AS rn
+        |  FROM p
+        |), kept AS (
+        |  SELECT doc_id, pos, para FROM r WHERE rn = 1
+        |)
+        | SELECT l.doc_id,
+        |  coalesce(string_agg(kept.para, chr(10) || chr(10) ORDER BY kept.pos), '') AS text,
+        |  CAST(any_value(len(l.ps)) AS INTEGER) AS n_paras,
+        |  CAST(any_value(len(l.ps)) - count(kept.pos) AS INTEGER) AS n_dropped
+        | FROM l LEFT JOIN kept ON l.doc_id = kept.doc_id
+        | GROUP BY l.doc_id""".stripMargin,
+
+    // NB classifier: labels are the q_curation gq conjunction (the Gopher
+    // gate), the model/score math is the identical IEEE-double ln tree on
+    // both engines; sum-order drift is absorbed by the 1e-4 grid
+    "q_quality_nb" ->
+      (OracleCte.repetition +
+        """, lab AS (
+          |  SELECT d.doc_id, d.text,
+          |    (len(string_split_regex(trim(d.text), '\s+')) BETWEEN 8 AND 10000
+          |     AND CAST(length(replace(d.text, ' ', '')) AS DOUBLE)
+          |         / len(string_split_regex(trim(d.text), '\s+')) BETWEEN 3.0 AND 10.0
+          |     AND len(list_filter(string_split_regex(trim(d.text), '\s+'),
+          |         t -> list_contains(['the','a','and','of','to','in','is','it'], lower(t)))) >= 2
+          |     AND CAST(length(d.text) - length(regexp_replace(d.text, '[.,!?;:''"()]', '', 'g')) AS DOUBLE)
+          |         / length(d.text) <= 0.1
+          |     AND r.top_frac2 <= 0.20 AND r.dup_frac3 <= 0.18) AS y
+          |  FROM documents d JOIN repetition r ON d.doc_id = r.doc_id
+          |), ltok AS (
+          |  SELECT doc_id, y,
+          |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+          |  FROM lab
+          |), model AS (
+          |  SELECT token,
+          |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+          |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS n_neg
+          |  FROM ltok GROUP BY 1
+          |), consts AS (
+          |  SELECT CAST(sum(n_pos) AS DOUBLE) AS t_pos,
+          |         CAST(sum(n_neg) AS DOUBLE) AS t_neg,
+          |         CAST(count(*) AS DOUBLE) AS v
+          |  FROM model
+          |), prior AS (
+          |  SELECT ln(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE))
+          |       - ln(CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS DOUBLE)) AS p
+          |  FROM lab
+          |), stok AS (
+          |  SELECT doc_id,
+          |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+          |  FROM documents
+          |), scored AS (
+          |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |    CAST(floor((any_value(prior.p) + sum(
+          |      ln((coalesce(CAST(m.n_pos AS DOUBLE), 0.0) + 1.0) / (consts.t_pos + consts.v))
+          |      - ln((coalesce(CAST(m.n_neg AS DOUBLE), 0.0) + 1.0) / (consts.t_neg + consts.v))
+          |    )) * 10000.0 + 0.5) AS INTEGER) AS score_e4
+          |  FROM stok s LEFT JOIN model m USING (token), consts, prior
+          |  GROUP BY s.doc_id
+          |)
+          | SELECT doc_id, n_tokens, score_e4, score_e4 > 0 AS predict_hq
+          | FROM scored""".stripMargin),
 
     "q_dedup_jaccard" ->
       (OracleCte.jaccardPairs + " SELECT * FROM jpairs"),

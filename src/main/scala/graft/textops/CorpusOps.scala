@@ -359,6 +359,112 @@ object CorpusOps {
         explode(sequence(lit(1), col("copies"))).as("epoch"))
   }
 
+  /** Cross-document paragraph dedup — CCNet's corpus-level dedup unit
+    * (Wenzek et al. 2020 §3.2 dedup paragraphs by hash across shards;
+    * RefinedWeb carries the same rule): every paragraph (a `\n\n`-separated
+    * block) is kept at its GLOBALLY FIRST occurrence — the minimum
+    * (doc_id, pos) over all occurrences of its normalized form — and
+    * dropped everywhere else, which subsumes within-document paragraph
+    * repeats. Documents are reassembled from their surviving paragraphs in
+    * original order (a document whose every paragraph lost becomes "").
+    *
+    * Output: (doc_id, text, n_paras, n_dropped).
+    *
+    * 100 TB posture: the wide stages never carry paragraph text. Stage 1
+    * shuffles (h=xxhash64(norm), doc_id, pos) — ~20 bytes per paragraph —
+    * into a map-side-combinable min-struct aggregate; stage 2 shuffles the
+    * winners' (doc_id, pos) ints into per-doc kept-position lists; stage 3
+    * joins those lists back to the corpus on doc_id (the corpus's one
+    * text-bearing shuffle — bucket the corpus by doc_id and it vanishes)
+    * and rebuilds each document with narrow array algebra. The only
+    * divergence from matching on the paragraph string itself is a 64-bit
+    * hash collision (the [[ngramHashes]] contract). */
+  def dedupParagraphs(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val paras = docs.select(col("doc_id"),
+      posexplode(split(col(textCol), "\n\n")).as(Seq("pos", "para")))
+    val winners = paras
+      .select(col("doc_id"), col("pos"),
+        xxhash64(TextOps.normalized(col("para"))).as("h"))
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    val keptPos = winners
+      .select(col("w.doc_id").as("doc_id"), col("w.pos").as("pos"))
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("kept"))
+    // split bound as a lambda variable (the ngramHashes trap): the paragraph
+    // array evaluates once per row across text/n_paras/n_dropped
+    val s = element_at(transform(array(split(col(textCol), "\n\n")), l =>
+      element_at(transform(
+        array(filter(l, (x, i) => array_contains(col("kept"), i.cast("int")))), k =>
+        struct(array_join(k, "\n\n").as("text"), size(l).as("n_paras"),
+          (size(l) - size(k)).as("n_dropped"))), 1)), 1)
+    docs.join(keptPos, Seq("doc_id"), "left")
+      .withColumn("kept", coalesce(col("kept"), array().cast("array<int>")))
+      .select(col("doc_id"), s.getField("text").as("text"),
+        s.getField("n_paras").as("n_paras"),
+        s.getField("n_dropped").as("n_dropped"))
+  }
+
+  /** Multinomial Naive Bayes token counts — the model half of the
+    * fasttext-shaped quality classifier every modern corpus pipeline
+    * bootstraps from a heuristic gate (CCNet trains a linear classifier on
+    * "looks like Wikipedia"; Llama trains one on pages Wikipedia cites).
+    * One map-side-combinable groupBy over the exploded token stream; the
+    * model is (token, n_pos, n_neg) — vocabulary-sized, broadcastable. */
+  def nbModel(labeled: DataFrame, labelCol: String = "label"): DataFrame =
+    labeled
+      .select(col(labelCol).as("_y"),
+        explode(TextOps.tokens(TextOps.normalized(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("_y"), 1L).otherwise(0L)).as("n_neg"))
+
+  /** Score every document under a multinomial NB with add-one smoothing
+    * trained on `labeled(doc_id, text, label)` — the bootstrap pattern:
+    * `labeled` usually carries a heuristic verdict
+    * ([[TextOps.gopherReason]] is null) as the label, and the learned
+    * token-likelihood model then generalizes the gate. Both classes must be
+    * present in `labeled` (the prior is ln(N⁺/N⁻)).
+    *
+    * Per document: token count, the total log-odds
+    * prior + Σ_t [ln((c⁺_t+1)/(T⁺+V)) − ln((c⁻_t+1)/(T⁻+V))] on the
+    * engine-independent 1e-4 grid, and the sign verdict. Out-of-vocabulary
+    * tokens take the smoothing mass (c_t = 0) so every document is
+    * scorable.
+    *
+    * 100 TB posture: the model and the five scalar constants are
+    * broadcast (a unigram vocab is MBs); the token stream probes them
+    * map-side and the per-doc aggregation is map-side combinable — the
+    * same plan shape as [[crossEntropy]]. Float parity: each token's
+    * log-likelihood ratio is a fixed IEEE-double tree (ln ≤ 1 ulp across
+    * libms) and sum-order drift is ~1e-15 relative against the 1e-4
+    * grid. */
+  def nbScore(docs: DataFrame, labeled: DataFrame,
+              labelCol: String = "label"): DataFrame = {
+    val model = nbModel(labeled, labelCol)
+    val consts = model
+      .agg(sum("n_pos").as("t_pos"), sum("n_neg").as("t_neg"),
+        count(lit(1)).as("v"))
+      .crossJoin(labeled.agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("d_pos"),
+        sum(when(!col(labelCol), 1L).otherwise(0L)).as("d_neg")))
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(TextOps.normalized(col("text")))).as("token"))
+    toks
+      .join(broadcast(model), Seq("token"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"),
+        (log((coalesce(col("n_pos"), lit(0L)).cast("double") + 1.0) /
+          (col("t_pos").cast("double") + col("v").cast("double"))) -
+          log((coalesce(col("n_neg"), lit(0L)).cast("double") + 1.0) /
+            (col("t_neg").cast("double") + col("v").cast("double")))).as("llr"),
+        (log(col("d_pos").cast("double")) -
+          log(col("d_neg").cast("double"))).as("prior"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        TextOps.scaled4(first(col("prior")) + sum(col("llr"))).as("score_e4"))
+      .withColumn("predict_hq", col("score_e4") > 0)
+  }
+
   /** Unigram cross-entropy score — the CCNet/Llama-pipeline quality signal:
     * score each document by the mean negative log-probability of its tokens
     * under a unigram language model `lm(token, n)` (the [[vocabulary]]

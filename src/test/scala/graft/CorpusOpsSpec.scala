@@ -421,4 +421,76 @@ class CorpusOpsSpec extends SparkSpec {
       s"LM side must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"no corpus-wide sort-merge:\n$plan")
   }
+
+  // --- dedupParagraphs ---
+
+  test("dedupParagraphs keeps each paragraph at its global first occurrence") {
+    val d = docs(
+      1L -> "alpha one\n\nSHARED FOOTER\n\nunique tail",
+      2L -> "beta two\n\nSHARED FOOTER\n\nbeta close",
+      3L -> "SHARED FOOTER\n\nSHARED FOOTER\n\ngamma end")
+    val out = CorpusOps.dedupParagraphs(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    // doc 1 is the global winner of SHARED FOOTER (min doc_id, pos 1)
+    assert(out(1L) == (("alpha one\n\nSHARED FOOTER\n\nunique tail", 3, 0)))
+    // doc 2 loses the shared paragraph, keeps its own
+    assert(out(2L) == (("beta two\n\nbeta close", 3, 1)))
+    // doc 3: both SHARED FOOTER copies lose (winner is doc 1) — within-doc
+    // repetition is subsumed by the global rule
+    assert(out(3L) == (("gamma end", 3, 2)))
+  }
+
+  test("dedupParagraphs: matching is on the normalized form; a doc can lose everything") {
+    val d = docs(
+      1L -> "Same  Para",
+      2L -> "same para") // normalizes identically → doc 2 empties out
+    val out = CorpusOps.dedupParagraphs(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("Same  Para", 1, 0)))
+    assert(out(2L) == (("", 1, 1)))
+  }
+
+  test("dedupParagraphs: no wide stage carries paragraph text") {
+    val d = docs(1L -> "a\n\nb", 2L -> "b\n\nc")
+    val plan = CorpusOps.dedupParagraphs(d).queryExecution.executedPlan.toString
+    // the h-aggregate and kept-position stages shuffle (h|doc_id, pos)
+    // structs only; `para` strings must stay inside their map task
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("para")),
+      s"paragraph text crossed a shuffle:\n$plan")
+  }
+
+  // --- NB quality classifier ---
+
+  test("nbScore separates classes on a toy corpus and handles OOV docs") {
+    val labeled = Seq(
+      (1L, "good clean prose text", true),
+      (2L, "good solid prose lines", true),
+      (3L, "spam spam junk junk", false),
+      (4L, "junk noise spam words", false)).toDF("doc_id", "text", "label")
+    val score = CorpusOps.nbScore(
+      labeled.select(col("doc_id"), col("text")), labeled)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(score(1L)._3 && score(2L)._3, "positive-class docs must score > 0")
+    assert(!score(3L)._3 && !score(4L)._3, "negative-class docs must score < 0")
+    assert(score(1L)._1 == 4L)
+    // an all-OOV doc falls back to the prior + V-smoothing constant: with a
+    // balanced prior and balanced token totals the constant is 0 → score 0,
+    // predict false (strict > 0)
+    val oov = CorpusOps.nbScore(docs(9L -> "zzz qqq"), labeled).collect().head
+    assert(oov.getLong(1) == 2L)
+    assert(oov.getInt(2) == 0 && !oov.getBoolean(3))
+  }
+
+  test("nbScore: the model probe broadcasts; the per-doc agg is map-side combinable") {
+    val labeled = Seq((1L, "a b", true), (2L, "c d", false))
+      .toDF("doc_id", "text", "label")
+    val q = CorpusOps.nbScore(labeled.select(col("doc_id"), col("text")), labeled)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"model must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no corpus-wide sort-merge:\n$plan")
+    assert(plan.contains("partial"), s"per-doc agg must have a partial phase:\n$plan")
+  }
 }
