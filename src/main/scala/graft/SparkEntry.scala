@@ -193,6 +193,11 @@ object SparkEntry {
     "q_dedup_substring" -> ((s, dir) =>
       graft.dedup.Dedup.substringDupSpans(docs(s, dir), w = 8)),
 
+    // --- ExactSubstr removal: duplicated windows keep only their globally
+    //     first occurrence; documents reassembled from surviving tokens ---
+    "q_dedup_substring_rm" -> ((s, dir) =>
+      graft.dedup.Dedup.removeDupSpans(docs(s, dir), w = 8)),
+
     "q_dedup_jaccard" -> ((s, dir) =>
       graft.dedup.Dedup.jaccardPairs(docs(s, dir), 80)),
 
@@ -1078,6 +1083,46 @@ object SparkEntry {
         | FROM tk t
         | LEFT JOIN per ON t.doc_id = per.doc_id
         | LEFT JOIN nd ON t.doc_id = nd.doc_id""".stripMargin,
+
+    // ExactSubstr removal: keep-first is row_number()=1 over (doc_id, pos)
+    // per window STRING (the twin of Spark's min(struct) per xxhash64);
+    // token indices of every loser window union into the deletion set and
+    // the document reassembles as an ordered string_agg of survivors
+    "q_dedup_substring_rm" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS raw,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id, raw, toks, CAST(len(toks) AS INTEGER) AS n_tok FROM tok
+        |), wins AS (
+        |  SELECT doc_id, u.pos AS pos, u.win AS win FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 7),
+        |      i -> {'pos': i, 'win': array_to_string(toks[i:i+7], ' ')})) AS u
+        |    FROM tk WHERE len(toks) >= 8)
+        |), dup AS (
+        |  SELECT win FROM wins GROUP BY win HAVING count(*) >= 2
+        |), dw AS (
+        |  SELECT w.doc_id, w.pos,
+        |    row_number() OVER (PARTITION BY w.win ORDER BY w.doc_id, w.pos) AS rn
+        |  FROM wins w JOIN dup USING (win)
+        |), del AS (
+        |  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS i
+        |  FROM dw WHERE rn > 1
+        |), rtok AS (
+        |  SELECT doc_id, unnest(raw) AS tkn, generate_subscripts(raw, 1) AS i FROM tk
+        |), keptTok AS (
+        |  SELECT r.doc_id, r.tkn, r.i
+        |  FROM rtok r LEFT JOIN del d ON r.doc_id = d.doc_id AND r.i = d.i
+        |  WHERE d.i IS NULL
+        |)
+        | SELECT t.doc_id,
+        |  coalesce(string_agg(k.tkn, ' ' ORDER BY k.i), '') AS text,
+        |  any_value(t.n_tok) AS n_tok,
+        |  CAST(any_value(t.n_tok) - count(k.i) AS INTEGER) AS n_removed
+        | FROM tk t LEFT JOIN keptTok k ON t.doc_id = k.doc_id
+        | GROUP BY t.doc_id""".stripMargin,
 
     // decontamination: the oracle joins on the n-gram STRING itself (the
     // Spark path broadcasts xxhash64 fingerprints of the same grams — a

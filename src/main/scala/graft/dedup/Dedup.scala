@@ -477,6 +477,56 @@ object Dedup {
         (coalesce(col("cov"), lit(0L)) / col("n_tok")).as("dup_frac"))
   }
 
+  /** Exact substring-duplication REMOVAL — the edit half of Lee et al.
+    * 2022's ExactSubstr dedup, at the same fixed window granularity as
+    * [[substringDupSpans]]: every duplicated window (corpus count ≥
+    * `minCount`) keeps exactly its globally FIRST occurrence (min
+    * (doc_id, pos) per fingerprint); every other occurrence marks its
+    * `w`-token range for deletion, and each document is reassembled from
+    * its surviving tokens (case preserved; inter-token whitespace
+    * normalizes to one space by construction — the reassembled text is a
+    * token sequence, not a byte-faithful slice).
+    *
+    * Output: (doc_id, text, n_tok, n_removed).
+    *
+    * 100 TB posture: the same wide-stage contract as the profiler — the
+    * fingerprint count and the winner min-struct are map-side-combinable
+    * groupBys on an 8-byte key, the winner join is co-partitioned on that
+    * key (exchange reuse), and the deletion set shuffles (doc_id, int)
+    * pairs only for NON-WINNER duplicated windows. Document text crosses
+    * one shuffle: the reassembly doc_id join. */
+  def removeDupSpans(docs: DataFrame, w: Int = 8, minCount: Int = 2): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      TextOps.tokens(col("text")).as("raw"),
+      TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
+      .select(col("doc_id"), col("raw"), col("toks"),
+        size(col("toks")).as("n_tok"))
+    val wins = base.where(col("n_tok") >= w)
+      .select(col("doc_id"),
+        explode(element_at(transform(array(col("toks")), ts =>
+          transform(sequence(lit(1), col("n_tok") - (w - 1)),
+            i => struct(i.as("pos"),
+              xxhash64(array_join(slice(ts, i, lit(w)), " ")).as("h")))), 1)).as("pw"))
+      .select(col("doc_id"), col("pw.pos").as("pos"), col("pw.h").as("h"))
+    val dupHashes = wins.groupBy("h").count()
+      .where(col("count") >= minCount).select("h")
+    val dupWins = wins.join(dupHashes, Seq("h"))
+    val winners = dupWins.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("kw"))
+    val delIdx = dupWins.join(winners, Seq("h"))
+      .where(!(col("doc_id") === col("kw.doc_id") && col("pos") === col("kw.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("i"))
+      .groupBy("doc_id").agg(collect_set(col("i")).as("del"))
+    base.join(delIdx, Seq("doc_id"), "left")
+      .withColumn("del", coalesce(col("del"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        array_join(filter(col("raw"),
+          (_, i) => !array_contains(col("del"), i + 1)), " ").as("text"),
+        col("n_tok"),
+        size(col("del")).as("n_removed"))
+  }
+
   /** Family 4 — embedding cosine near-dup (brute force with id ordering;
     * the bucketed scale path is [[embeddingPairsLsh]]). */
   def embeddingPairs(embeds: DataFrame, tau: Double): DataFrame = {

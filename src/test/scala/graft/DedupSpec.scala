@@ -56,6 +56,40 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(_.getLong(2) == 0L), "a 7-token repeat must produce no dup windows")
   }
 
+  test("removeDupSpans deletes every non-first occurrence of a duplicated run") {
+    import spark.implicits._
+    val rep = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val self = (1 to 9).map(i => s"loop$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"alpha beta gamma $rep delta epsilon"),
+      (2L, s"one two three four five $rep six seven"),
+      (3L, s"head $self middle $self tail"),
+      (4L, "totally unique words with no repeats anywhere at all here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(corpus, w = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    // doc 1 wins every shared-run window (min doc_id) — untouched
+    assert(out(1L) == ((s"alpha beta gamma $rep delta epsilon", 17, 0)))
+    // doc 2 loses all 5 windows; their union is exactly the 12-token run
+    assert(out(2L) == (("one two three four five six seven", 19, 12)))
+    // the in-document self-repeat keeps its FIRST occurrence only
+    assert(out(3L) == ((s"head $self middle tail", 21, 9)))
+    assert(out(4L)._3 == 0)
+  }
+
+  test("removeDupSpans matches on the normalized form but reassembles raw case") {
+    import spark.implicits._
+    val run = (1 to 8).map(i => s"Tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$run tail1 x y z a b"),
+      (2L, run.toLowerCase + " other words here now maybe")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(corpus, w = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((s"$run tail1 x y z a b", 14, 0)))
+    assert(out(2L) == (("other words here now maybe", 13, 8)))
+  }
+
   test("brute-force jaccard pairs find the planted near-dups and nothing else") {
     val pairs = Dedup.jaccardPairs(docs, 80).collect()
     assert(pairs.length > 5 && pairs.length < 100,
