@@ -331,6 +331,13 @@ object SparkEntry {
           substring(col("text"), 1, 40), lit("\nSHARED FOOTER line\n"),
           substring(col("text"), 41, 40)).as("text")))),
 
+    // --- XLM-R temperature sampling: per-(source, lang) mix weights from
+    //     the token budget at alpha=0.3, 1M-token target ---
+    "q_temperature_mix" -> ((s, dir) =>
+      graft.textops.CorpusOps.temperatureWeights(
+        graft.textops.CorpusOps.tokenBudget(docs(s, dir)),
+        Seq("source", "lang"), alpha = 0.3, targetTokens = 1000000L)),
+
     // --- CCNet cross-document paragraph dedup over a closed-form multi-
     //     paragraph synthesis (a boilerplate paragraph shared by every
     //     document plus the docs' own prefix/suffix paragraphs) ---
@@ -1295,6 +1302,27 @@ object SparkEntry {
         |  CAST(len(ls) AS INTEGER) AS n_lines,
         |  CAST(len(ls) - len(ks) AS INTEGER) AS n_dropped
         | FROM k""".stripMargin,
+
+    // temperature sampling: pow/division are the identical IEEE-double
+    // trees on both engines (≤ 1 ulp) against the 1e-4 grid
+    "q_temperature_mix" ->
+      """WITH b AS (
+        |  SELECT source, lang,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT CAST(sum(n_tokens) AS DOUBLE) AS big_n FROM b
+        |), num AS (
+        |  SELECT source, lang, n_tokens,
+        |    pow(CAST(n_tokens AS DOUBLE) / big_n, 0.3) AS nm
+        |  FROM b, tot
+        |), z AS (
+        |  SELECT sum(nm) AS z FROM num
+        |)
+        | SELECT source, lang, n_tokens,
+        |  CAST(floor(nm / z * 10000.0 + 0.5) AS INTEGER) AS q_e4,
+        |  CAST(floor(nm / z * 1000000 / CAST(n_tokens AS DOUBLE) * 10000.0 + 0.5) AS INTEGER) AS weight_e4
+        | FROM num, z""".stripMargin,
 
     // paragraph dedup: keep-first is row_number()=1 over (doc_id, pos)
     // within each normalized paragraph — the string-keyed twin of Spark's

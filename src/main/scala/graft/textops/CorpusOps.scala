@@ -329,6 +329,37 @@ object CorpusOps {
       sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
       sum(TextOps.subwordCount(col("text")).cast("long")).as("n_subwords"))
 
+  /** Temperature (alpha) sampling weights — the XLM-R rule (Conneau et al.
+    * 2020 §3.1) that decides how much of each stratum a multilingual /
+    * multi-source mix should see: stratum i with token share p_i = n_i/N is
+    * sampled with probability q_i = p_i^alpha / Σ_j p_j^alpha (alpha < 1
+    * up-weights the tail), and the per-stratum epoch weight that realizes a
+    * `targetTokens` budget is w_i = q_i·T / n_i — exactly the `weights`
+    * input of [[mixStrata]]. Output: the `budget` frame's key columns plus
+    * (n_tokens, q_e4, weight_e4) on the engine-independent 1e-4 grid.
+    *
+    * 100 TB posture: `budget` is a per-stratum aggregate (a handful of
+    * rows — the [[tokenBudget]] output), so both scalar reductions are
+    * single-row broadcasts; nothing here touches the corpus. Float parity:
+    * pow/division are fixed IEEE-double trees, ≤ 1 ulp across libms
+    * against the 1e-4 grid. */
+  def temperatureWeights(budget: DataFrame, keyCols: Seq[String],
+                         alpha: Double = 0.3,
+                         targetTokens: Long = 1000000L): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha out of (0,1]: $alpha")
+    val tot = budget.agg(sum("n_tokens").cast("double").as("big_n"))
+    val withP = budget.crossJoin(broadcast(tot))
+      .withColumn("_num",
+        pow(col("n_tokens").cast("double") / col("big_n"), lit(alpha)))
+    val z = withP.agg(sum("_num").as("z"))
+    withP.crossJoin(broadcast(z))
+      .select(keyCols.map(col) ++ Seq(
+        col("n_tokens"),
+        TextOps.scaled4(col("_num") / col("z")).as("q_e4"),
+        TextOps.scaled4(col("_num") / col("z") * targetTokens /
+          col("n_tokens").cast("double")).as("weight_e4")): _*)
+  }
+
   /** Corpus mixing — the per-source epoch schedule of a training-data mix
     * (e.g. "3.5 epochs of Wikipedia, 0.3 of CommonCrawl"): each document's
     * stratum weight `w` yields `floor(w)` full copies plus one more with

@@ -461,6 +461,25 @@ class CorpusOpsSpec extends SparkSpec {
       s"paragraph text crossed a shuffle:\n$plan")
   }
 
+  // --- temperature sampling weights ---
+
+  test("temperatureWeights: alpha=0.5 closed form; alpha=1 is proportional") {
+    val budget = Seq(("a", 900L), ("b", 100L)).toDF("source", "n_tokens")
+    // p = 0.9/0.1 → sqrt-num 3c/c → q = 0.75/0.25; w = q·1000/n
+    val half = CorpusOps.temperatureWeights(budget, Seq("source"),
+      alpha = 0.5, targetTokens = 1000L)
+      .collect().map(r => r.getString(0) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(half("a") == ((7500, 8333)))
+    assert(half("b") == ((2500, 25000)))
+    // alpha = 1 degenerates to token-share sampling: every stratum's
+    // expected token draw equals its share → uniform weight T/N
+    val prop = CorpusOps.temperatureWeights(budget, Seq("source"),
+      alpha = 1.0, targetTokens = 1000L)
+      .collect().map(r => r.getString(0) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(prop("a") == ((9000, 10000)))
+    assert(prop("b") == ((1000, 10000)))
+  }
+
   // --- NB quality classifier ---
 
   test("nbScore separates classes on a toy corpus and handles OOV docs") {
