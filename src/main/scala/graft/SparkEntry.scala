@@ -331,6 +331,19 @@ object SparkEntry {
           substring(col("text"), 1, 40), lit("\nSHARED FOOTER line\n"),
           substring(col("text"), 41, 40)).as("text")))),
 
+    // --- ftfy-style mojibake repair over closed-form injected
+    //     double-encodings ---
+    "q_fix_mojibake" -> ((s, dir) =>
+      graft.textops.CorpusOps.fixMojibake(
+        docs(s, dir).select(col("doc_id"), concat(
+          substring(col("text"), 1, 30),
+          lit(" cafÃ© â€œquoteâ€¦ straÃŸe Ã¶l")).as("text")))),
+
+    // --- per-document n-gram novelty (data-pruning signal): fraction of a
+    //     doc's distinct trigrams first seen in this doc ---
+    "q_gram_novelty" -> ((s, dir) =>
+      graft.textops.CorpusOps.gramNovelty(docs(s, dir), n = 3)),
+
     // --- XLM-R temperature sampling: per-(source, lang) mix weights from
     //     the token budget at alpha=0.3, 1M-token target ---
     "q_temperature_mix" -> ((s, dir) =>
@@ -1302,6 +1315,53 @@ object SparkEntry {
         |  CAST(len(ls) AS INTEGER) AS n_lines,
         |  CAST(len(ls) - len(ks) AS INTEGER) AS n_dropped
         | FROM k""".stripMargin,
+
+    // mojibake repair: the oracle chains the IDENTICAL exact-string
+    // replace table (generated from CorpusOps.MojibakeTable so the two
+    // can never drift); chars_fixed is a codepoint-length delta, which
+    // both engines count identically for BMP text
+    "q_fix_mojibake" -> {
+      val chain = graft.textops.CorpusOps.MojibakeTable.foldLeft("t") {
+        case (acc, (bad, good)) => s"replace($acc, '$bad', '$good')"
+      }
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    substr(text, 1, 30) || ' cafÃ© â€œquoteâ€¦ straÃŸe Ã¶l' AS t
+         |  FROM documents
+         |)
+         | SELECT doc_id, $chain AS text,
+         |  CAST(length(t) - length($chain) AS INTEGER) AS chars_fixed,
+         |  length(t) <> length($chain) AS changed
+         | FROM p""".stripMargin
+    },
+
+    // novelty: first-seen is min(doc_id) per distinct trigram — the oracle
+    // groups on the gram string itself (64-bit collision is the only
+    // possible divergence from the hashed Spark path)
+    "q_gram_novelty" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS gram
+        |    FROM tk WHERE len(toks) >= 3)
+        |), f AS (
+        |  SELECT gram, min(doc_id) AS fd FROM g GROUP BY 1
+        |), p AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM g JOIN f USING (gram) GROUP BY 1
+        |)
+        | SELECT d.doc_id,
+        |  coalesce(p.n_grams, 0) AS n_grams,
+        |  coalesce(p.n_novel, 0) AS n_novel,
+        |  CASE WHEN coalesce(p.n_grams, 0) = 0 THEN NULL
+        |       ELSE CAST(floor(CAST(p.n_novel AS DOUBLE) / p.n_grams * 10000.0 + 0.5) AS INTEGER)
+        |  END AS novelty_e4
+        | FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin,
 
     // temperature sampling: pow/division are the identical IEEE-double
     // trees on both engines (≤ 1 ulp) against the 1e-4 grid

@@ -329,6 +329,64 @@ object CorpusOps {
       sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
       sum(TextOps.subwordCount(col("text")).cast("long")).as("n_subwords"))
 
+  /** The mojibake repair table — the highest-frequency UTF-8-read-as-cp1252
+    * double-encodings (the ftfy core cases), ORDERED longest-first so the
+    * 3-byte `â€¦` family never half-matches after a 2-byte `Ã©`-family fix.
+    * A fixed, documented subset (like [[EmailRe]]'s PII patterns): every
+    * entry is an exact string replace any engine states identically. */
+  val MojibakeTable: Seq[(String, String)] = Seq(
+    "â€™" -> "’", "â€˜" -> "‘", "â€œ" -> "“",
+    "â€¦" -> "…", "â€“" -> "–", "â€”" -> "—",
+    "Ã©" -> "é", "Ã¨" -> "è", "Ãª" -> "ê", "Ã«" -> "ë",
+    "Ã¡" -> "á", "Ã³" -> "ó", "Ãº" -> "ú", "Ã±" -> "ñ",
+    "Ã§" -> "ç", "Ã¤" -> "ä", "Ã¶" -> "ö", "Ã¼" -> "ü",
+    "ÃŸ" -> "ß", "Ã…" -> "Å", "Ã˜" -> "Ø")
+
+  /** Mojibake repair — the ftfy step of a crawl pipeline: undo the classic
+    * UTF-8-bytes-read-as-cp1252 double encoding for the [[MojibakeTable]]
+    * subset. Pure narrow map of exact `replace` calls (no regex), applied
+    * in table order; each fix strictly shrinks the text, so
+    * `chars_fixed = len(before) − len(after)` counts repaired code points
+    * (2 per 3-byte sequence, 1 per 2-byte). Idempotent: no replacement
+    * output re-matches any pattern. */
+  def fixMojibake(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val fixed = MojibakeTable.foldLeft(col(textCol)) {
+      case (c, (bad, good)) => replace(c, lit(bad), lit(good))
+    }
+    docs.select(col("doc_id"), fixed.as("text"),
+      (length(col(textCol)) - length(fixed)).as("chars_fixed"),
+      (length(col(textCol)) =!= length(fixed)).as("changed"))
+  }
+
+  /** Per-document n-gram novelty — the data-pruning signal for corpus-order
+    * curation (D4/DoReMi-style selection asks "how much NEW content does
+    * this document add?"): the fraction of a document's distinct n-grams
+    * whose globally FIRST occurrence (min doc_id) is this document.
+    * Output: (doc_id, n_grams, n_novel, novelty_e4) — novelty is null for
+    * documents too short to have any n-gram.
+    *
+    * 100 TB posture: the same wide-stage contract as [[decontaminate]] —
+    * the gram stream shuffles 8-byte hashes into a map-side-combinable
+    * min aggregate, the first-doc join is co-partitioned on the gram key,
+    * and the per-doc roll-up is combinable. No gram string leaves a task. */
+  def gramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(ngramHashes(col("text"), n)).as("g"))
+    val firstDoc = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    val per = grams.join(firstDoc, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(null).cast("int"))
+          .otherwise(TextOps.scaled4(
+            col("n_novel").cast("double") / col("n_grams").cast("double")))
+          .as("novelty_e4"))
+  }
+
   /** Temperature (alpha) sampling weights — the XLM-R rule (Conneau et al.
     * 2020 §3.1) that decides how much of each stratum a multilingual /
     * multi-source mix should see: stratum i with token share p_i = n_i/N is

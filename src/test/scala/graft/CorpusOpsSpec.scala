@@ -461,6 +461,38 @@ class CorpusOpsSpec extends SparkSpec {
       s"paragraph text crossed a shuffle:\n$plan")
   }
 
+  // --- mojibake repair ---
+
+  test("fixMojibake repairs the table subset, counts codepoints, and is idempotent") {
+    val d = docs(
+      1L -> "cafÃ© â€™s straÃŸe",
+      2L -> "perfectly clean ascii text")
+    val out = CorpusOps.fixMojibake(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == (("café ’s straße", 4, true)))
+    assert(out(2L) == (("perfectly clean ascii text", 0, false)))
+    // idempotence: re-running the pass changes nothing
+    val again = CorpusOps.fixMojibake(
+      CorpusOps.fixMojibake(d).select(col("doc_id"), col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(again(1L) == 0 && again(2L) == 0)
+  }
+
+  // --- n-gram novelty ---
+
+  test("gramNovelty: first-seen grams count for the earliest doc_id; short docs are null") {
+    val d = docs(
+      1L -> "a b c d",   // grams {a b c, b c d} — both first here
+      2L -> "a b c x",   // {a b c} seen in doc 1, {b c x} novel
+      3L -> "zz")        // too short for any trigram
+    val out = CorpusOps.gramNovelty(d, n = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1 else r.getInt(3)))).toMap
+    assert(out(1L) == ((2L, 2L, 10000)))
+    assert(out(2L) == ((2L, 1L, 5000)))
+    assert(out(3L) == ((0L, 0L, -1)))
+  }
+
   // --- temperature sampling weights ---
 
   test("temperatureWeights: alpha=0.5 closed form; alpha=1 is proportional") {
