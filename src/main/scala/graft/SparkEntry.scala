@@ -331,6 +331,16 @@ object SparkEntry {
           substring(col("text"), 1, 40), lit("\nSHARED FOOTER line\n"),
           substring(col("text"), 41, 40)).as("text")))),
 
+    // --- CCNet perplexity tertiles: cross-entropy scores bucketed
+    //     head/middle/tail per language ---
+    "q_ppl_buckets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = graft.textops.CorpusOps.crossEntropy(d,
+        graft.textops.CorpusOps.vocabulary(d, minCount = 5))
+        .join(d.select(col("doc_id"), col("lang").as("stratum")), Seq("doc_id"))
+      graft.textops.CorpusOps.perplexityBuckets(scored, buckets = 3)
+    }),
+
     // --- ftfy-style mojibake repair over closed-form injected
     //     double-encodings ---
     "q_fix_mojibake" -> ((s, dir) =>
@@ -1315,6 +1325,29 @@ object SparkEntry {
         |  CAST(len(ls) AS INTEGER) AS n_lines,
         |  CAST(len(ls) - len(ks) AS INTEGER) AS n_dropped
         | FROM k""".stripMargin,
+
+    // perplexity buckets: the same cross-entropy mirror, then standard-SQL
+    // ntile over the deterministic (ce_e4, doc_id) order per language —
+    // both engines give earlier tiles the extra rows
+    "q_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+        |  FROM documents
+        |), lm AS (
+        |  SELECT token, count(*) AS n FROM toks GROUP BY 1 HAVING count(*) >= 5
+        |), mass AS (
+        |  SELECT CAST(sum(n) AS DOUBLE) + 0.5 AS lm_mass FROM lm
+        |), ce AS (
+        |  SELECT doc_id,
+        |    CAST(floor(sum(-ln(coalesce(CAST(lm.n AS DOUBLE), 0.5) / lm_mass))
+        |      / count(*) * 10000.0 + 0.5) AS INTEGER) AS ce_e4
+        |  FROM toks LEFT JOIN lm USING (token), mass
+        |  GROUP BY doc_id
+        |)
+        | SELECT c.doc_id, d.lang AS stratum, c.ce_e4,
+        |  CAST(ntile(3) OVER (PARTITION BY d.lang ORDER BY c.ce_e4, c.doc_id) AS INTEGER) AS bucket
+        | FROM ce c JOIN documents d USING (doc_id)""".stripMargin,
 
     // mojibake repair: the oracle chains the IDENTICAL exact-string
     // replace table (generated from CorpusOps.MojibakeTable so the two

@@ -329,6 +329,27 @@ object CorpusOps {
       sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
       sum(TextOps.subwordCount(col("text")).cast("long")).as("n_subwords"))
 
+  /** CCNet perplexity bucketing — the step after [[crossEntropy]]: within
+    * each stratum (CCNet: language), rank documents by their LM score and
+    * cut the ranking into `buckets` equal tiles (CCNet keeps the head and
+    * middle tertiles, drops the tail). Ties and tile boundaries are made
+    * deterministic by the (ce_e4, doc_id) order. Input: a frame with
+    * (doc_id, stratum, ce_e4); output adds `bucket` ∈ [1, buckets].
+    *
+    * 100 TB posture: ONE ntile window per stratum — the per-key ordered
+    * fold contract ([[packSequences]], sessionize): a stratum's ranking
+    * goes through one task, and strata (languages) are the parallelism
+    * unit, exactly CCNet's sharding. For finer grain swap the exact ntile
+    * for approx-quantile boundaries; the exact tile is what the published
+    * pipeline specifies. */
+  def perplexityBuckets(scored: DataFrame, buckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets > 0, "buckets must be positive")
+    val w = Window.partitionBy("stratum").orderBy(col("ce_e4"), col("doc_id"))
+    scored.select(col("doc_id"), col("stratum"), col("ce_e4"))
+      .withColumn("bucket", ntile(buckets).over(w))
+  }
+
   /** The mojibake repair table — the highest-frequency UTF-8-read-as-cp1252
     * double-encodings (the ftfy core cases), ORDERED longest-first so the
     * 3-byte `â€¦` family never half-matches after a 2-byte `Ã©`-family fix.

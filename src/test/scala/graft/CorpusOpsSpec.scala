@@ -461,6 +461,23 @@ class CorpusOpsSpec extends SparkSpec {
       s"paragraph text crossed a shuffle:\n$plan")
   }
 
+  // --- perplexity buckets ---
+
+  test("perplexityBuckets: tertiles per stratum, deterministic tie-break") {
+    val scored = Seq(
+      (1L, "en", 100), (2L, "en", 200), (3L, "en", 300),
+      (4L, "en", 400), (5L, "en", 500), (6L, "en", 600),
+      (7L, "de", 50), (8L, "de", 50), (9L, "de", 70)
+    ).toDF("doc_id", "stratum", "ce_e4")
+    val out = CorpusOps.perplexityBuckets(scored, buckets = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(out(1L) == 1 && out(2L) == 1)
+    assert(out(3L) == 2 && out(4L) == 2)
+    assert(out(5L) == 3 && out(6L) == 3)
+    // de: tie on ce_e4=50 breaks by doc_id; 3 docs → one per tile
+    assert(out(7L) == 1 && out(8L) == 2 && out(9L) == 3)
+  }
+
   // --- mojibake repair ---
 
   test("fixMojibake repairs the table subset, counts codepoints, and is idempotent") {
