@@ -251,6 +251,19 @@ object StreamingPipeline {
   /** convenience: tail a directory of parquet transcript files as a stream
     * (the harvester/prospector analogue — the table format does the file
     * discovery and offset bookkeeping that prospector.go hand-rolls). */
+  /** Streaming exact dedup — ingest-time duplicate suppression, the
+    * streaming form of [[graft.textops.TextOps.dedupExact]]: rows whose
+    * normalized-text fingerprint was already seen are dropped, with state
+    * bounded by the event-time watermark (a duplicate arriving later than
+    * `lateness` after the original is no longer suppressible — the same
+    * bounded-state trade as every watermarked operator here). The
+    * fingerprint is the dedup key; the shuffle carries 32-hex-char keys,
+    * never the text twice. */
+  def dedupStream(input: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    input.withWatermark("ts", lateness)
+      .withColumn("fp", graft.textops.TextOps.fingerprint(col("text")))
+      .dropDuplicatesWithinWatermark("fp")
+
   def fromDirectory(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema("conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")

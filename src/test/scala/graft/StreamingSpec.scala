@@ -38,6 +38,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming exact dedup suppresses duplicate fingerprints within the watermark") {
+    val src = tmpDir("dedup-src")
+    val out = tmpDir("dedup-out")
+    val ckpt = tmpDir("dedup-ckpt")
+    // every text appears at least twice: the stream must keep exactly one
+    // row per distinct fingerprint
+    val doubled = input.limit(500).unionByName(input.limit(500))
+    doubled.write.mode("overwrite").parquet(src)
+
+    val q = StreamingPipeline.dedupStream(
+      StreamingPipeline.fromDirectory(spark, src))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(out)
+    val expected = doubled
+      .select(graft.textops.TextOps.fingerprint(col("text")).as("fp"))
+      .distinct().count()
+    assert(streamed.count() == expected,
+      s"streamed=${streamed.count()} expected=$expected")
+    assert(streamed.select("fp").distinct().count() == expected)
+  }
+
   test("streaming restart from checkpoint does not duplicate sink rows") {
     val src = tmpDir("stream-src2")
     val out = tmpDir("stream-out2")
