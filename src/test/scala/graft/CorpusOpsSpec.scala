@@ -529,6 +529,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(prop("b") == ((1000, 10000)))
   }
 
+  test("dedupParagraphs invariants hold on a seeded adversarial corpus") {
+    val rnd = new scala.util.Random(7)
+    val pool = Vector("alpha beta", "Ünïcodé pârä", "", "   ",
+      "x y z w p q r s t", "shared line one", "tab\tsep", "emoji 🎉 done")
+    val rows = (1L to 60L).map { id =>
+      val n = rnd.nextInt(5)
+      (id, (0 until n).map(_ => pool(rnd.nextInt(pool.size))).mkString("\n\n"))
+    }
+    val out = CorpusOps.dedupParagraphs(rows.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    def norm(s: String) = s.replaceAll("\\s+", " ").trim.toLowerCase
+    val inParas = rows.map { case (id, t) => id -> t.split("\n\n", -1).toSeq }.toMap
+    // every distinct normalized paragraph survives exactly once corpus-wide
+    val distinctNorms = inParas.values.flatten.map(norm).toSet.size
+    val totalKept = out.values.map(v => v._2 - v._3).sum
+    assert(totalKept == distinctNorms, s"kept=$totalKept distinct=$distinctNorms")
+    // per doc: n_paras is the split length and the output is an in-order
+    // subsequence of the input paragraphs
+    def isSubseq(small: Seq[String], big: Seq[String]): Boolean = {
+      var i = 0
+      big.foreach(b => if (i < small.length && small(i) == b) i += 1)
+      i == small.length
+    }
+    for ((id, (text, nParas, nDropped)) <- out) {
+      assert(nParas == inParas(id).length)
+      assert(nDropped >= 0 && nDropped <= nParas)
+      val outParas = if (text.isEmpty) Nil else text.split("\n\n", -1).toSeq
+      assert(outParas.size <= nParas - nDropped) // "" paragraphs collapse in join
+      assert(isSubseq(outParas.filter(_.nonEmpty), inParas(id)),
+        s"doc $id output is not a subsequence")
+    }
+  }
+
   // --- NB quality classifier ---
 
   test("nbScore separates classes on a toy corpus and handles OOV docs") {

@@ -90,6 +90,40 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == (("other words here now maybe", 13, 8)))
   }
 
+  test("removeDupSpans invariants hold on a seeded adversarial corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pool = Vector("alpha", "Beta", "gamma DELTA", "",
+      "one two three four five six seven eight nine", "x? y! z.", "🎉")
+    val rows = (1L to 50L).map { id =>
+      val n = rnd.nextInt(6)
+      (id, (0 until n).map(_ => pool(rnd.nextInt(pool.size))).mkString(" "))
+    }
+    val out = Dedup.removeDupSpans(rows.toDF("doc_id", "text"), w = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    val rawToks = rows.map { case (id, t) => id -> t.trim.split("\\s+", -1).toSeq }.toMap
+    def isSubseq(small: Seq[String], big: Seq[String]): Boolean = {
+      var i = 0
+      big.foreach(b => if (i < small.length && small(i) == b) i += 1)
+      i == small.length
+    }
+    for ((id, (text, nTok, nRemoved)) <- out) {
+      assert(nTok == rawToks(id).length)
+      assert(nRemoved >= 0 && nRemoved <= nTok)
+      if (nRemoved == 0) {
+        // untouched docs reassemble to the space-joined raw token sequence
+        assert(text == rawToks(id).mkString(" "), s"doc $id changed with 0 removals")
+      } else {
+        val outToks = if (text.isEmpty) Nil else text.split(" ", -1).toSeq
+        assert(outToks.length == nTok - nRemoved,
+          s"doc $id kept ${outToks.length} != $nTok - $nRemoved")
+        assert(isSubseq(outToks, rawToks(id)), s"doc $id output not a subsequence")
+      }
+    }
+    // at least one duplicated 9-token run must actually have been removed
+    assert(out.values.exists(_._3 > 0), "the seeded corpus must exercise removal")
+  }
+
   test("brute-force jaccard pairs find the planted near-dups and nothing else") {
     val pairs = Dedup.jaccardPairs(docs, 80).collect()
     assert(pairs.length > 5 && pairs.length < 100,
