@@ -1478,8 +1478,8 @@ object SparkEntry {
           |         CAST(count(*) AS DOUBLE) AS v
           |  FROM model
           |), prior AS (
-          |  SELECT ln(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE))
-          |       - ln(CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS DOUBLE)) AS p
+          |  SELECT ln(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
+          |       - ln(CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS DOUBLE) + 1.0) AS p
           |  FROM lab
           |), stok AS (
           |  SELECT doc_id,

@@ -532,8 +532,10 @@ object CorpusOps {
     * trained on `labeled(doc_id, text, label)` — the bootstrap pattern:
     * `labeled` usually carries a heuristic verdict
     * ([[TextOps.gopherReason]] is null) as the label, and the learned
-    * token-likelihood model then generalizes the gate. Both classes must be
-    * present in `labeled` (the prior is ln(N⁺/N⁻)).
+    * token-likelihood model then generalizes the gate. The class prior is
+    * Laplace-smoothed, ln((N⁺+1)/(N⁻+1)), so the op is total even on a
+    * single-class labeled frame (the token LLRs are already finite there:
+    * an absent class contributes only its +1 smoothing mass).
     *
     * Per document: token count, the total log-odds
     * prior + Σ_t [ln((c⁺_t+1)/(T⁺+V)) − ln((c⁻_t+1)/(T⁻+V))] on the
@@ -567,8 +569,8 @@ object CorpusOps {
           (col("t_pos").cast("double") + col("v").cast("double"))) -
           log((coalesce(col("n_neg"), lit(0L)).cast("double") + 1.0) /
             (col("t_neg").cast("double") + col("v").cast("double")))).as("llr"),
-        (log(col("d_pos").cast("double")) -
-          log(col("d_neg").cast("double"))).as("prior"))
+        (log(col("d_pos").cast("double") + 1.0) -
+          log(col("d_neg").cast("double") + 1.0)).as("prior"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         TextOps.scaled4(first(col("prior")) + sum(col("llr"))).as("score_e4"))

@@ -582,6 +582,12 @@ class CorpusOpsSpec extends SparkSpec {
     val oov = CorpusOps.nbScore(docs(9L -> "zzz qqq"), labeled).collect().head
     assert(oov.getLong(1) == 2L)
     assert(oov.getInt(2) == 0 && !oov.getBoolean(3))
+    // totality: a single-class labeled frame yields finite scores (the
+    // class prior is Laplace-smoothed; the absent class carries only its
+    // +1 token smoothing mass)
+    val oneClass = CorpusOps.nbScore(docs(1L -> "good text"),
+      labeled.where(col("label"))).collect().head
+    assert(!oneClass.isNullAt(2) && oneClass.getInt(2) > 0)
   }
 
   test("nbScore: the model probe broadcasts; the per-doc agg is map-side combinable") {
