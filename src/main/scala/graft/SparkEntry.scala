@@ -1414,7 +1414,7 @@ object SparkEntry {
         |)
         | SELECT source, lang, n_tokens,
         |  CAST(floor(nm / z * 10000.0 + 0.5) AS INTEGER) AS q_e4,
-        |  CAST(floor(nm / z * 1000000 / CAST(n_tokens AS DOUBLE) * 10000.0 + 0.5) AS INTEGER) AS weight_e4
+        |  CAST(floor(nm / z * 1000000 / CAST(n_tokens AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS weight_e4
         | FROM num, z""".stripMargin,
 
     // paragraph dedup: keep-first is row_number()=1 over (doc_id, pos)

@@ -435,8 +435,12 @@ object CorpusOps {
       .select(keyCols.map(col) ++ Seq(
         col("n_tokens"),
         TextOps.scaled4(col("_num") / col("z")).as("q_e4"),
-        TextOps.scaled4(col("_num") / col("z") * targetTokens /
-          col("n_tokens").cast("double")).as("weight_e4")): _*)
+        // weight can reach q·T/n ≈ 10^10 on the 1e-4 grid for a tiny
+        // stratum under a large target — long, not int (int saturates in
+        // Spark but ERRORS in ANSI engines: a silent cross-engine cliff)
+        floor(col("_num") / col("z") * targetTokens /
+          col("n_tokens").cast("double") * 10000.0 + 0.5)
+          .cast("long").as("weight_e4")): _*)
   }
 
   /** Corpus mixing — the per-source epoch schedule of a training-data mix

@@ -517,16 +517,24 @@ class CorpusOpsSpec extends SparkSpec {
     // p = 0.9/0.1 → sqrt-num 3c/c → q = 0.75/0.25; w = q·1000/n
     val half = CorpusOps.temperatureWeights(budget, Seq("source"),
       alpha = 0.5, targetTokens = 1000L)
-      .collect().map(r => r.getString(0) -> ((r.getInt(2), r.getInt(3)))).toMap
-    assert(half("a") == ((7500, 8333)))
-    assert(half("b") == ((2500, 25000)))
+      .collect().map(r => r.getString(0) -> ((r.getInt(2), r.getLong(3)))).toMap
+    assert(half("a") == ((7500, 8333L)))
+    assert(half("b") == ((2500, 25000L)))
     // alpha = 1 degenerates to token-share sampling: every stratum's
     // expected token draw equals its share → uniform weight T/N
     val prop = CorpusOps.temperatureWeights(budget, Seq("source"),
       alpha = 1.0, targetTokens = 1000L)
-      .collect().map(r => r.getString(0) -> ((r.getInt(2), r.getInt(3)))).toMap
-    assert(prop("a") == ((9000, 10000)))
-    assert(prop("b") == ((1000, 10000)))
+      .collect().map(r => r.getString(0) -> ((r.getInt(2), r.getLong(3)))).toMap
+    assert(prop("a") == ((9000, 10000L)))
+    assert(prop("b") == ((1000, 10000L)))
+    // a 1-token stratum under a large target lands beyond int range on the
+    // 1e-4 grid — the column is long on both engines, never a saturating
+    // int cast
+    val tiny = CorpusOps.temperatureWeights(
+      Seq(("a", 1L), ("b", 1000000L)).toDF("source", "n_tokens"),
+      Seq("source"), alpha = 0.3, targetTokens = 1000000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(tiny("a") > Int.MaxValue.toLong, s"expected >2^31, got ${tiny("a")}")
   }
 
   test("dedupParagraphs invariants hold on a seeded adversarial corpus") {
