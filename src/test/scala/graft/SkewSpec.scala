@@ -130,6 +130,30 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("paragraph dedup's universal-boilerplate key stays a running min, not a buffer") {
+    // the web-scale worst case: ONE paragraph (cookie banner / footer)
+    // appears in EVERY document, making its hash the hottest possible key.
+    // The winner aggregate is min(struct) — map-side combinable — so the
+    // hot hash costs one running min per task, never a buffered group; the
+    // plan must show a partial aggregation below the exchange.
+    import graft.textops.CorpusOps
+    val n = 20000L
+    val docs = spark.range(1, n + 1).select(col("id").as("doc_id"),
+      concat(lit("unique prefix "), col("id").cast("string"),
+        lit("\n\nACCEPT ALL COOKIES TO CONTINUE\n\nunique tail "),
+        col("id").cast("string")).as("text"))
+    val out = CorpusOps.dedupParagraphs(docs)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min") || plan.contains("partial"),
+      s"winner agg must partial-aggregate below the exchange:\n$plan")
+    val rows = out.collect()
+    assert(rows.length == n)
+    // exactly one document (the minimum doc_id) keeps the boilerplate
+    val keepers = rows.count(_.getString(1).contains("ACCEPT ALL COOKIES"))
+    assert(keepers == 1, s"boilerplate kept $keepers times")
+    assert(rows.count(r => r.getInt(3) == 1) == n - 1)
+  }
+
   test("salted repartition spreads the hot conv across partitions") {
     val df = Transcripts.synthesize(spark, 20000L, 400L)
     val salted = Enrich.saltedRepartition(df, "conv_id", saltBuckets = 8, numPartitions = 8)
