@@ -51,6 +51,25 @@ object BinaryKernel {
     }
   }
 
+  /** raw-DEFLATE length at a FIXED configuration (level 6, default
+    * strategy, raw stream, single setInput+finish): the per-document
+    * compression-ratio quality signal (RedPajama-V2 ships it as a filter
+    * column — repetitive boilerplate compresses far below natural prose).
+    * Deterministic for a given zlib build; the JDK bundles its own zlib,
+    * so the value is stable across the executors of one cluster. It is a
+    * FILTER SIGNAL, spec-gated, not a cross-engine oracle value. */
+  def deflateLen(in: Array[Byte]): Int = {
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(in)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
   private val MimeBinary = UTF8String.fromString("application/octet-stream")
   private val MimeGzip = UTF8String.fromString("application/gzip")
   private val MimeJpeg = UTF8String.fromString("image/jpeg")
@@ -73,6 +92,19 @@ case class GzipDecompress(child: Expression) extends UnaryExpression {
       if (${ev.value} == null) { ${ev.isNull} = true; }
     """)
   override protected def withNewChildInternal(newChild: Expression): GzipDecompress =
+    copy(child = newChild)
+}
+
+/** `deflate_len(bin)` → int: fixed-config raw-DEFLATE byte length. */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "deflate_len"
+  override protected def nullSafeEval(input: Any): Any =
+    BinaryKernel.deflateLen(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BinaryKernel.deflateLen($c);")
+  override protected def withNewChildInternal(newChild: Expression): DeflateLen =
     copy(child = newChild)
 }
 

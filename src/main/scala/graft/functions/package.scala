@@ -221,6 +221,10 @@ package object functions {
   def detect_mime(bin: Column): Column =
     ExpressionUtils.column(DetectMime(ExpressionUtils.expression(bin)))
 
+  /** fixed-config raw-DEFLATE byte length (compression-ratio signal). */
+  def deflate_len(bin: Column): Column =
+    ExpressionUtils.column(DeflateLen(ExpressionUtils.expression(bin)))
+
   /** byte-capped UTF-8 truncation (truncate_fields max_bytes variant). */
   def truncate_utf8_bytes(s: Column, maxBytes: Int): Column =
     ExpressionUtils.column(TruncateUtf8Bytes(ExpressionUtils.expression(s), maxBytes))

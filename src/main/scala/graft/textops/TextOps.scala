@@ -160,6 +160,20 @@ object TextOps {
         scaled4(col("_r3.dup_frac")).as("dup3_e4"))
   }
 
+  /** Compression-ratio quality signal (RedPajama-V2 filter column):
+    * deflated bytes / raw UTF-8 bytes on the 1e-4 grid — repetitive
+    * boilerplate compresses far below natural prose, so a LOW ratio flags
+    * machine-generated or template text. Narrow codegen'd map; null for
+    * empty text. Spec-gated (the DEFLATE byte count is zlib-build-specific,
+    * not an ANSI-mirrorable value). */
+  def compressionRatio(text: Column): Column = {
+    val raw = encode(text, "UTF-8")
+    when(octet_length(raw) === 0, lit(null).cast("int"))
+      .otherwise(scaled4(
+        graft.functions.deflate_len(raw).cast("double") /
+          octet_length(raw).cast("double")))
+  }
+
   /** exact near-identical dedup: group by content fingerprint, keep the
     * smallest doc_id of each group. One shuffle, keyed on the 32-char
     * fingerprint — at 10^12 docs this is the standard map-side-combinable

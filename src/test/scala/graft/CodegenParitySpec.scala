@@ -135,6 +135,13 @@ class CodegenParitySpec extends SparkSpec {
     }
   }
 
+  test("round-4 kernel: deflate_len") {
+    check("deflate_len") {
+      texts.select(col("t"),
+        deflate_len(encode(col("t"), "UTF-8")).as("n"))
+    }
+  }
+
   test("round-4 kernel: ngram_set_hits") {
     lazy val d = Seq("a b c d e", "c d e f g", "x", "", "a  b\tc d").toDF("t")
     val set = Seq("a b c", "c d e").toDF("g")

@@ -60,6 +60,30 @@ class TextOpsSpec extends SparkSpec {
     assert(df(0) == df(1) && df(1) != df(2))
   }
 
+  test("compressionRatio: boilerplate compresses far below prose; empty is null") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "ACCEPT COOKIES " * 200),
+      (2L, "The committee's findings, released after an eighteen-month " +
+        "inquiry, traced the outage to a misconfigured failover path that " +
+        "had silently shadowed production traffic since the spring rollout."),
+      (3L, "")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+      graft.textops.TextOps.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(out(3L).isEmpty)
+    val (boiler, prose) = (out(1L).get, out(2L).get)
+    assert(boiler < prose / 5,
+      s"repetition must compress far below prose: $boiler vs $prose")
+    assert(prose > 3000 && prose < 10000, s"prose ratio sane: $prose")
+    // determinism: fixed config → identical value on re-evaluation
+    val again = d.where(col("doc_id") === 1)
+      .select(graft.textops.TextOps.compressionRatio(col("text")))
+      .head().getInt(0)
+    assert(again == boiler)
+  }
+
   test("stats frame has one row per doc and no null metrics") {
     val s = TextOps.stats(docs)
     assert(s.count() == docs.count())
