@@ -331,6 +331,17 @@ object SparkEntry {
           substring(col("text"), 1, 40), lit("\nSHARED FOOTER line\n"),
           substring(col("text"), 41, 40)).as("text")))),
 
+    // --- greedy merge-rank BPE segmentation under a fixed demonstrative
+    //     merge table (per-word subword arrays; counts + first word) ---
+    "q_bpe_segment" -> ((s, dir) => {
+      val segs = graft.textops.TextOps.bpeSegment(col("text"), BpeMerges)
+      docs(s, dir).select(col("doc_id"), segs.as("segs"))
+        .select(col("doc_id"),
+          size(col("segs")).as("n_words"),
+          size(flatten(col("segs"))).as("n_subwords"),
+          array_join(element_at(col("segs"), 1), " ").as("first_seg"))
+    }),
+
     // --- CCNet perplexity tertiles: cross-entropy scores bucketed
     //     head/middle/tail per language ---
     "q_ppl_buckets" -> ((s, dir) => {
@@ -920,6 +931,12 @@ object SparkEntry {
     })
   )
 
+  /** fixed demonstrative merge table for q_bpe_segment — shared by the
+    * Spark query and the generated oracle so the two cannot drift. */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+    "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embeds(s: SparkSession, dir: String): DataFrame =
@@ -1325,6 +1342,33 @@ object SparkEntry {
         |  CAST(len(ls) AS INTEGER) AS n_lines,
         |  CAST(len(ls) - len(ks) AS INTEGER) AS n_dropped
         | FROM k""".stripMargin,
+
+    // BPE segmentation: the oracle rebuilds the identical fence-cell
+    // rewrite (chr(1)-fenced symbols, plain non-overlapping replace) from
+    // the SAME merge table the Spark query uses — generated, so the two
+    // sides cannot drift; char split is the regex `.` (a full code point
+    // in both Java and RE2)
+    "q_bpe_segment" -> {
+      val cells = "array_to_string(list_transform(regexp_extract_all(w, '.', 0)," +
+        " c -> chr(1)||c||chr(1)), '')"
+      val chain = BpeMerges.foldLeft(cells) { case (acc, (a, b)) =>
+        s"replace($acc, chr(1)||'$a'||chr(1)||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
+      }
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+         |  FROM documents
+         |), seg AS (
+         |  SELECT doc_id, list_transform(words, w ->
+         |    string_split(trim($chain, chr(1)), chr(1)||chr(1))) AS segs
+         |  FROM w
+         |)
+         | SELECT doc_id,
+         |  CAST(len(segs) AS INTEGER) AS n_words,
+         |  CAST(len(flatten(segs)) AS INTEGER) AS n_subwords,
+         |  array_to_string(segs[1], ' ') AS first_seg
+         | FROM seg""".stripMargin
+    },
 
     // perplexity buckets: the same cross-entropy mirror, then standard-SQL
     // ntile over the deterministic (ce_e4, doc_id) order per language —

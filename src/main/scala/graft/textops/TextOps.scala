@@ -160,6 +160,30 @@ object TextOps {
         scaled4(col("_r3.dup_frac")).as("dup3_e4"))
   }
 
+  /** Greedy merge-rank BPE apply (Sennrich et al. 2016's encode step):
+    * each merge rule (a, b) → ab is applied in rank order as a
+    * left-to-right non-overlapping pair rewrite over every word's symbol
+    * sequence. Symbols ride in U+0001-fenced cells ("\u0001sym\u0001") so
+    * adjacent rewrites never share boundary characters — "a b a b" merges
+    * to "ab ab" in ONE pass, the textbook semantics — and any engine with
+    * left-to-right non-overlapping replace() states the identical rewrite
+    * (plain string replace, no regex). Input chars split by the regex `.`
+    * (a full code point in both Java and RE2). Returns per-word subword
+    * arrays; pure narrow map, codegen'd built-ins only. */
+  def bpeSegment(text: Column, merges: Seq[(String, String)]): Column = {
+    val F = "\u0001"
+    def cell(s: String) = F + s + F
+    transform(tokens(normalized(text)), w => {
+      val cells = array_join(
+        transform(regexp_extract_all(w, lit("."), lit(0)),
+          c => concat(lit(F), c, lit(F))), "")
+      val merged = merges.foldLeft(cells) { case (s, (a, b)) =>
+        replace(s, lit(cell(a) + cell(b)), lit(cell(a + b)))
+      }
+      split(trim(merged, F), F + F)
+    })
+  }
+
   /** Compression-ratio quality signal (RedPajama-V2 filter column):
     * deflated bytes / raw UTF-8 bytes on the 1e-4 grid — repetitive
     * boilerplate compresses far below natural prose, so a LOW ratio flags

@@ -60,6 +60,20 @@ class TextOpsSpec extends SparkSpec {
     assert(df(0) == df(1) && df(1) != df(2))
   }
 
+  test("bpeSegment applies merges in rank order with one-pass adjacent rewrites") {
+    import spark.implicits._
+    val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n")
+    val out = Seq((1L, "the then bathe thth in")).toDF("doc_id", "text")
+      .select(graft.textops.TextOps.bpeSegment(col("text"), merges).as("s"))
+      .head().getSeq[scala.collection.Seq[String]](0).map(_.toList)
+    assert(out(0) == Seq("the"))            // t+h then th+e chain
+    assert(out(1) == Seq("the", "n"))       // no e+n merge
+    assert(out(2) == Seq("b", "a", "the"))  // rank order: t+h before a+n? a is not adjacent n
+    // the fence property: BOTH adjacent t-h pairs merge in ONE pass
+    assert(out(3) == Seq("th", "th"))
+    assert(out(4) == Seq("in"))
+  }
+
   test("compressionRatio: boilerplate compresses far below prose; empty is null") {
     import spark.implicits._
     val d = Seq(
