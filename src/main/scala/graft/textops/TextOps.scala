@@ -184,6 +184,37 @@ object TextOps {
     })
   }
 
+  /** BPE merge-table training (Sennrich et al. 2016's learn step) over a
+    * corpus (pass a SAMPLE — SentencePiece-style pipelines train the
+    * tokenizer on a sample, never the full 100 TB): each iteration counts
+    * adjacent symbol pairs under the merges learned so far (one
+    * map-side-combinable groupBy over the pair stream; the per-iteration
+    * driver collect is ONE row — the argmax), appends the most frequent
+    * pair with the deterministic (count DESC, pair ASC) tie-break, and
+    * stops early when no pair reaches `minCount`. Segmentation state is
+    * never materialized: iteration k re-derives it by running
+    * [[bpeSegment]] with the k learned merges inside the scan. */
+  def trainBpe(docs: DataFrame, numMerges: Int, minCount: Long = 2L,
+               textCol: String = "text"): Seq[(String, String)] = {
+    var merges = Vector.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val best = docs
+        .select(explode(bpeSegment(col(textCol), merges)).as("w"))
+        .where(size(col("w")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("a"),
+            element_at(col("w"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best.head.getLong(2) < minCount) done = true
+      else merges = merges :+ (best.head.getString(0) -> best.head.getString(1))
+    }
+    merges
+  }
+
   /** Compression-ratio quality signal (RedPajama-V2 filter column):
     * deflated bytes / raw UTF-8 bytes on the 1e-4 grid — repetitive
     * boilerplate compresses far below natural prose, so a LOW ratio flags

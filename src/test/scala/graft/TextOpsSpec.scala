@@ -74,6 +74,20 @@ class TextOpsSpec extends SparkSpec {
     assert(out(4) == Seq("in"))
   }
 
+  test("trainBpe learns hand-computable merges and roundtrips through bpeSegment") {
+    import spark.implicits._
+    val d = Seq((1L, "the the the"), (2L, "then")).toDF("doc_id", "text")
+    // pairs: (t,h)=4, (h,e)=4, (e,n)=1 → tie breaks pair-ASC → (h,e) first;
+    // then (t,he)=4; then only (the,n)=1 < minCount → early stop
+    val merges = graft.textops.TextOps.trainBpe(d, numMerges = 5)
+    assert(merges == Seq("h" -> "e", "t" -> "he"))
+    val seg = Seq((1L, "then zap")).toDF("doc_id", "text")
+      .select(graft.textops.TextOps.bpeSegment(col("text"), merges).as("s"))
+      .head().getSeq[scala.collection.Seq[String]](0).map(_.toList)
+    assert(seg(0) == Seq("the", "n"))
+    assert(seg(1) == Seq("z", "a", "p"))
+  }
+
   test("compressionRatio: boilerplate compresses far below prose; empty is null") {
     import spark.implicits._
     val d = Seq(
