@@ -29,6 +29,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] with a string-heavy pipeline needs headroom — an 8g heap
   // GC-throttles the 32-thread benches (the host has 128 GiB).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // deep generated plans (the 1k-rule chained-replace BPE fold used as the
+  // kernel's equivalence oracle) recurse per tree node in analysis and
+  // interpreted eval — the 1 MB default thread stack is not enough
+  "-Xss16m",
 ) ++ (
   // ParallelGC beats G1 on this throughput-batch workload (measured: full
   // 64M-row transform 5.52→4.94 s at 8 threads, 2.20→2.05 s at 32); G1's

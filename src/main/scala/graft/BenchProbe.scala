@@ -137,6 +137,57 @@ object BenchProbe {
       }
       return
     }
+    if (args.length > 1 && args(1) == "bpe") {
+      // tokenizer-apply throughput: train a merge table on a deterministic
+      // sample of the bench corpus (driver-side incremental learner), then
+      // measure the KERNEL apply (reference-object merge-rank table,
+      // per-task word cache) over docsN documents at 8 and 32 threads —
+      // tokens/s with table size at tokenizer scale. The chained-replace
+      // fold is measured at its 64-rule plan ceiling on the same corpus:
+      // the kernel carries a ~100× larger table at comparable wall.
+      val docsN = if (args.length > 2) args(2).toLong else 8000000L
+      val every = math.max(1L, rows / docsN)
+      val s0 = session(32)
+      val sample = s0.read.parquet(path)
+        .where(pmod(expr("CAST(substring(conv_id, 6, 8) AS BIGINT)"), lit(997)) === 0)
+        .limit(60000)
+      val t0 = System.nanoTime()
+      val merges = textops.TextOps.trainBpe(sample, numMerges = 8000)
+      val trainSec = (System.nanoTime() - t0) / 1e9
+      s0.stop()
+      System.err.println(f"[bpe] trained ${merges.length} merges in $trainSec%.1f s")
+      val walls = scala.collection.mutable.Map.empty[(String, Int), Double]
+      val toks = scala.collection.mutable.Map.empty[String, Long]
+      for (round <- 0 until 3; cpus <- Seq(32, 8)) {
+        val s = session(cpus)
+        val d = s.read.parquet(path)
+          .where(pmod(col("turn_idx").cast("long") * 131L +
+            expr("CAST(substring(conv_id, 6, 8) AS BIGINT)"), lit(every)) === 0)
+        for ((name, seg) <- Seq(
+          "kernel_8k" -> textops.TextOps.bpeSegmentKernel(col("text"), merges),
+          "fold_64" -> textops.TextOps.bpeSegmentFold(col("text"),
+            merges.take(textops.TextOps.BpeFoldLimit)))) {
+          val t1 = System.nanoTime()
+          val n = d.select(sum(size(flatten(seg))).as("n"))
+            .collect()(0).getLong(0)
+          val sec = (System.nanoTime() - t1) / 1e9
+          toks(name) = n
+          if (round > 0)
+            walls((name, cpus)) =
+              math.min(walls.getOrElse((name, cpus), Double.MaxValue), sec)
+          System.err.println(f"[bpe] round=$round cpus=$cpus $name%-10s $sec%7.2f s subwords=$n")
+        }
+        s.stop()
+      }
+      for (name <- Seq("kernel_8k", "fold_64")) {
+        val s8 = walls((name, 8)); val s32 = walls((name, 32))
+        println(f"""{"probe":"bpe_$name","merges":${if (name == "kernel_8k") merges.length else textops.TextOps.BpeFoldLimit},"subwords":${toks(name)},""" +
+          f""""train_sec":$trainSec%.1f,"sec_8":$s8%.2f,"sec_32":$s32%.2f,""" +
+          f""""subwords_per_sec_32":${toks(name) / s32}%.0f,""" +
+          f""""eff_8_to_32":${s8 / s32 / 4.0}%.3f}""")
+      }
+      return
+    }
     if (args.length > 1 && args(1) == "curation") {
       // corpus-tier scaling evidence: run the curation-family operators on a
       // large documents-shaped corpus synthesized ONCE from the bench input

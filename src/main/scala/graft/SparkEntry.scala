@@ -342,6 +342,19 @@ object SparkEntry {
           array_join(element_at(col("segs"), 1), " ").as("first_seg"))
     }),
 
+    // --- the same segmentation through the tokenizer-real KERNEL plan
+    //     (reference-object merge-rank table, min-rank adjacent-merge
+    //     loop): same oracle — on a rank-consistent table the kernel and
+    //     the fold state the identical rewrite ---
+    "q_bpe_segment_kernel" -> ((s, dir) => {
+      val segs = graft.textops.TextOps.bpeSegmentKernel(col("text"), BpeMerges)
+      docs(s, dir).select(col("doc_id"), segs.as("segs"))
+        .select(col("doc_id"),
+          size(col("segs")).as("n_words"),
+          size(flatten(col("segs"))).as("n_subwords"),
+          array_join(element_at(col("segs"), 1), " ").as("first_seg"))
+    }),
+
     // --- CCNet perplexity tertiles: cross-entropy scores bucketed
     //     head/middle/tail per language ---
     "q_ppl_buckets" -> ((s, dir) => {
@@ -1138,7 +1151,7 @@ object SparkEntry {
     "q_dedup_substring_rm" ->
       """WITH tok AS (
         |  SELECT doc_id,
-        |    string_split_regex(trim(text), '\s+') AS raw,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS raw,
         |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
         |  FROM documents
         |), tk AS (
@@ -1349,6 +1362,33 @@ object SparkEntry {
     // sides cannot drift; char split is the regex `.` (a full code point
     // in both Java and RE2)
     "q_bpe_segment" -> {
+      val cells = "array_to_string(list_transform(regexp_extract_all(w, '.', 0)," +
+        " c -> chr(1)||c||chr(1)), '')"
+      val chain = BpeMerges.foldLeft(cells) { case (acc, (a, b)) =>
+        s"replace($acc, chr(1)||'$a'||chr(1)||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
+      }
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+         |  FROM documents
+         |), seg AS (
+         |  SELECT doc_id, list_transform(words, w ->
+         |    string_split(trim($chain, chr(1)), chr(1)||chr(1))) AS segs
+         |  FROM w
+         |)
+         | SELECT doc_id,
+         |  CAST(len(segs) AS INTEGER) AS n_words,
+         |  CAST(len(flatten(segs)) AS INTEGER) AS n_subwords,
+         |  array_to_string(segs[1], ' ') AS first_seg
+         | FROM seg""".stripMargin
+    },
+
+    // the kernel plan computes the identical segmentation on this (rank-
+    // consistent) table, so the fold oracle above applies verbatim; the
+    // 1k-merge learned-table kernel-vs-fold equivalence is spec-pinned
+    // (TextOpsSpec), where a generated 1k-deep replace chain would exceed
+    // what an oracle SQL string can reasonably carry
+    "q_bpe_segment_kernel" -> {
       val cells = "array_to_string(list_transform(regexp_extract_all(w, '.', 0)," +
         " c -> chr(1)||c||chr(1)), '')"
       val chain = BpeMerges.foldLeft(cells) { case (acc, (a, b)) =>

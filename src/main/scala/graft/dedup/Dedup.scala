@@ -496,8 +496,12 @@ object Dedup {
     * pairs only for NON-WINNER duplicated windows. Document text crosses
     * one shuffle: the reassembly doc_id join. */
   def removeDupSpans(docs: DataFrame, w: Int = 8, minCount: Int = 2): DataFrame = {
+    // the case-preserving array MUST ride the same whitespace collapse as
+    // the normalized one: tokens() alone strips only spaces at the edges,
+    // so text starting/ending with \t or \n would grow raw by one empty
+    // token and shift every deletion index off by one
     val base = docs.select(col("doc_id"),
-      TextOps.tokens(col("text")).as("raw"),
+      split(trim(regexp_replace(col("text"), "\\s+", " ")), " ").as("raw"),
       TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
       .select(col("doc_id"), col("raw"), col("toks"),
         size(col("toks")).as("n_tok"))

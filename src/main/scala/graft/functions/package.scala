@@ -58,6 +58,13 @@ package object functions {
   def ngram_char_fracs(text: Column, n: Int): Column =
     ExpressionUtils.column(NgramCharFracs(ExpressionUtils.expression(text), n))
 
+  /** tokenizer-real BPE apply: array of words → per-word subword arrays
+    * under a merge-rank table carried as ONE reference object (table-size-
+    * independent per-word cost; see [[BpeKernel]] for the rank-consistency
+    * precondition every trained table satisfies). */
+  def bpe_encode_words(words: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(BpeEncodeWords(ExpressionUtils.expression(words), merges))
+
   /** network condition leaf: IP-string column ∈ any of the named networks /
     * CIDRs (conditions/network.go). */
   def ip_in_networks(ip: Column, networks: Seq[String]): Column =

@@ -248,9 +248,6 @@ object StreamingPipeline {
       }
   }
 
-  /** convenience: tail a directory of parquet transcript files as a stream
-    * (the harvester/prospector analogue — the table format does the file
-    * discovery and offset bookkeeping that prospector.go hand-rolls). */
   /** Streaming exact dedup — ingest-time duplicate suppression, the
     * streaming form of [[graft.textops.TextOps.dedupExact]]: rows whose
     * normalized-text fingerprint was already seen are dropped, with state
@@ -264,6 +261,9 @@ object StreamingPipeline {
       .withColumn("fp", graft.textops.TextOps.fingerprint(col("text")))
       .dropDuplicatesWithinWatermark("fp")
 
+  /** convenience: tail a directory of parquet transcript files as a stream
+    * (the harvester/prospector analogue — the table format does the file
+    * discovery and offset bookkeeping that prospector.go hand-rolls). */
   def fromDirectory(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema("conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")

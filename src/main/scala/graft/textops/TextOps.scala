@@ -160,17 +160,45 @@ object TextOps {
         scaled4(col("_r3.dup_frac")).as("dup3_e4"))
   }
 
+  /** rule-count threshold above which [[bpeSegment]] switches from the
+    * chained-replace fold plan to the [[graft.functions.BpeEncodeWords]]
+    * kernel: past O(100) chained replaces the fold stops codegenning
+    * (64 KB method / constant-pool limits) and its interpreted cost is
+    * O(merges) string passes per word. */
+  val BpeFoldLimit: Int = 64
+
   /** Greedy merge-rank BPE apply (Sennrich et al. 2016's encode step):
     * each merge rule (a, b) → ab is applied in rank order as a
     * left-to-right non-overlapping pair rewrite over every word's symbol
-    * sequence. Symbols ride in U+0001-fenced cells ("\u0001sym\u0001") so
-    * adjacent rewrites never share boundary characters — "a b a b" merges
-    * to "ab ab" in ONE pass, the textbook semantics — and any engine with
-    * left-to-right non-overlapping replace() states the identical rewrite
-    * (plain string replace, no regex). Input chars split by the regex `.`
-    * (a full code point in both Java and RE2). Returns per-word subword
-    * arrays; pure narrow map, codegen'd built-ins only. */
-  def bpeSegment(text: Column, merges: Seq[(String, String)]): Column = {
+    * sequence; returns per-word subword arrays. Pure narrow map — no
+    * shuffle; at 100 TB this is linear scan CPU.
+    *
+    * Plan shape by table size: up to [[BpeFoldLimit]] rules this is the
+    * ANSI-mirrorable chained-replace fold ([[bpeSegmentFold]] — the
+    * DuckDB-oracled path); above it, the tokenizer-real kernel
+    * ([[bpeSegmentKernel]]), whose per-word cost is independent of table
+    * size (30k–100k-merge production tables). The two agree exactly on
+    * rank-consistent tables — every TRAINED table is, by construction;
+    * equivalence at 1k+ learned merges is spec-pinned — so the switch is a
+    * plan choice, not a semantics choice, for any table [[trainBpe]] (or a
+    * real tokenizer) emits. Hand-written rank-INCONSISTENT tables larger
+    * than the threshold should call [[bpeSegmentFold]] directly. */
+  def bpeSegment(text: Column, merges: Seq[(String, String)]): Column =
+    if (merges.length > BpeFoldLimit) bpeSegmentKernel(text, merges)
+    else bpeSegmentFold(text, merges)
+
+  /** the chained-replace fold plan for [[bpeSegment]]: symbols ride in
+    * U+0001-fenced cells ("\\u0001sym\\u0001") so adjacent rewrites never
+    * share boundary characters — "a b a b" merges to "ab ab" in ONE pass,
+    * the textbook semantics — and any engine with left-to-right
+    * non-overlapping replace() states the identical rewrite (plain string
+    * replace, no regex). Input chars split by the regex `.` (a full code
+    * point in both Java and RE2). PRECONDITION: corpus tokens must not
+    * contain U+0001 themselves (C0 controls are mojibake in crawl text —
+    * run a cleanup pass upstream if the source can carry them); the fence
+    * would corrupt otherwise. The kernel path has no fence and no such
+    * precondition. */
+  def bpeSegmentFold(text: Column, merges: Seq[(String, String)]): Column = {
     val F = "\u0001"
     def cell(s: String) = F + s + F
     transform(tokens(normalized(text)), w => {
@@ -184,35 +212,37 @@ object TextOps {
     })
   }
 
+  /** the kernel plan for [[bpeSegment]]: one reference-object merge-rank
+    * hash map, per-word min-rank adjacent-merge loop, per-task word cache
+    * — table-size-independent apply cost (see [[graft.functions.BpeKernel]]
+    * for the rank-consistency precondition). */
+  def bpeSegmentKernel(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.bpe_encode_words(tokens(normalized(text)), merges)
+
   /** BPE merge-table training (Sennrich et al. 2016's learn step) over a
     * corpus (pass a SAMPLE — SentencePiece-style pipelines train the
-    * tokenizer on a sample, never the full 100 TB): each iteration counts
-    * adjacent symbol pairs under the merges learned so far (one
-    * map-side-combinable groupBy over the pair stream; the per-iteration
-    * driver collect is ONE row — the argmax), appends the most frequent
-    * pair with the deterministic (count DESC, pair ASC) tie-break, and
-    * stops early when no pair reaches `minCount`. Segmentation state is
-    * never materialized: iteration k re-derives it by running
-    * [[bpeSegment]] with the k learned merges inside the scan. */
+    * tokenizer on a sample, never the full 100 TB): ONE distributed pass
+    * builds the distinct-word histogram (map-side-combinable groupBy;
+    * `maxVocab` guards the collect — a natural-text sample's distinct-word
+    * count is millions, not the corpus size), then the classic incremental
+    * learner runs on the driver: count adjacent symbol pairs, merge the
+    * most frequent with the deterministic (count DESC, pair ASC codepoint
+    * order) tie-break, update only the words containing the merged pair.
+    * Total cost is O(symbols + merges·log pairs) — iteration cost is FLAT,
+    * not the k chained replaces per iteration of the former re-derive-
+    * from-scratch shape — so tokenizer-real 8k+ merge tables train in
+    * seconds (spec-pinned). Stops early when no pair reaches `minCount`. */
   def trainBpe(docs: DataFrame, numMerges: Int, minCount: Long = 2L,
-               textCol: String = "text"): Seq[(String, String)] = {
-    var merges = Vector.empty[(String, String)]
-    var done = false
-    while (!done && merges.length < numMerges) {
-      val best = docs
-        .select(explode(bpeSegment(col(textCol), merges)).as("w"))
-        .where(size(col("w")) >= 2)
-        .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
-          i => struct(element_at(col("w"), i).as("a"),
-            element_at(col("w"), i + 1).as("b")))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
-      if (best.isEmpty || best.head.getLong(2) < minCount) done = true
-      else merges = merges :+ (best.head.getString(0) -> best.head.getString(1))
-    }
-    merges
+               textCol: String = "text", maxVocab: Int = 1 << 22): Seq[(String, String)] = {
+    val hist = docs
+      .select(explode(tokens(normalized(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .collect()
+    require(hist.length <= maxVocab,
+      s"distinct-word histogram (${hist.length}) exceeds maxVocab=$maxVocab — " +
+        "train the tokenizer on a sample, not the corpus")
+    BpeTrainer.learn(hist.map(r => r.getString(0) -> r.getLong(1)),
+      numMerges, minCount)
   }
 
   /** Compression-ratio quality signal (RedPajama-V2 filter column):

@@ -124,6 +124,23 @@ class DedupSpec extends SparkSpec {
     assert(out.values.exists(_._3 > 0), "the seeded corpus must exercise removal")
   }
 
+  test("removeDupSpans deletion indices survive edge tabs/newlines") {
+    // regression: raw was split on \s+ after a space-only trim, so a doc
+    // BEGINNING with \t or \n grew one empty leading token and every
+    // deletion index applied one position too late
+    import spark.implicits._
+    val run = (1 to 8).map(i => s"Dup$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$run closer words here"),
+      (2L, s"\n${run.toLowerCase}\tKEEPME trailing words\n")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(corpus, w = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((s"$run closer words here", 11, 0)))
+    // doc 2 loses exactly the 8-token run; KEEPME (raw case) must survive
+    assert(out(2L) == (("KEEPME trailing words", 11, 8)))
+  }
+
   test("brute-force jaccard pairs find the planted near-dups and nothing else") {
     val pairs = Dedup.jaccardPairs(docs, 80).collect()
     assert(pairs.length > 5 && pairs.length < 100,

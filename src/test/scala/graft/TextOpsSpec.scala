@@ -74,6 +74,98 @@ class TextOpsSpec extends SparkSpec {
     assert(out(4) == Seq("in"))
   }
 
+  test("bpeSegmentKernel states the fold's rewrite on the demonstrative table") {
+    import spark.implicits._
+    val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n")
+    val out = Seq((1L, "the then bathe thth in")).toDF("doc_id", "text")
+      .select(graft.textops.TextOps.bpeSegmentKernel(col("text"), merges).as("s"))
+      .head().getSeq[scala.collection.Seq[String]](0).map(_.toList)
+    assert(out(0) == Seq("the"))
+    assert(out(1) == Seq("the", "n"))
+    assert(out(2) == Seq("b", "a", "the"))
+    assert(out(3) == Seq("th", "th"))
+    assert(out(4) == Seq("in"))
+  }
+
+  /** deterministic synthetic vocabulary for the tokenizer-scale tests:
+    * `nWords` distinct random words (len 9–14, 26-letter alphabet), each
+    * with frequency ≥ 2 so every internal pair clears minCount — the
+    * saturation merge count is ≈ Σ(len−1) ≈ 11·nWords. */
+  private def syntheticCorpus(nWords: Int, seed: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val words = (0 until nWords).map { _ =>
+      val len = 9 + rnd.nextInt(6)
+      (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }.distinct
+    val stream = words.flatMap(w => Seq.fill(2 + rnd.nextInt(3))(w))
+    val shuffled = rnd.shuffle(stream)
+    shuffled.grouped(30).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+  }
+
+  test("kernel and fold agree word-for-word on a 1k+-merge LEARNED table") {
+    import spark.implicits._
+    val corpus = syntheticCorpus(nWords = 140, seed = 7)
+    val d = corpus.toDF("doc_id", "text")
+    val merges = graft.textops.TextOps.trainBpe(d, numMerges = 1400)
+    assert(merges.length >= 1024,
+      s"corpus must support >= 1024 merges, learned ${merges.length}")
+    // the fold at this depth: a >1k-deep chained-replace plan — the shape
+    // that caps the fold in production, still evaluable here as the oracle
+    val probe = d.limit(12)
+    val fold = probe
+      .select(col("doc_id"), graft.textops.TextOps.bpeSegmentFold(col("text"), merges).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[scala.collection.Seq[String]](1).map(_.toList)).toMap
+    val kern = probe
+      .select(col("doc_id"), graft.textops.TextOps.bpeSegmentKernel(col("text"), merges).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[scala.collection.Seq[String]](1).map(_.toList)).toMap
+    assert(kern == fold, "kernel must equal the fold on a rank-consistent table")
+    // and the public bpeSegment switched to the kernel plan at this size
+    val auto = probe
+      .select(col("doc_id"), graft.textops.TextOps.bpeSegment(col("text"), merges).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[scala.collection.Seq[String]](1).map(_.toList)).toMap
+    assert(auto == fold)
+  }
+
+  test("trainBpe learns 8k+ merges in bounded time; kernel roundtrips them") {
+    import spark.implicits._
+    val corpus = syntheticCorpus(nWords = 1600, seed = 13)
+    val d = corpus.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val merges = graft.textops.TextOps.trainBpe(d, numMerges = 8000)
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    assert(merges.length == 8000, s"expected 8000 merges, got ${merges.length}")
+    assert(trainSec < 120.0, f"8k-merge train took $trainSec%.1f s — iteration cost regressed")
+    // rank consistency by construction: every side referencing a merge
+    // product appears after the producing rule
+    val seen = scala.collection.mutable.Set.empty[String]
+    merges.foreach { case (a, b) =>
+      for (s <- Seq(a, b) if s.length > 1)
+        assert(seen.contains(s), s"rule side '$s' used before being produced")
+      seen += (a + b)
+    }
+    // apply the full 8k table through the kernel: subwords must concatenate
+    // back to each word (lossless segmentation), and most distinct words
+    // must have collapsed below their codepoint length (the table bites)
+    val rows = d.select(
+      split(lower(trim(col("text"))), "\\s+").as("ws"),
+      graft.textops.TextOps.bpeSegmentKernel(col("text"), merges).as("ss"))
+      .collect()
+    var words = 0L; var collapsed = 0L
+    rows.foreach { r =>
+      val ws = r.getSeq[String](0)
+      val ss = r.getSeq[scala.collection.Seq[String]](1)
+      assert(ws.length == ss.length)
+      ws.zip(ss).foreach { case (w, s) =>
+        assert(s.mkString == w, s"subwords of '$w' reassemble to '${s.mkString}'")
+        words += 1
+        if (s.length < w.codePointCount(0, w.length)) collapsed += 1
+      }
+    }
+    assert(words > 1000 && collapsed * 5 > words * 3,
+      s"the 8k table must compress the vocabulary it was trained on ($collapsed/$words)")
+  }
+
   test("trainBpe learns hand-computable merges and roundtrips through bpeSegment") {
     import spark.implicits._
     val d = Seq((1L, "the the the"), (2L, "then")).toDF("doc_id", "text")
