@@ -898,6 +898,26 @@ object SparkEntry {
           col("m.payload_len"))
     }),
 
+    // --- multimodal: REAL audio decode — a hand-rolled deterministic
+    //     PCM16-LE RIFF/WAVE per doc (wav_pack) is decoded by the real JDK
+    //     parser (javax.sound.sampled); every reported field, including the
+    //     mean |amplitude| sample statistic, is closed-form in doc_id so
+    //     the oracle predicts the decode without an audio stack ---
+    "q_audio_meta" -> ((s, dir) => {
+      import graft.multimodal.functions.{audio_meta, wav_pack}
+      val rate = lit(8000) + pmod(col("doc_id"), lit(5)).cast("int") * lit(4000)
+      val ch = lit(1) + pmod(col("doc_id"), lit(2)).cast("int")
+      val frames = lit(50) + pmod(col("doc_id"), lit(100)).cast("int")
+      docs(s, dir)
+        .select(col("doc_id"),
+          audio_meta(wav_pack(col("doc_id"), rate, ch, frames)).as("a"))
+        .select(col("doc_id"), col("a.encoding").as("encoding"),
+          col("a.sample_rate").as("sample_rate"), col("a.channels").as("channels"),
+          col("a.bits").as("bits"), col("a.frames").as("frames"),
+          col("a.duration_ms").as("duration_ms"),
+          graft.textops.TextOps.scaled4(col("a.mean_abs")).as("mean_abs_e4"))
+    }),
+
     // --- multimodal: every-Nth frame sampling → exploded frames table;
     //     frames are byte slices of the deterministic payload, so the
     //     oracle reconstructs them as hex-string slices (byte-exact, no
@@ -2229,6 +2249,31 @@ object SparkEntry {
         | CAST(CASE WHEN doc_id % 3 = 2 THEN 8 + (doc_id % 16) ELSE 1 END AS INTEGER) AS n_frames,
         | CAST(least(strlen(text), 256) AS INTEGER) AS payload_len
         | FROM documents""".stripMargin,
+
+    // real audio decode: the WAV synthesis is closed-form in doc_id
+    // (sample j = ((doc_id·31 + j·7919) mod 65536) − 32768), so the oracle
+    // states the decoded metadata AND the sample statistic exactly — the
+    // |sample| sum is an integer on both sides with ONE final double
+    // division (summation-order-proof at the e4 grid)
+    "q_audio_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(8000 + (doc_id % 5) * 4000 AS INTEGER) AS sample_rate,
+        |    CAST(1 + (doc_id % 2) AS INTEGER) AS channels,
+        |    CAST(50 + (doc_id % 100) AS INTEGER) AS frames
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    sum(abs(((doc_id * 31 + j * 7919) % 65536) - 32768)) AS a,
+        |    count(*) AS n
+        |  FROM p, unnest(generate_series(0, frames * channels - 1)) AS t(j)
+        |  GROUP BY doc_id
+        |)
+        | SELECT p.doc_id, 'PCM_SIGNED' AS encoding, p.sample_rate, p.channels,
+        |  16 AS bits, CAST(p.frames AS BIGINT) AS frames,
+        |  CAST(p.frames * 1000 // p.sample_rate AS BIGINT) AS duration_ms,
+        |  CAST(floor(CAST(s.a AS DOUBLE) / (s.n * 32768.0) * 10000.0 + 0.5) AS INTEGER) AS mean_abs_e4
+        | FROM p JOIN s ON p.doc_id = s.doc_id""".stripMargin,
 
     // frame sampling: payload = first ≤256 BYTES of text; n_frames and the
     // slice geometry are closed-form in doc_id; frames compared as hex

@@ -14,10 +14,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * decoders.
   *
   * Real IMAGE formats (PNG/JPEG/GIF/BMP) are decoded and resized for real
-  * via the JDK's javax.imageio — zero extra dependencies. Audio/video have
-  * no JDK codec, so those ride the deterministic GRFT fixture container
-  * ("GRFT" magic + fixed header + payload); that stub point is marked below.
-  * Everything else is real Spark architecture and is what matters at 100 TB:
+  * via the JDK's javax.imageio, and real AUDIO containers (WAV/AIFF/AU,
+  * 8/16-bit PCM) are parsed and PCM-decoded for real via
+  * javax.sound.sampled ([[audioMetaKernel]]/[[audioSamplesKernel]]) — zero
+  * extra dependencies either way. VIDEO has no JDK codec, so it rides the
+  * deterministic GRFT fixture container ("GRFT" magic + fixed header +
+  * payload); that remaining stub point is marked below. Everything else is
+  * real Spark architecture and is what matters at 100 TB:
   *
   *  - media stays an opaque `BinaryType` column end-to-end (never hex/base64
   *    strings — 2× smaller and zero re-encode);
@@ -105,11 +108,17 @@ object Multimodal {
   private def isGrft(b: Array[Byte]): Boolean =
     b.length >= HeaderLen && b(0) == 'G' && b(1) == 'R' && b(2) == 'F' && b(3) == 'T'
 
-  /** Per-task decoder. GRFT → deterministic fixture path; anything else →
-    * javax.imageio (returns null for formats it cannot read). */
+  /** Per-task decoder. GRFT → deterministic fixture path; real audio
+    * containers (RIFF/WAVE, AIFF, AU) → javax.sound.sampled, reported as
+    * (frames, channels, mean |amplitude|); anything else → javax.imageio
+    * (returns null for formats it cannot read). */
   final class MediaDecoder {
     def decode(content: Array[Byte]): (Int, Int, Double) = {
       if (isGrft(content)) return decodeGrft(content)
+      val audio = audioMetaKernel(content)
+      if (audio != null)
+        return (audio.getLong(4).toInt, audio.getInt(2),
+          if (audio.isNullAt(6)) -1.0 else audio.getDouble(6))
       // NonFatal, not just IOException: the JDK image readers throw
       // ArrayIndexOutOfBounds/IllegalArgument/NegativeArraySize on crafted
       // or truncated headers, and a corrupt blob must dead-letter, never
@@ -136,7 +145,8 @@ object Multimodal {
       (w, h, acc.toDouble / (w.toLong * h * 3L * 255L))
     }
 
-    /** GRFT fixture decoder (video/audio stand-in). Deterministic. */
+    /** GRFT fixture decoder (video stand-in — the one remaining codec
+      * stub; no JDK video codec exists). Deterministic. */
     def decodeGrft(content: Array[Byte]): (Int, Int, Double) = {
       val w = i32(content, 8)
       val h = i32(content, 12)
@@ -145,6 +155,164 @@ object Multimodal {
       while (i < content.length) { acc = acc * 31 + (content(i) & 0xff); i += 1 }
       (w, h, (java.lang.Math.floorMod(acc, 1000000L)).toDouble / 1000000.0)
     }
+  }
+
+  // ---- real audio decode (javax.sound.sampled — zero extra deps) ----
+
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("encoding", StringType),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("frames", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("mean_abs", DoubleType)))
+
+  /** Real WAV/AIFF/AU header parse + PCM decode through the JDK's
+    * `javax.sound.sampled.AudioSystem` (the audio analogue of the imageio
+    * path): format metadata plus the mean absolute normalized amplitude —
+    * a real sample statistic, like the image path's mean RGB intensity.
+    * 8-bit (signed AIFF / unsigned WAV semantics per the reported encoding)
+    * and 16-bit PCM at either endianness are decoded; other depths report
+    * metadata with a null statistic. Null on undecodable bytes — at 100 TB
+    * a corrupt blob dead-letters, never kills the stage. */
+  def audioMetaKernel(content: Array[Byte]): InternalRow = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => return null }
+    try {
+      val fmt = ais.getFormat
+      val frames = ais.getFrameLength
+      val vals = new Array[Any](7)
+      vals(0) = UTF8String.fromString(String.valueOf(fmt.getEncoding))
+      vals(1) = fmt.getSampleRate.toInt
+      vals(2) = fmt.getChannels
+      vals(3) = fmt.getSampleSizeInBits
+      vals(4) = frames
+      vals(5) = if (fmt.getSampleRate > 0) frames * 1000L / fmt.getSampleRate.toLong else 0L
+      vals(6) = null
+      val pcmSigned = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val pcmUnsigned = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      if ((pcmSigned || pcmUnsigned) &&
+        (fmt.getSampleSizeInBits == 8 || fmt.getSampleSizeInBits == 16)) {
+        val data = ais.readAllBytes()
+        // EXACT integer accumulation, ONE final double division — the sum
+        // of raw |sample| is an integer both engines can state, so the
+        // DuckDB oracle reproduces the statistic bit-for-bit (a running
+        // double sum would be summation-order-sensitive at the e4 grid)
+        var acc = 0L
+        var n = 0L
+        if (fmt.getSampleSizeInBits == 8) {
+          var i = 0
+          while (i < data.length) {
+            val v = if (pcmUnsigned) (data(i) & 0xff) - 128 else data(i).toInt
+            acc += math.abs(v)
+            i += 1; n += 1
+          }
+          if (n > 0) vals(6) = acc.toDouble / (n * 128.0)
+        } else {
+          val be = fmt.isBigEndian
+          var i = 0
+          while (i + 1 < data.length) {
+            val v =
+              if (be) (data(i) << 8) | (data(i + 1) & 0xff)
+              else (data(i + 1) << 8) | (data(i) & 0xff)
+            val s = if (pcmUnsigned) (v & 0xffff) - 32768 else v.toShort.toInt
+            acc += math.abs(s)
+            i += 2; n += 1
+          }
+          if (n > 0) vals(6) = acc.toDouble / (n * 32768.0)
+        }
+      }
+      new GenericInternalRow(vals)
+    } catch { case scala.util.control.NonFatal(_) => null }
+    finally ais.close()
+  }
+
+  /** PCM frame extraction: decoded samples as normalized doubles in
+    * [-1, 1), channel-interleaved (frame f's channels are adjacent) — the
+    * feature-extraction input shape. `maxSamples` bounds row width (a 10-min
+    * 48 kHz stereo capture is 57.6 M samples; downstream featurizers want
+    * the head or a strided pass, not a half-gigabyte array cell). Null on
+    * undecodable bytes or unsupported depth. */
+  def audioSamplesKernel(content: Array[Byte], maxSamples: Int): GenericArrayData = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => return null }
+    try {
+      val fmt = ais.getFormat
+      val pcmSigned = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val pcmUnsigned = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      val bits = fmt.getSampleSizeInBits
+      if (!(pcmSigned || pcmUnsigned) || (bits != 8 && bits != 16)) return null
+      val bytesPer = bits / 8
+      val want = math.min(
+        if (ais.getFrameLength >= 0) ais.getFrameLength * fmt.getChannels else maxSamples.toLong,
+        maxSamples.toLong).toInt
+      val data = ais.readNBytes(want * bytesPer)
+      val n = data.length / bytesPer
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val v =
+          if (bits == 8) {
+            val b = if (pcmUnsigned) (data(i) & 0xff) - 128 else data(i).toInt
+            b / 128.0
+          } else {
+            val off = i * 2
+            val raw =
+              if (fmt.isBigEndian) (data(off) << 8) | (data(off + 1) & 0xff)
+              else (data(off + 1) << 8) | (data(off) & 0xff)
+            val s = if (pcmUnsigned) (raw & 0xffff) - 32768 else raw.toShort.toInt
+            s / 32768.0
+          }
+        out(i) = v
+        i += 1
+      }
+      new GenericArrayData(out)
+    } catch { case scala.util.control.NonFatal(_) => null }
+    finally ais.close()
+  }
+
+  /** deterministic RIFF/WAVE synthesizer for the oracle path: a HAND-ROLLED
+    * canonical 44-byte-header PCM16-LE WAV (independent of AudioSystem, so
+    * the [[audioMetaKernel]] decode of it exercises the real JDK parser
+    * end-to-end) whose samples follow a closed-form any ANSI engine can
+    * state: sample j = ((seed·31 + j·7919) mod 65536) − 32768. */
+  def wavPackKernel(seed: Long, sampleRate: Int, channels: Int,
+                    frames: Int): Array[Byte] = {
+    val nSamples = frames * channels
+    val dataLen = nSamples * 2
+    val out = new Array[Byte](44 + dataLen)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+      out(off + 2) = (v >>> 16).toByte; out(off + 3) = (v >>> 24).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+    }
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    le32(4, 36 + dataLen)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    le32(16, 16)   // PCM fmt chunk
+    le16(20, 1)    // audio format: PCM
+    le16(22, channels)
+    le32(24, sampleRate)
+    le32(28, sampleRate * channels * 2) // byte rate
+    le16(32, channels * 2)              // block align
+    le16(34, 16)                        // bits
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    le32(40, dataLen)
+    var j = 0
+    while (j < nSamples) {
+      val v = (java.lang.Math.floorMod(seed * 31L + j.toLong * 7919L, 65536L) - 32768L).toInt
+      le16(44 + j * 2, v & 0xffff)
+      j += 1
+    }
+    out
   }
 
   // ---- kernels for the Catalyst expressions ----
@@ -274,6 +442,64 @@ case class MediaFrames(child: Expression, everyN: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `audio_meta(content)` → struct(encoding, sample_rate, channels, bits,
+  * frames, duration_ms, mean_abs) — REAL WAV/AIFF/AU decode via the JDK's
+  * javax.sound.sampled; null on undecodable bytes (dead-letter). */
+case class AudioMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = Multimodal.audioMetaSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_meta"
+  override protected def nullSafeEval(input: Any): Any =
+    Multimodal.audioMetaKernel(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+        graft.multimodal.Multimodal.audioMetaKernel($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): AudioMeta =
+    copy(child = newChild)
+}
+
+/** `wav_pack(struct(seed, sample_rate, channels, frames))` → binary: the
+  * deterministic hand-rolled PCM16-LE WAV of [[Multimodal.wavPackKernel]]
+  * (synthesis side of the audio oracle — decoded by the REAL JDK parser). */
+case class WavPack(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_pack"
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = input.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    Multimodal.wavPackKernel(r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.multimodal.Multimodal.wavPackKernel(
+        $c.getLong(0), $c.getInt(1), $c.getInt(2), $c.getInt(3));
+    """)
+  override protected def withNewChildInternal(newChild: Expression): WavPack =
+    copy(child = newChild)
+}
+
+/** `audio_samples(content, maxSamples)` → array<double> of normalized
+  * PCM samples in [-1, 1), channel-interleaved; null when undecodable. */
+case class AudioSamples(child: Expression, maxSamples: Int) extends UnaryExpression {
+  require(maxSamples > 0 && maxSamples <= (1 << 26),
+    s"maxSamples out of range: $maxSamples")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_samples"
+  override protected def nullSafeEval(input: Any): Any =
+    Multimodal.audioSamplesKernel(input.asInstanceOf[Array[Byte]], maxSamples)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData)
+        graft.multimodal.Multimodal.audioSamplesKernel($c, $maxSamples);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): AudioSamples =
+    copy(child = newChild)
+}
+
 object functions {
   import org.apache.spark.sql.graft.{interop => I}
   def media_meta(content: Column): Column = I.column(MediaMeta(I.expression(content)))
@@ -281,4 +507,12 @@ object functions {
     I.column(MediaResize(I.expression(content), w, h))
   def media_frames(content: Column, everyN: Int): Column =
     I.column(MediaFrames(I.expression(content), everyN))
+  def audio_meta(content: Column): Column = I.column(AudioMeta(I.expression(content)))
+  def audio_samples(content: Column, maxSamples: Int = 1 << 20): Column =
+    I.column(AudioSamples(I.expression(content), maxSamples))
+  def wav_pack(seed: Column, sampleRate: Column, channels: Column,
+               frames: Column): Column =
+    I.column(WavPack(I.expression(org.apache.spark.sql.functions.struct(
+      seed.cast("long"), sampleRate.cast("int"), channels.cast("int"),
+      frames.cast("int")))))
 }

@@ -120,4 +120,89 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     assert(rows(0) == Multimodal.DecodedRow(9L, "image", -1, -1, -1.0))
   }
+
+  /** PCM16 mono WAV written by the JDK's OWN encoder (AudioSystem.write)
+    * — an implementation independent of the hand-rolled wavPackKernel. */
+  private def jdkWav(samples: Array[Short], rate: Float,
+                     fileType: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+    val big = fileType == javax.sound.sampled.AudioFileFormat.Type.AIFF
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, big)
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      val v = samples(i)
+      if (big) { bytes(2 * i) = (v >> 8).toByte; bytes(2 * i + 1) = v.toByte }
+      else { bytes(2 * i) = v.toByte; bytes(2 * i + 1) = (v >> 8).toByte }
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, fileType, bos)
+    bos.toByteArray
+  }
+
+  test("REAL audio decode: a JDK-encoded WAV decodes byte-exactly") {
+    val samples = Array[Short](0, 16384, -16384, 32767, -32768, 1000, -1000, 0)
+    val wav = jdkWav(samples, 8000f, javax.sound.sampled.AudioFileFormat.Type.WAVE)
+    val r = Multimodal.audioMetaKernel(wav)
+    assert(r != null)
+    assert(r.getString(0) == "PCM_SIGNED")
+    assert(r.getInt(1) == 8000 && r.getInt(2) == 1 && r.getInt(3) == 16)
+    assert(r.getLong(4) == 8L && r.getLong(5) == 1L) // 8 frames @8kHz = 1 ms
+    val sumAbs = samples.map(s => math.abs(s.toLong)).sum
+    assert(r.getDouble(6) == sumAbs.toDouble / (8 * 32768.0))
+    // PCM extraction returns the exact normalized samples in order
+    val got = Multimodal.audioSamplesKernel(wav, 1 << 20)
+    assert(got.toDoubleArray().toSeq == samples.map(_ / 32768.0).toSeq)
+  }
+
+  test("REAL audio decode: AIFF (big-endian) and truncation via maxSamples") {
+    val samples = Array.tabulate[Short](100)(i => ((i * 517) % 30000).toShort)
+    val aiff = jdkWav(samples, 16000f, javax.sound.sampled.AudioFileFormat.Type.AIFF)
+    val r = Multimodal.audioMetaKernel(aiff)
+    assert(r != null && r.getInt(1) == 16000 && r.getLong(4) == 100L)
+    assert(r.getDouble(6) ==
+      samples.map(s => math.abs(s.toLong)).sum.toDouble / (100 * 32768.0))
+    val head = Multimodal.audioSamplesKernel(aiff, 10)
+    assert(head.toDoubleArray().toSeq == samples.take(10).map(_ / 32768.0).toSeq)
+  }
+
+  test("wav_pack synthesis decodes through the real JDK parser, closed-form") {
+    val wav = Multimodal.wavPackKernel(seed = 42L, sampleRate = 12000,
+      channels = 2, frames = 60)
+    val r = Multimodal.audioMetaKernel(wav)
+    assert(r != null)
+    assert(r.getString(0) == "PCM_SIGNED" && r.getInt(1) == 12000 &&
+      r.getInt(2) == 2 && r.getInt(3) == 16 && r.getLong(4) == 60L &&
+      r.getLong(5) == 5L)
+    val expect = (0 until 120).map(j =>
+      java.lang.Math.floorMod(42L * 31 + j.toLong * 7919, 65536L) - 32768L)
+    assert(r.getDouble(6) == expect.map(math.abs).sum.toDouble / (120 * 32768.0))
+    // the expression path agrees with the kernel path
+    val viaExpr = Seq(1L).toDF("doc_id")
+      .select(audio_meta(wav_pack(lit(42L), lit(12000), lit(2), lit(60))).as("a"))
+      .select(col("a.sample_rate"), col("a.frames"), col("a.mean_abs"))
+      .collect()(0)
+    assert(viaExpr.getInt(0) == 12000 && viaExpr.getLong(1) == 60L &&
+      viaExpr.getDouble(2) == r.getDouble(6))
+  }
+
+  test("audio: corrupt or non-audio bytes return null meta, not a crash") {
+    assert(Multimodal.audioMetaKernel(Array[Byte](1, 2, 3)) == null)
+    assert(Multimodal.audioMetaKernel("RIFFxxxxWAVEfmt ".getBytes) == null)
+    assert(Multimodal.audioSamplesKernel(pngBytes, 100) == null)
+    // and through the expression (null column, no exception)
+    val viaExpr = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "content")
+      .select(audio_meta(col("content")).as("a")).collect()(0)
+    assert(viaExpr.isNullAt(0))
+  }
+
+  test("MediaDecoder routes real WAV bytes to the audio path") {
+    val wav = Multimodal.wavPackKernel(7L, 8000, 1, 40)
+    val rows = Multimodal.decodePartitions(
+      Seq(Multimodal.MediaRow(7L, "audio", wav)).toDS()).collect()
+    val expect = (0 until 40).map(j =>
+      java.lang.Math.floorMod(7L * 31 + j.toLong * 7919, 65536L) - 32768L)
+    assert(rows(0) == Multimodal.DecodedRow(7L, "audio", 40, 1,
+      expect.map(math.abs).sum.toDouble / (40 * 32768.0)))
+  }
 }
