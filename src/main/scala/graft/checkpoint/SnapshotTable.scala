@@ -50,13 +50,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Operations: `append` (adds files), `merge` (copy-on-write MERGE INTO —
   * latest rows win by key columns; the snapshot's file list REPLACES the
   * previous one). Every version's metadata is retained, so any historical
-  * snapshot remains readable (time travel); production would add an
-  * expire-snapshots janitor and split the cumulative file list into
-  * manifest files once it outgrows one JSON doc — at the registry /
-  * commit-log scale this format serves here, one doc is the right size.
+  * snapshot remains readable (time travel).
+  *
+  * Manifest splitting (the Iceberg manifest-file shape): up to
+  * `inlineFileLimit` files the version doc carries the file list inline;
+  * above it the list rides MANIFEST files (`metadata/m-*.json`) and the
+  * version doc holds only (path, count, bytes) pointers. An append REUSES
+  * the previous version's manifests untouched and writes ONE new manifest
+  * for just its added files, so per-commit metadata cost is O(added), not
+  * O(table) — the property that keeps a high-commit-rate 100 TB sink table
+  * from rewriting a million-entry file list on every micro-batch. The
+  * manifest list is coalesced back to one file when it exceeds
+  * `manifestCoalesceAt` (Iceberg's merge-manifests), bounding read fan-out;
+  * a CAS loser deletes the manifests it wrote, and [[expireSnapshots]]
+  * reclaims manifests referenced only by expired versions plus aged
+  * orphans. The embedded snapshot history and txn-key map still grow with
+  * commit count (they must — [[readCommittedTxns]] and idempotence read
+  * them); at sink commit-log rates that is KBs/day.
   */
 final class SnapshotTable(val root: String, spark: SparkSession,
-                          val runId: String = Registry.newRunId()) {
+                          val runId: String = Registry.newRunId(),
+                          val inlineFileLimit: Int = SnapshotTable.DefaultInlineFileLimit,
+                          val manifestCoalesceAt: Int = SnapshotTable.DefaultManifestCoalesceAt) {
 
   import SnapshotTable._
 
@@ -74,7 +89,15 @@ final class SnapshotTable(val root: String, spark: SparkSession,
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
     if (versions.isEmpty) return TableState.Empty
-    parseMeta(readBytes(fs, versionPath(versions.max)))
+    parseState(readBytes(fs, versionPath(versions.max)))
+  }
+
+  /** parse a version doc and RESOLVE its manifests (if any) into the full
+    * file list — readers always see `files` complete either way. */
+  private def parseState(bytes: Array[Byte]): TableState = {
+    val st = parseMeta(bytes)
+    if (st.manifestRefs.isEmpty) st
+    else st.copy(files = st.manifestRefs.flatMap(m => readManifest(m.path)))
   }
 
   private def versionPath(v: Long): Path = new Path(metaDir, f"v$v%06d.json")
@@ -110,13 +133,65 @@ final class SnapshotTable(val root: String, spark: SparkSession,
     else { fs.delete(tmp, false); false }
   }
 
+  /** plan the next version's file-list layout: inline below
+    * `inlineFileLimit`, manifest files above it. Appends (`replace=false`)
+    * carry the previous version's manifests untouched and spill only
+    * (previous inline files +) `added` into ONE new manifest; merges
+    * (`replace=true`) start fresh. Coalesces to a single manifest past
+    * `manifestCoalesceAt`. Returns (manifest refs, inline files, manifest
+    * paths WRITTEN by this call — the caller deletes them if its CAS
+    * loses, so racing writers leave no debris). */
+  private def planFiles(prev: TableState, added: Seq[FileEntry],
+                        replace: Boolean): (Seq[ManifestRef], Seq[FileEntry], Seq[String]) = {
+    val carried = if (replace) Seq.empty[ManifestRef] else prev.manifestRefs
+    val pending =
+      (if (replace || prev.manifestRefs.nonEmpty) Seq.empty else prev.files) ++ added
+    if (carried.isEmpty && pending.size <= inlineFileLimit)
+      return (Seq.empty, pending, Seq.empty)
+    var written = List.empty[String]
+    var refs = carried
+    if (pending.nonEmpty) {
+      val r = writeManifest(pending); written ::= r.path; refs = refs :+ r
+    }
+    if (refs.size > manifestCoalesceAt) {
+      val one = writeManifest(refs.flatMap(m => readManifest(m.path)))
+      written ::= one.path
+      refs = Seq(one)
+    }
+    (refs, Seq.empty, written)
+  }
+
+  private def writeManifest(entries: Seq[FileEntry]): ManifestRef = {
+    fs.mkdirs(metaDir)
+    val name = s"m-$runId-${java.util.UUID.randomUUID().toString.take(8)}.json"
+    val doc = Mapper.createObjectNode()
+    val arr = doc.putArray("entries")
+    entries.foreach { f =>
+      val o = arr.addObject(); o.put("path", f.path); o.put("size", f.size)
+    }
+    val out = fs.create(new Path(metaDir, name), false)
+    try out.write(Mapper.writeValueAsBytes(doc)) finally out.close()
+    ManifestRef(s"metadata/$name", entries.size, entries.map(_.size).sum)
+  }
+
+  private def readManifest(relPath: String): Seq[FileEntry] =
+    parseManifest(readBytes(fs, new Path(root, relPath)))
+
   private def buildMeta(prev: TableState, snap: SnapshotInfo,
+                        manifests: Seq[ManifestRef],
                         files: Seq[FileEntry]): ObjectNode = {
     val doc = Mapper.createObjectNode()
     doc.put("format", "graft-snapshot-v1")
     doc.put("version", prev.version + 1)
     doc.put("snapshot_id", snap.id)
     prev.snapshotId.foreach(doc.put("parent_snapshot_id", _))
+    if (manifests.nonEmpty) {
+      val mArr = doc.putArray("manifests")
+      manifests.foreach { m =>
+        val o = mArr.addObject()
+        o.put("path", m.path); o.put("count", m.count); o.put("bytes", m.bytes)
+      }
+    }
     val fArr = doc.putArray("files")
     files.foreach { f =>
       val o = fArr.addObject(); o.put("path", f.path); o.put("size", f.size)
@@ -179,7 +254,7 @@ final class SnapshotTable(val root: String, spark: SparkSession,
   /** committed state AT `version`; None once expired (or never committed). */
   def stateAt(version: Long): Option[TableState] = {
     val p = versionPath(version)
-    if (version < 1 || !fs.exists(p)) None else Some(parseMeta(readBytes(fs, p)))
+    if (version < 1 || !fs.exists(p)) None else Some(parseState(readBytes(fs, p)))
   }
 
   /** time-travel read: the table exactly as of `version`. None when the
@@ -251,10 +326,12 @@ final class SnapshotTable(val root: String, spark: SparkSession,
       val moved = moveIn(listParquet(fs, tmp))
       fs.delete(tmp, true)
       val snap = SnapshotInfo(newSnapId(st), runId, txn, "merge", moved)
-      if (casCommit(st, buildMeta(st, snap, files = moved)))
+      val (refs, inline, written) = planFiles(st, moved, replace = true)
+      if (casCommit(st, buildMeta(st, snap, refs, inline)))
         return CommitResult(snap.id, alreadyCommitted = false,
           moved.map(_.size).sum, moved.size)
       moved.foreach(f => fs.delete(new Path(root, f.path), false)) // lost: retry
+      written.foreach(p => fs.delete(new Path(root, p), false))
       attempt += 1
     }
     throw new java.io.IOException(
@@ -282,29 +359,44 @@ final class SnapshotTable(val root: String, spark: SparkSession,
       .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
       .sorted
     val (drop, keep) = versions.splitAt(math.max(0, versions.length - keepVersions))
-    val retained: Set[String] =
-      keep.flatMap(v => parseMeta(readBytes(fs, versionPath(v))).files.map(_.path)).toSet
+    val keptStates = keep.map(v => parseState(readBytes(fs, versionPath(v))))
+    val retained: Set[String] = keptStates.flatMap(_.files.map(_.path)).toSet
+    val retainedManifests: Set[String] =
+      keptStates.flatMap(_.manifestRefs.map(_.path)).toSet
     var deleted = 0
-    drop.foreach { v =>
-      parseMeta(readBytes(fs, versionPath(v))).files.foreach { f =>
+    // resolve dropped versions BEFORE deleting anything — versions may
+    // share manifest files
+    val dropStates = drop.map(v => v -> parseState(readBytes(fs, versionPath(v))))
+    dropStates.foreach { case (v, st) =>
+      st.files.foreach { f =>
         if (!retained.contains(f.path) &&
             fs.delete(new Path(root, f.path), false)) deleted += 1
       }
       fs.delete(versionPath(v), false)
     }
+    dropStates.flatMap(_._2.manifestRefs.map(_.path)).distinct
+      .filterNot(retainedManifests)
+      .foreach(p => fs.delete(new Path(root, p), false))
     // ORPHANS: data files referenced by NO retained version — crash debris
     // from a writer that died between moving files in and its CAS commit.
     // The age grace protects a LIVE concurrent writer's just-moved,
     // not-yet-committed files (Iceberg's remove_orphan_files guards the
     // same way); pass 0 only when no writers are running.
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
     if (fs.exists(dataDir)) {
-      val cutoff = System.currentTimeMillis() - orphanGraceMs
       fs.listStatus(dataDir).foreach { f =>
         val rel = s"data/${f.getPath.getName}"
         if (!f.getPath.getName.startsWith(".") && !retained.contains(rel) &&
             f.getModificationTime < cutoff &&
             fs.delete(f.getPath, false)) deleted += 1
       }
+    }
+    // orphan MANIFESTS: a writer that died between writeManifest and its CAS
+    fs.listStatus(metaDir).foreach { f =>
+      val n = f.getPath.getName
+      if (n.startsWith("m-") && !retainedManifests.contains(s"metadata/$n") &&
+          f.getModificationTime < cutoff)
+        fs.delete(f.getPath, false)
     }
     deleted
   }
@@ -346,9 +438,11 @@ final class SnapshotTable(val root: String, spark: SparkSession,
         return alreadyCommittedResult(st, t)
       }
       val snap = SnapshotInfo(newSnapId(st), runId, txn, "append", moved)
-      if (casCommit(st, buildMeta(st, snap, files = st.files ++ moved)))
+      val (refs, inline, written) = planFiles(st, moved, replace = false)
+      if (casCommit(st, buildMeta(st, snap, refs, inline)))
         return CommitResult(snap.id, alreadyCommitted = false,
           moved.map(_.size).sum, moved.size)
+      written.foreach(p => fs.delete(new Path(root, p), false))
     }
     throw new java.io.IOException(
       s"append into $root failed after $MaxCommitAttempts CAS attempts — " +
@@ -364,7 +458,22 @@ object SnapshotTable {
     * fail loudly instead of spinning rewrite jobs forever. */
   private val MaxCommitAttempts = 50
 
+  /** inline-file-list ceiling: past this many files the version doc points
+    * at manifest files instead (64 entries ≈ 8 KB inline — registry-scale
+    * docs stay single-read; sink tables split). */
+  val DefaultInlineFileLimit = 64
+
+  /** manifest-count ceiling: one append = one manifest, so unbounded
+    * appends would mean unbounded reader fan-out; past this the commit
+    * coalesces all manifests into one (Iceberg's merge-manifests). */
+  val DefaultManifestCoalesceAt = 32
+
   final case class FileEntry(path: String, size: Long)
+
+  /** pointer to a manifest file holding `count` [[FileEntry]] rows
+    * totalling `bytes` (counts let planners size reads without opening
+    * the manifest). */
+  final case class ManifestRef(path: String, count: Int, bytes: Long)
 
   final case class SnapshotInfo(id: String, run: String, txn: Option[String],
                                 operation: String, added: Seq[FileEntry])
@@ -372,7 +481,8 @@ object SnapshotTable {
   final case class TableState(version: Long, snapshotId: Option[String],
                               files: Seq[FileEntry],
                               txnKeys: Map[String, String],
-                              snapshots: Seq[SnapshotInfo])
+                              snapshots: Seq[SnapshotInfo],
+                              manifestRefs: Seq[ManifestRef] = Seq.empty)
   object TableState {
     val Empty: TableState = TableState(0L, None, Seq.empty, Map.empty, Seq.empty)
   }
@@ -417,9 +527,30 @@ object SnapshotTable {
       }
       buf.toSeq
     }
+    val manifests = Option(doc.get("manifests")).map { n =>
+      val it = n.elements()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[ManifestRef]
+      while (it.hasNext) {
+        val m = it.next()
+        buf += ManifestRef(m.get("path").asText(), m.get("count").asInt(),
+          m.get("bytes").asLong())
+      }
+      buf.toSeq
+    }.getOrElse(Seq.empty)
     TableState(doc.get("version").asLong(),
       Option(doc.get("snapshot_id")).map(_.asText()),
-      fileEntries(doc.get("files")), txn, snaps)
+      fileEntries(doc.get("files")), txn, snaps, manifests)
+  }
+
+  /** parse a manifest file: {"entries":[{path,size}…]}. */
+  private def parseManifest(bytes: Array[Byte]): Seq[FileEntry] = {
+    val it = Mapper.readTree(bytes).get("entries").elements()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    while (it.hasNext) {
+      val f = it.next()
+      buf += FileEntry(f.get("path").asText(), f.get("size").asLong())
+    }
+    buf.toSeq
   }
 
   private def listParquet(fs: FileSystem, dir: Path): Seq[(Path, Long)] = {

@@ -162,6 +162,71 @@ class SnapshotTableSpec extends SparkSpec {
       t.readSnapshot("no-such").isEmpty)
   }
 
+  test("manifest splitting: file list spills past the inline limit, appends " +
+    "reuse prior manifests, coalesce bounds fan-out, expiry reclaims") {
+    val root = Files.createTempDirectory("graft-snaptbl").toString
+    val t = new SnapshotTable(root, spark,
+      inlineFileLimit = 2, manifestCoalesceAt = 3)
+    def one(i: Int) = Seq((i, s"v$i")).toDF("id", "v").coalesce(1)
+    (1 to 6).foreach(i => t.append(one(i), txn = Some(s"b-$i")))
+    // v1–v2 inline; v3 crosses the 2-file limit → one manifest of all 3
+    assert(t.stateAt(2).get.manifestRefs.isEmpty)
+    val v3 = t.stateAt(3).get
+    assert(v3.manifestRefs.size == 1 && v3.manifestRefs.head.count == 3)
+    // v4–v5 append ONE manifest each, reusing v3's untouched (O(added) commits)
+    val v4 = t.stateAt(4).get
+    assert(v4.manifestRefs.size == 2 &&
+      v4.manifestRefs.head == v3.manifestRefs.head)
+    assert(t.stateAt(5).get.manifestRefs.size == 3)
+    // v6 would be 4 manifests > coalesceAt=3 → merged back to one
+    val v6 = t.stateAt(6).get
+    assert(v6.manifestRefs.size == 1 && v6.manifestRefs.head.count == 6)
+    // resolution is complete at every layout era, and reads agree
+    assert(v6.files.size == 6 && t.read().get.count() == 6)
+    assert(t.readVersion(2).get.count() == 2)
+    assert(t.readVersion(4).get.count() == 4)
+    // a reader with DEFAULT thresholds resolves the split layout identically
+    val reader = new SnapshotTable(root, spark)
+    assert(reader.read().get.count() == 6)
+    assert(reader.state().files.toSet == v6.files.toSet)
+    // txn idempotence still holds across the layout switch
+    assert(t.append(one(3), txn = Some("b-3")).alreadyCommitted)
+    // expiry drops old versions' manifests; disk holds exactly the live refs
+    t.expireSnapshots(keepVersions = 1, orphanGraceMs = 0)
+    val onDisk = new java.io.File(s"$root/metadata").listFiles()
+      .map(_.getName).filter(_.startsWith("m-")).map(n => s"metadata/$n").toSet
+    assert(onDisk == t.state().manifestRefs.map(_.path).toSet)
+    assert(t.read().get.count() == 6)
+  }
+
+  test("manifest mode: COW merge replaces manifests; racing writers leave " +
+    "no manifest debris") {
+    val root = Files.createTempDirectory("graft-snaptbl").toString
+    val t = new SnapshotTable(root, spark,
+      inlineFileLimit = 1, manifestCoalesceAt = 8)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val racers = (1 to 4).map { i =>
+      Future(t.append(Seq((i, i.toLong)).toDF("k", "v").coalesce(1), None))
+    }
+    racers.foreach(Await.result(_, 2.minutes))
+    t.merge(Seq((1, 100L)).toDF("k", "v").coalesce(1), keys = Seq("k"), None)
+    val rows = t.read().get.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1 -> 100L, 2 -> 2L, 3 -> 3L, 4 -> 4L))
+    // merge started a FRESH manifest line (no carried refs from the appends)
+    val st = t.state()
+    assert(st.snapshots.last.operation == "merge")
+    assert(st.manifestRefs.size == 1 || st.manifestRefs.isEmpty)
+    // every manifest on disk is referenced by SOME live version — CAS
+    // losers deleted theirs
+    val live = t.liveVersions()
+      .flatMap(v => t.stateAt(v).get.manifestRefs.map(_.path)).toSet
+    val onDisk = new java.io.File(s"$root/metadata").listFiles()
+      .map(_.getName).filter(_.startsWith("m-")).map(n => s"metadata/$n").toSet
+    assert(onDisk == live)
+  }
+
   test("time travel window is bounded by expireSnapshots retention") {
     val t = tmpTable()
     t.append(Seq((1, "a")).toDF("id", "v"), None)
