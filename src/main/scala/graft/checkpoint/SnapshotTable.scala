@@ -116,21 +116,7 @@ final class SnapshotTable(val root: String, spark: SparkSession,
     val out = fs.create(tmp, true)
     try out.write(Mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(doc))
     finally out.close()
-    val target = versionPath(prev.version + 1)
-    if (fs.getScheme == "file") {
-      val won =
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(target.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      fs.delete(tmp, false)
-      won
-    } else if (fs.rename(tmp, target)) true
-    else { fs.delete(tmp, false); false }
+    publishAtomic(fs, tmp, versionPath(prev.version + 1))
   }
 
   /** plan the next version's file-list layout: inline below
@@ -467,6 +453,33 @@ object SnapshotTable {
     * appends would mean unbounded reader fan-out; past this the commit
     * coalesces all manifests into one (Iceberg's merge-manifests). */
   val DefaultManifestCoalesceAt = 32
+
+  /** the commit point's atomic claim primitive, publish-once semantics
+    * ACROSS PROCESSES: exactly one caller of all concurrent callers (same
+    * JVM or not) gets `true` per target; `tmp` is consumed either way.
+    * On `file:` URIs this is link(2) — hard-link creation fails with
+    * EEXIST atomically at the syscall level, where POSIX rename(2) (what
+    * Hadoop's LocalFileSystem rename ultimately calls) silently REPLACES
+    * an existing destination and would let two racing writers both "win"
+    * and silently lose one commit. On HDFS-like schemes rename-without-
+    * replace is atomic at the namenode. Exercised cross-process by
+    * CasRaceSpec (two JVMs racing one version). */
+  private[graft] def publishAtomic(fs: FileSystem, tmp: Path, target: Path): Boolean = {
+    if (fs.getScheme == "file") {
+      val won =
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      fs.delete(tmp, false)
+      won
+    } else if (fs.rename(tmp, target)) true
+    else { fs.delete(tmp, false); false }
+  }
 
   final case class FileEntry(path: String, size: Long)
 
