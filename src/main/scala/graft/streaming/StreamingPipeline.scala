@@ -261,6 +261,52 @@ object StreamingPipeline {
       .withColumn("fp", graft.textops.TextOps.fingerprint(col("text")))
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming CURATION slice — the ingest-time analogue of
+    * [[graft.dedup.Dedup.curate]]'s first two stages, composed as one
+    * standing pipeline (the reference's whole posture is standing
+    * pipelines; batch `curate` is this path's replay/backfill twin):
+    *
+    *   1. Gopher quality gate — stateless narrow filter, applied BEFORE any
+    *      state so rejected rows never enter the dedup store;
+    *   2. exact dedup on the normalized-content fingerprint
+    *      ([[dedupStream]]) — watermark-bounded state, 32-hex shuffle keys;
+    *   3. snapshot-table commits with the batch-id + content-fingerprint
+    *      txn key of [[startSnapshotSinks]] — a replayed micro-batch
+    *      (checkpoint recovery OR total checkpoint loss over the same
+    *      input) reconciles to a no-op: exactly-once into the curated
+    *      table.
+    *
+    * The near-dup/CC stage stays batch-only BY DESIGN: connected components
+    * is iterative global convergence, which has no bounded-state streaming
+    * form — run it as a periodic compaction over the curated table. */
+  def startCuratedIngest(input: DataFrame, root: String, checkpoint: String,
+                         lateness: String = "10 minutes",
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val gated = input.filter(col("text").isNotNull &&
+      graft.textops.TextOps.gopherReason(col("text")).isNull)
+    dedupStream(gated, lateness).writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rows = batch.drop("fp")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val sig = rows
+            .agg(expr("bit_xor(xxhash64(conv_id, turn_idx, text))"))
+            .first() match {
+              case r if r.isNullAt(0) => 0L
+              case r => r.getLong(0)
+            }
+          new graft.checkpoint.SnapshotTable(s"$root/curated", batch.sparkSession)
+            .append(rows.sortWithinPartitions("conv_id", "turn_idx"),
+              txn = Some(s"batch-$batchId-${java.lang.Long.toHexString(sig)}"))
+        } finally rows.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** convenience: tail a directory of parquet transcript files as a stream
     * (the harvester/prospector analogue — the table format does the file
     * discovery and offset bookkeeping that prospector.go hand-rolls). */

@@ -115,6 +115,57 @@ class StreamingSpec extends SparkSpec {
     assert(versionsAfter == versionsBefore, "replayed batches must not commit new snapshots")
   }
 
+  test("streaming curated ingest: quality-gated, deduped, exactly-once " +
+    "into the snapshot table, replay-idempotent") {
+    import spark.implicits._
+    val src = tmpDir("curate-src")
+    val out = tmpDir("curate-out")
+    // real transcript turns (mostly short → quality-dropped) plus synthetic
+    // passing documents, everything duplicated — the slice must keep exactly
+    // one row per distinct fingerprint among quality survivors
+    val prose = (1 to 20).map { i =>
+      // every word 3-gram contains a per-sentence-unique token, so the
+      // repetition fractions stay near zero and the gate PASSES these
+      val text = (1 to 40).map(j =>
+        s"qq${i}a$j the rr${i}b$j and ss${i}c$j to tt${i}d$j.").mkString(" ")
+      (s"doc-$i", i, "user", text, null.asInstanceOf[String],
+        new java.sql.Timestamp(1700000000000L + i * 1000L))
+    }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val base = input.limit(300).unionByName(prose)
+    base.unionByName(base).write.mode("overwrite").parquet(src)
+
+    StreamingPipeline.startCuratedIngest(
+      StreamingPipeline.fromDirectory(spark, src), out, tmpDir("curate-ckpt-a"),
+      trigger = Trigger.AvailableNow()).awaitTermination(120000)
+
+    val table = new graft.checkpoint.SnapshotTable(s"$out/curated", spark)
+    val curated = table.read().get
+    // batch twin: quality survivors' distinct fingerprints
+    val survivors = base.filter(col("text").isNotNull &&
+      graft.textops.TextOps.gopherReason(col("text")).isNull)
+    val expected = survivors
+      .select(graft.textops.TextOps.fingerprint(col("text")).as("fp"))
+      .distinct().count()
+    assert(curated.count() == expected,
+      s"curated=${curated.count()} expected=$expected")
+    // the gate did real work in BOTH directions: synthetic prose passed,
+    // short turns were dropped
+    assert(curated.filter(col("conv_id").startsWith("doc-")).count() == 20)
+    assert(expected < base.count(), "some rows must have been dropped")
+    // schema is the transcript row, no dedup plumbing column leaks through
+    assert(!curated.columns.contains("fp"))
+
+    // total checkpoint loss over the same input → the content-fingerprint
+    // txn keys reconcile every batch to a no-op: same rows, same versions
+    val versionBefore = table.state().version
+    StreamingPipeline.startCuratedIngest(
+      StreamingPipeline.fromDirectory(spark, src), out, tmpDir("curate-ckpt-b"),
+      trigger = Trigger.AvailableNow()).awaitTermination(120000)
+    assert(table.read().get.count() == expected, "replay must not duplicate")
+    assert(table.state().version == versionBefore,
+      "replayed batches must not commit new snapshots")
+  }
+
   test("the parser kernels run unchanged in streaming and match batch outputs") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
