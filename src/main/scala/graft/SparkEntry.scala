@@ -463,6 +463,11 @@ object SparkEntry {
     "q_sessions" -> ((s, dir) =>
       graft.operators.Actions.sessionize(t(s, dir))),
 
+    // salted variant: the opt-in hot-key mitigation — per-(conv, salt)
+    // folds, order exact within each residue-class shard
+    "q_sessions_salted" -> ((s, dir) =>
+      graft.operators.Actions.saltedSessionize(t(s, dir), salts = 4)),
+
     // --- the actions processor family as one representative chain ---
     "q_actions_chain" -> ((s, dir) => {
       import graft.operators.Actions
@@ -1888,6 +1893,13 @@ object SparkEntry {
         """ SELECT conv_id, count(*) AS n_turns,
           | string_agg(text, chr(10) ORDER BY turn_idx) AS session_text
           | FROM transcripts GROUP BY conv_id""".stripMargin),
+
+    "q_sessions_salted" ->
+      (OracleCte.transcripts +
+        """ SELECT conv_id, CAST(turn_idx % 4 AS INTEGER) AS salt,
+          | count(*) AS n_turns,
+          | string_agg(text, chr(10) ORDER BY turn_idx) AS session_text
+          | FROM transcripts GROUP BY conv_id, salt""".stripMargin),
 
     "q_actions_chain" ->
       (OracleCte.transcripts +

@@ -197,6 +197,28 @@ object Actions {
         array_join(ordered_topk(col("turn_idx"), col("text"), maxTurns), sep)
           .as("session_text"))
 
+  /** [[sessionize]] with an explicit `salts`-way SALT on the fold key — the
+    * opt-in mitigation for hot conversation keys (the BASELINE.md hot-key
+    * walls: per-key ORDERED semantics put a 20%-of-corpus conv through one
+    * task). Callers trade TOTAL per-conv order for `salts` parallel
+    * per-shard folds: each turn lands in shard `turn_idx mod salts`, so
+    * order WITHIN a shard is exact, the union of a conv's shards is its
+    * full turn set, and the hot key's largest fold group — the straggler
+    * task's cost at cluster scale — drops by exactly the salt factor. One
+    * output row per (conv_id, salt); a consumer that needs the totally
+    * ordered session interleaves the shards round-robin (they are residue
+    * classes by construction) or stays on [[sessionize]]. */
+  def saltedSessionize(df: DataFrame, salts: Int, sep: String = "\n",
+                       maxTurns: Int = 100000): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1: $salts")
+    df.withColumn("salt", pmod(col("turn_idx"), lit(salts)).cast("int"))
+      .groupBy("conv_id", "salt")
+      .agg(
+        count(lit(1)).cast("long").as("n_turns"),
+        array_join(ordered_topk(col("turn_idx"), col("text"), maxTurns), sep)
+          .as("session_text"))
+  }
+
   /** multiline folding, `match: after` + negate shape (pattern.go:268-272):
     * a line NOT matching `startPattern` continues the previous event. See
     * [[multilinePattern]] for the full config surface. */

@@ -54,6 +54,39 @@ class SkewSpec extends SparkSpec {
     assert(hot.getString(2).split("\n").length == 50) // buffer capped
   }
 
+  test("saltedSessionize: hot key's largest fold group drops by the salt " +
+    "factor; per-salt order exact; shard union = full conv") {
+    val salts = 8
+    val df = Transcripts.synthesize(spark, 20000L, 400L) // conv 0 ≈ 20%
+    val plain = graft.operators.Actions.sessionize(df)
+    val salted = graft.operators.Actions.saltedSessionize(df, salts)
+    // the straggler driver at cluster scale is the max fold-group size:
+    // salting divides the hot conv's group by exactly the salt factor
+    val hotPlain = plain.agg(max("n_turns")).head().getLong(0)
+    val hotSalted = salted.agg(max("n_turns")).head().getLong(0)
+    assert(hotPlain > 3000L)
+    assert(hotPlain.toDouble / hotSalted >= salts * 0.9,
+      s"hot group $hotPlain split to $hotSalted — factor " +
+        f"${hotPlain.toDouble / hotSalted}%.1f, want ≥ ${salts * 0.9}%.1f")
+    // shard union = full conv: per-conv turn totals agree with the plain fold
+    val totals = salted.groupBy("conv_id").agg(sum("n_turns").as("n"))
+    assert(totals.join(plain, "conv_id")
+      .filter(col("n") =!= col("n_turns")).isEmpty)
+    // per-salt order is EXACT: shard s of a conv is its turn_idx ≡ s residue
+    // class in ascending order
+    val conv = plain.orderBy(desc("n_turns")).select("conv_id").head().getString(0)
+    val turns = df.filter(col("conv_id") === conv)
+      .select("turn_idx", "text").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).sortBy(_._1)
+    val shardTexts = salted.filter(col("conv_id") === conv)
+      .select("salt", "session_text").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    (0 until salts).foreach { s =>
+      val expect = turns.filter(_._1 % salts == s).map(_._2).mkString("\n")
+      assert(shardTexts(s) == expect, s"shard $s order broken")
+    }
+  }
+
   test("per-key ordered window over the hot conv completes in bounded time " +
     "(wall-clock straggler documented in BASELINE.md; flaky-tolerant bound)") {
     // rateLimitCounts (like multilinePattern / kafka round_robin) windows
