@@ -923,6 +923,24 @@ object SparkEntry {
           graft.textops.TextOps.scaled4(col("a.mean_abs")).as("mean_abs_e4"))
     }),
 
+    // --- multimodal: PCM sample EXTRACTION through the same real JDK
+    //     decode — normalized doubles re-quantized to the raw 16-bit
+    //     integers (exact: 1/32768 is dyadic), so the oracle states every
+    //     sample closed-form ---
+    "q_audio_samples" -> ((s, dir) => {
+      import graft.multimodal.functions.{audio_samples, wav_pack}
+      docs(s, dir)
+        .select(col("doc_id"),
+          audio_samples(
+            wav_pack(col("doc_id"), lit(8000), lit(1),
+              lit(4) + pmod(col("doc_id"), lit(5)).cast("int")),
+            maxSamples = 6).as("sm"))
+        .select(col("doc_id"),
+          transform(col("sm"), x => (x * 32768.0).cast("int")).as("raw"))
+        .select(col("doc_id"), size(col("raw")).as("n"),
+          array_join(transform(col("raw"), _.cast("string")), ",").as("samples"))
+    }),
+
     // --- multimodal: every-Nth frame sampling → exploded frames table;
     //     frames are byte slices of the deterministic payload, so the
     //     oracle reconstructs them as hex-string slices (byte-exact, no
@@ -2286,6 +2304,22 @@ object SparkEntry {
         |  CAST(p.frames * 1000 // p.sample_rate AS BIGINT) AS duration_ms,
         |  CAST(floor(CAST(s.a AS DOUBLE) / (s.n * 32768.0) * 10000.0 + 0.5) AS INTEGER) AS mean_abs_e4
         | FROM p JOIN s ON p.doc_id = s.doc_id""".stripMargin,
+
+    // PCM extraction: maxSamples=6 truncates the 4..8-frame mono WAVs;
+    // sample j = ((doc_id·31 + j·7919) mod 65536) − 32768, restated exactly
+    // after the normalize/re-quantize round trip (1/32768 is dyadic)
+    "q_audio_samples" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    least(CAST(4 + doc_id % 5 AS INTEGER), 6) AS n
+        |  FROM documents
+        |)
+        | SELECT doc_id, n,
+        |  (SELECT string_agg(
+        |     CAST(((doc_id * 31 + j * 7919) % 65536) - 32768 AS VARCHAR),
+        |     ',' ORDER BY j)
+        |   FROM unnest(generate_series(0, n - 1)) AS t(j)) AS samples
+        | FROM p""".stripMargin,
 
     // frame sampling: payload = first ≤256 BYTES of text; n_frames and the
     // slice geometry are closed-form in doc_id; frames compared as hex
