@@ -75,13 +75,27 @@ object BenchProbe {
       // (hotFraction=0.2 → conv 0 holds ~20% of all rows). The capped
       // ordered-top-k fold must complete with bounded task memory.
       val s = session(32)
+      val df = s.read.parquet(path)
       val t0 = System.nanoTime()
-      val sess = operators.Actions.sessionize(s.read.parquet(path), maxTurns = 1000)
+      val sess = operators.Actions.sessionize(df, maxTurns = 1000)
       val n = sess.count()
       val hot = sess.orderBy(org.apache.spark.sql.functions.desc("n_turns"))
         .select("n_turns").first().getLong(0)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"probe":"sessions_hot","rows":$rows,"convs":$n,"hot_conv_turns":$hot,"sec":$sec%.1f}""")
+      // the opt-in mitigation: same fold, 16-way residue salting — the hot
+      // conv's 12.8 M-turn group becomes 16 parallel ~800 k-turn groups
+      val salts = 16
+      val t1 = System.nanoTime()
+      val salted = operators.Actions.saltedSessionize(df, salts, maxTurns = 1000)
+      val ns = salted.count()
+      val maxGroup = salted.agg(org.apache.spark.sql.functions.max("n_turns"))
+        .first().getLong(0)
+      val secS = (System.nanoTime() - t1) / 1e9
+      println(f"""{"probe":"sessions_hot_salted","rows":$rows,"salts":$salts,""" +
+        f""""groups":$ns,"max_group_turns":$maxGroup,"sec":$secS%.1f,""" +
+        f""""straggler_drop":${hot.toDouble / maxGroup}%.1f,""" +
+        f""""speedup_vs_plain":${sec / secS}%.2f}""")
       s.stop()
       return
     }
