@@ -955,6 +955,44 @@ object SparkEntry {
           lower(hex(col("frame"))).as("frame_hex"))
     }),
 
+    // --- multimodal: REAL video container decode — a hand-rolled
+    //     deterministic RIFF/AVI per doc (avi_pack) is walked by the real
+    //     from-scratch container parser; every reported field (codec fourcc,
+    //     dims, frame timing, movi chunk census) is closed-form in doc_id so
+    //     the oracle predicts the decode without a media stack ---
+    "q_video_meta" -> ((s, dir) => {
+      import graft.multimodal.functions.{video_meta, avi_pack}
+      val w = lit(64) + pmod(col("doc_id"), lit(16)).cast("int") * lit(8)
+      val h = lit(48) + pmod(col("doc_id"), lit(12)).cast("int") * lit(8)
+      val fps = lit(10) + pmod(col("doc_id"), lit(4)).cast("int") * lit(5)
+      val frames = lit(3) + pmod(col("doc_id"), lit(6)).cast("int")
+      docs(s, dir)
+        .select(col("doc_id"),
+          video_meta(avi_pack(col("doc_id"), w, h, fps, frames)).as("v"))
+        .select(col("doc_id"), col("v.codec").as("codec"),
+          col("v.width").as("width"), col("v.height").as("height"),
+          col("v.micro_sec_per_frame").as("uspf"),
+          col("v.total_frames").as("total_frames"),
+          col("v.n_chunks").as("n_chunks"),
+          col("v.data_bytes").as("data_bytes"))
+    }),
+
+    // --- multimodal: video frame EXTRACTION through the same real
+    //     container walk — every-2nd movi chunk payload, restated by the
+    //     oracle byte-for-byte as hex from the closed-form frame bytes ---
+    "q_video_frames" -> ((s, dir) => {
+      import graft.multimodal.functions.{video_frames, avi_pack}
+      docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(video_frames(
+            avi_pack(col("doc_id"), lit(64), lit(48), lit(10),
+              lit(3) + pmod(col("doc_id"), lit(6)).cast("int")), 2))
+            .as(Seq("frame_idx", "frame")))
+        .select(col("doc_id"), col("frame_idx"),
+          octet_length(col("frame")).as("frame_bytes"),
+          lower(hex(col("frame"))).as("frame_hex"))
+    }),
+
     // --- fork parse_vehicle_trace2trace: anchored-regex + @-path family ---
     "q_parse_trace2trace" -> ((s, dir) => {
       import graft.sources.Transcripts.tstr
@@ -2345,6 +2383,46 @@ object SparkEntry {
         |  CAST(blen AS INT) AS frame_bytes,
         |  lower(substr(hx, 2 * start + 1, 2 * blen)) AS frame_hex
         | FROM kept""".stripMargin,
+
+    // real AVI container decode: the avi_pack synthesis is closed-form in
+    // doc_id (codec MJPG, dims/fps from the header formulas, frame f has
+    // 16 + (doc_id+f) mod 9 payload bytes), so the oracle states the whole
+    // container walk — timing, frame census, data byte total — exactly
+    "q_video_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(64 + (doc_id % 16) * 8 AS INTEGER) AS width,
+        |    CAST(48 + (doc_id % 12) * 8 AS INTEGER) AS height,
+        |    CAST(10 + (doc_id % 4) * 5 AS INTEGER) AS fps,
+        |    CAST(3 + (doc_id % 6) AS INTEGER) AS frames
+        |  FROM documents
+        |)
+        | SELECT doc_id, 'MJPG' AS codec, width, height,
+        |  CAST(1000000 // fps AS INTEGER) AS uspf,
+        |  frames AS total_frames, frames AS n_chunks,
+        |  CAST((SELECT sum(16 + (doc_id + f) % 9)
+        |        FROM unnest(generate_series(0, frames - 1)) AS t(f)) AS BIGINT)
+        |    AS data_bytes
+        | FROM p""".stripMargin,
+
+    // frame extraction: every-2nd movi payload; byte i of frame f is
+    // (doc_id·31 + f·131 + i·7) mod 256, restated as lowercase hex
+    "q_video_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(3 + doc_id % 6 AS INTEGER) AS frames
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, f, CAST(f // 2 AS INTEGER) AS frame_idx,
+        |    CAST(16 + (doc_id + f) % 9 AS INTEGER) AS flen
+        |  FROM p, unnest(generate_series(0, frames - 1)) AS t(f)
+        |  WHERE f % 2 = 0
+        |)
+        | SELECT doc_id, frame_idx, flen AS frame_bytes,
+        |  (SELECT string_agg(
+        |     lpad(lower(to_hex((doc_id * 31 + f * 131 + i * 7) % 256)), 2, '0'),
+        |     '' ORDER BY i)
+        |   FROM unnest(generate_series(0, flen - 1)) AS t(i)) AS frame_hex
+        | FROM k""".stripMargin,
 
     // direct expected-output oracles for the two fork-parser families: the
     // input lines are deterministic constructions over `events`, so the

@@ -110,11 +110,26 @@ object Multimodal {
 
   /** Per-task decoder. GRFT → deterministic fixture path; real audio
     * containers (RIFF/WAVE, AIFF, AU) → javax.sound.sampled, reported as
-    * (frames, channels, mean |amplitude|); anything else → javax.imageio
-    * (returns null for formats it cannot read). */
+    * (frames, channels, mean |amplitude|); real AVI video → container walk
+    * + representative-frame pixel decode (MJPEG frames are JPEGs —
+    * javax.imageio decodes them; other codecs report container dims with a
+    * null statistic); anything else → javax.imageio (returns null for
+    * formats it cannot read). */
   final class MediaDecoder {
     def decode(content: Array[Byte]): (Int, Int, Double) = {
       if (isGrft(content)) return decodeGrft(content)
+      if (Avi.isAvi(content)) {
+        val meta = Avi.metaKernel(content)
+        if (meta == null) return (-1, -1, -1.0)
+        val frame = Avi.firstFrame(content)
+        val img =
+          if (frame == null) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+            catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) return (meta.getInt(1), meta.getInt(2), -1.0)
+        return (meta.getInt(1), meta.getInt(2), meanIntensity(img))
+      }
       val audio = audioMetaKernel(content)
       if (audio != null)
         return (audio.getLong(4).toInt, audio.getInt(2),
@@ -127,10 +142,14 @@ object Multimodal {
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
         catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) return (-1, -1, -1.0)
+      (img.getWidth, img.getHeight, meanIntensity(img))
+    }
+
+    /** mean RGB intensity in [0,1] — a real pixel statistic (codec-exact:
+      * tests pin it against the known pixel values). */
+    def meanIntensity(img: java.awt.image.BufferedImage): Double = {
       val w = img.getWidth
       val h = img.getHeight
-      // feature = mean RGB intensity in [0,1] — a real pixel statistic
-      // (codec-exact: tests pin it against the known pixel values)
       var acc = 0L
       var y = 0
       while (y < h) {
@@ -142,7 +161,7 @@ object Multimodal {
         }
         y += 1
       }
-      (w, h, acc.toDouble / (w.toLong * h * 3L * 255L))
+      acc.toDouble / (w.toLong * h * 3L * 255L)
     }
 
     /** GRFT fixture decoder (video stand-in — the one remaining codec
@@ -515,4 +534,13 @@ object functions {
     I.column(WavPack(I.expression(org.apache.spark.sql.functions.struct(
       seed.cast("long"), sampleRate.cast("int"), channels.cast("int"),
       frames.cast("int")))))
+  def video_meta(content: Column): Column =
+    I.column(VideoMeta(I.expression(content)))
+  def video_frames(content: Column, everyN: Int = 1): Column =
+    I.column(VideoFrames(I.expression(content), everyN))
+  def avi_pack(seed: Column, width: Column, height: Column, fps: Column,
+               frames: Column): Column =
+    I.column(AviPack(I.expression(org.apache.spark.sql.functions.struct(
+      seed.cast("long"), width.cast("int"), height.cast("int"),
+      fps.cast("int"), frames.cast("int")))))
 }

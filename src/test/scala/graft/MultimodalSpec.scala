@@ -196,6 +196,87 @@ class MultimodalSpec extends SparkSpec {
     assert(viaExpr.isNullAt(0))
   }
 
+  /** JPEG-encode a solid-color image via the JDK's OWN encoder — an
+    * implementation independent of the hand-rolled RIFF/AVI packer. */
+  private def jpegFrame(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("REAL video decode: AVI/MJPEG container walk + per-frame javax.imageio") {
+    import graft.multimodal.Avi
+    val payloads = Array(
+      jpegFrame(6, 4, 0x808080), jpegFrame(6, 4, 0x000000), jpegFrame(6, 4, 0xffffff))
+    val avi = Avi.packFrames(width = 6, height = 4, fps = 10, payloads)
+    val m = Avi.metaKernel(avi)
+    assert(m != null)
+    assert(m.getUTF8String(0).toString == "MJPG")
+    assert(m.getInt(1) == 6 && m.getInt(2) == 4)
+    assert(m.getInt(3) == 100000 && m.getInt(4) == 3 && m.getInt(5) == 3)
+    assert(m.getLong(6) == payloads.map(_.length.toLong).sum)
+    // frame extraction returns the exact JPEG payloads, in order
+    val fr = Avi.framesKernel(avi, 1)
+    assert(fr.numElements() == 3)
+    payloads.indices.foreach { i =>
+      assert(java.util.Arrays.equals(fr.getBinary(i), payloads(i)))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(fr.getBinary(i)))
+      assert(img.getWidth == 6 && img.getHeight == 4)
+    }
+    // MediaDecoder routes AVI to the video path: container dims + the mean
+    // intensity of the REAL pixel decode of the representative frame
+    val dec = new Multimodal.MediaDecoder
+    val expectFeat = dec.meanIntensity(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payloads(0))))
+    assert(dec.decode(avi) == ((6, 4, expectFeat)))
+    assert(expectFeat > 0.4 && expectFeat < 0.6) // mid-gray survives JPEG loss
+  }
+
+  test("avi_pack closed-form synthesis parses through the real container walk") {
+    import graft.multimodal.Avi
+    val avi = Avi.packKernel(seed = 5L, width = 64, height = 48, fps = 15, frames = 4)
+    val m = Avi.metaKernel(avi)
+    assert(m != null && m.getUTF8String(0).toString == "MJPG")
+    assert(m.getInt(1) == 64 && m.getInt(2) == 48 && m.getInt(3) == 66666)
+    assert(m.getInt(4) == 4 && m.getInt(5) == 4)
+    assert(m.getLong(6) == (0 until 4).map(Avi.frameLen(5L, _).toLong).sum)
+    // every-2nd frame extraction: payload bytes match the closed form
+    val fr = Avi.framesKernel(avi, 2)
+    assert(fr.numElements() == 2)
+    Seq(0, 2).zipWithIndex.foreach { case (f, k) =>
+      val got = fr.getBinary(k)
+      assert(got.length == Avi.frameLen(5L, f))
+      got.indices.foreach(i => assert((got(i) & 0xff) == Avi.frameByte(5L, f, i)))
+    }
+    // and the distributed expression path agrees with the kernels
+    val viaExpr = Seq(1L).toDF("doc_id")
+      .select(video_meta(avi_pack(lit(5L), lit(64), lit(48), lit(15), lit(4))).as("v"),
+        video_frames(avi_pack(lit(5L), lit(64), lit(48), lit(15), lit(4)), 2).as("fr"))
+      .collect()(0)
+    val v = viaExpr.getStruct(0)
+    assert(v.getString(0) == "MJPG" && v.getInt(1) == 64 && v.getInt(4) == 4)
+    val exprFrames = viaExpr.getSeq[Array[Byte]](1)
+    assert(exprFrames.length == 2 &&
+      java.util.Arrays.equals(exprFrames.head, fr.getBinary(0)))
+  }
+
+  test("video: corrupt, truncated, or non-AVI bytes dead-letter as null") {
+    import graft.multimodal.Avi
+    assert(Avi.metaKernel(Array[Byte](1, 2, 3)) == null)
+    assert(Avi.metaKernel("RIFFxxxxAVI junkjunkjunk".getBytes) == null)
+    val avi = Avi.packKernel(7L, 32, 32, 10, 3)
+    assert(Avi.metaKernel(java.util.Arrays.copyOf(avi, avi.length - 10)) == null)
+    assert(Avi.framesKernel(java.util.Arrays.copyOf(avi, avi.length - 10), 1) == null)
+    // and through the expression (null column, no exception)
+    val viaExpr = Seq((1L, Array[Byte](82, 73, 70, 70))).toDF("doc_id", "content")
+      .select(video_meta(col("content")).as("v")).collect()(0)
+    assert(viaExpr.isNullAt(0))
+  }
+
   test("MediaDecoder routes real WAV bytes to the audio path") {
     val wav = Multimodal.wavPackKernel(7L, 8000, 1, 40)
     val rows = Multimodal.decodePartitions(
