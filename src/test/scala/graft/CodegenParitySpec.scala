@@ -182,4 +182,25 @@ class CodegenParitySpec extends SparkSpec {
       events.select(decode_wineventlog(col("t")).as("r"))
     }
   }
+
+  test("round-5 video kernels: avi_pack, video_meta, video_frames") {
+    import graft.multimodal.functions.{avi_pack, video_frames, video_meta}
+    // binary columns stringify as object hashes — compare via hex projection
+    lazy val seeds = Seq(0L, 1L, 7L, 12345L).toDF("seed")
+    def pack = avi_pack(col("seed"), lit(32), lit(24), lit(10),
+      lit(3) + pmod(col("seed"), lit(4)).cast("int"))
+    check("avi_pack") {
+      seeds.select(lower(hex(pack)).as("r"))
+    }
+    check("video_meta") {
+      seeds.select(video_meta(pack).as("r"))
+    }
+    check("video_frames") {
+      seeds.select(transform(video_frames(pack, 2), b => lower(hex(b))).as("r"))
+    }
+    check("video_meta: malformed → null") {
+      Seq("", "RIFF", "RIFFxxxxAVI x").toDF("s")
+        .select(video_meta(encode(col("s"), "UTF-8")).isNull.as("r"))
+    }
+  }
 }

@@ -82,6 +82,17 @@ class PlanSpec extends SparkSpec {
     assert(!p3.contains("Exchange"), s"wineventlog decode must not shuffle:\n$p3")
     assert("decode_wineventlog".r.findAllIn(p3).size == 1,
       s"decode_wineventlog must be evaluated once:\n$p3")
+    // video container walk + field projection: pure map over the scan, the
+    // meta expression evaluated once (struct-field reuse collapses)
+    import graft.multimodal.functions.{avi_pack, video_meta}
+    val p4 = docs
+      .withColumn("_v", video_meta(avi_pack(col("doc_id"),
+        lit(64), lit(48), lit(10), lit(3))))
+      .select(col("doc_id"), col("_v.codec"), col("_v.width"), col("_v.n_chunks"))
+      .queryExecution.executedPlan.toString
+    assert(!p4.contains("Exchange"), s"video meta must not shuffle:\n$p4")
+    assert("video_meta".r.findAllIn(p4).size == 1,
+      s"video_meta must be evaluated once:\n$p4")
   }
 
   test("route-only metrics plan prunes parse down to the status fast path") {
