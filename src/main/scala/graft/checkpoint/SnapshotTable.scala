@@ -384,6 +384,20 @@ final class SnapshotTable(val root: String, spark: SparkSession,
           f.getModificationTime < cutoff)
         fs.delete(f.getPath, false)
     }
+    // TEMP DEBRIS: a writer that died between creating its candidate
+    // metadata (.tmp-*) and publishAtomic, or mid-append/merge before its
+    // staging directory (_tmp-append-*/_tmp-merge-*) was consumed. Never
+    // referenced by any version, so only the age grace gates deletion —
+    // without this pass a crashed writer's staged parquet (potentially the
+    // size of a whole commit) accumulates forever.
+    fs.listStatus(metaDir).foreach { f =>
+      if (f.getPath.getName.startsWith(".tmp-") && f.getModificationTime < cutoff)
+        fs.delete(f.getPath, false)
+    }
+    fs.listStatus(new Path(root)).foreach { f =>
+      if (f.getPath.getName.startsWith("_tmp-") && f.getModificationTime < cutoff)
+        fs.delete(f.getPath, true)
+    }
     deleted
   }
 

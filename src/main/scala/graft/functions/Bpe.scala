@@ -107,12 +107,17 @@ object BpeKernel {
       if (w.isEmpty) return Array(UTF8String.EMPTY_UTF8)
       var syms = codepointSymbols(w)
       var n = syms.length
+      // ranks recorded during the min-scan and reused by the rewrite pass —
+      // one table probe (and one pairKey allocation) per pair per iteration
+      // instead of two in this O(len²) hot loop
+      val rankBuf = new Array[Int](math.max(0, n - 1))
       while (n >= 2) {
         // lowest-ranked adjacent pair present
         var best = Int.MaxValue
         var i = 0
         while (i < n - 1) {
           val r = rankOf(syms(i), syms(i + 1))
+          rankBuf(i) = r
           if (r < best) best = r
           i += 1
         }
@@ -124,7 +129,7 @@ object BpeKernel {
           var k = 0
           i = 0
           while (i < n) {
-            if (i < n - 1 && rankOf(syms(i), syms(i + 1)) == best) {
+            if (i < n - 1 && rankBuf(i) == best) {
               out(k) = syms(i) + syms(i + 1); i += 2
             } else { out(k) = syms(i); i += 1 }
             k += 1

@@ -90,14 +90,23 @@ object Avi {
             p += 8 + csz + (csz & 1)
           }
         } else if (listType == "movi") {
-          var p = inner
-          while (p + 8 <= innerEnd) {
-            val cid = fourcc(b, p)
-            val csz = le32(b, p + 4)
-            if (csz < 0 || p + 8 + csz > innerEnd) return false
-            if (isVideoChunk(cid)) onMovi(p + 8, csz)
-            p += 8 + csz + (csz & 1)
+          // interleaved AVIs group data chunks inside `LIST('rec ')`
+          // children of movi (the spec's recommended streaming layout) —
+          // descend into those; anything else at this level is a leaf chunk
+          def scanMovi(start: Int, end: Int): Boolean = {
+            var p = start
+            while (p + 8 <= end) {
+              val cid = fourcc(b, p)
+              val csz = le32(b, p + 4)
+              if (csz < 0 || p + 8 + csz > end) return false
+              if (cid == "LIST" && csz >= 4 && fourcc(b, p + 8) == "rec ") {
+                if (!scanMovi(p + 12, p + 8 + csz)) return false
+              } else if (isVideoChunk(cid)) onMovi(p + 8, csz)
+              p += 8 + csz + (csz & 1)
+            }
+            true
           }
+          if (!scanMovi(inner, innerEnd)) return false
         }
       }
       pos += 8 + size + (size & 1)
@@ -189,7 +198,8 @@ object Avi {
     * oracle path). Hand-rolled independently of any media library, so
     * parsing it back exercises [[metaKernel]]'s real container walk. */
   def packFrames(width: Int, height: Int, fps: Int,
-                 payloads: Array[Array[Byte]]): Array[Byte] = {
+                 payloads: Array[Array[Byte]],
+                 recGroup: Boolean = false): Array[Byte] = {
     require(fps > 0 && width > 0 && height > 0)
     val n = payloads.length
     val maxLen = if (n == 0) 0 else payloads.map(_.length).max
@@ -206,8 +216,11 @@ object Avi {
     val hdrl = listBytes("hdrl",
       chunkBytes("avih", avih) ++
         listBytes("strl", chunkBytes("strh", strh) ++ chunkBytes("strf", strf)))
+    // recGroup exercises the spec's interleaved layout: each data chunk
+    // rides inside a `LIST('rec ')` child of movi instead of sitting flat
     val movi = listBytes("movi",
-      payloads.flatMap(p => chunkBytes("00dc", p)))
+      if (recGroup) payloads.flatMap(p => listBytes("rec ", chunkBytes("00dc", p)))
+      else payloads.flatMap(p => chunkBytes("00dc", p)))
     val body = "AVI ".getBytes ++ hdrl ++ movi
     chunkBytes("RIFF", body) // RIFF is itself (id, size, body)
   }
@@ -226,6 +239,9 @@ object Avi {
     * exactly like [[Multimodal.wavPackKernel]]). */
   def packKernel(seed: Long, width: Int, height: Int, fps: Int,
                  frames: Int): Array[Byte] = {
+    // bound the synthesized frame count before allocating `frames` arrays
+    require(frames >= 0 && frames <= (1 << 20),
+      s"avi_pack: frames=$frames exceeds the 2^20-frame bound")
     val payloads = Array.tabulate(frames) { f =>
       Array.tabulate(frameLen(seed, f))(i => frameByte(seed, f, i).toByte)
     }

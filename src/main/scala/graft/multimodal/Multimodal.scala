@@ -202,20 +202,22 @@ object Multimodal {
       catch { case scala.util.control.NonFatal(_) => return null }
     try {
       val fmt = ais.getFormat
-      val frames = ais.getFrameLength
+      var frames = ais.getFrameLength // NOT_SPECIFIED (-1) for AU unknown-size
       val vals = new Array[Any](7)
       vals(0) = UTF8String.fromString(String.valueOf(fmt.getEncoding))
       vals(1) = fmt.getSampleRate.toInt
       vals(2) = fmt.getChannels
       vals(3) = fmt.getSampleSizeInBits
-      vals(4) = frames
-      vals(5) = if (fmt.getSampleRate > 0) frames * 1000L / fmt.getSampleRate.toLong else 0L
       vals(6) = null
       val pcmSigned = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
       val pcmUnsigned = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
       if ((pcmSigned || pcmUnsigned) &&
         (fmt.getSampleSizeInBits == 8 || fmt.getSampleSizeInBits == 16)) {
         val data = ais.readAllBytes()
+        // AU's spec-legal unknown data size reports frames = -1; the PCM
+        // bytes are in hand, so recover the true count instead of emitting
+        // a negative value into a nullable=false field
+        if (frames < 0 && fmt.getFrameSize > 0) frames = data.length.toLong / fmt.getFrameSize
         // EXACT integer accumulation, ONE final double division — the sum
         // of raw |sample| is an integer both engines can state, so the
         // DuckDB oracle reproduces the statistic bit-for-bit (a running
@@ -244,6 +246,11 @@ object Multimodal {
           if (n > 0) vals(6) = acc.toDouble / (n * 32768.0)
         }
       }
+      // unknown length on a path we did not decode: dead-letter rather
+      // than emit -1 frames / negative duration as valid-looking metadata
+      if (frames < 0) return null
+      vals(4) = frames
+      vals(5) = if (fmt.getSampleRate > 0) frames * 1000L / fmt.getSampleRate.toLong else 0L
       new GenericInternalRow(vals)
     } catch { case scala.util.control.NonFatal(_) => null }
     finally ais.close()
@@ -302,6 +309,11 @@ object Multimodal {
     * state: sample j = ((seed·31 + j·7919) mod 65536) − 32768. */
   def wavPackKernel(seed: Long, sampleRate: Int, channels: Int,
                     frames: Int): Array[Byte] = {
+    // guard the Int multiplications (frames·channels·2) before they can
+    // wrap into a negative array size — same bound as AudioSamples' cap
+    require(frames >= 0 && channels >= 1 && sampleRate >= 1 &&
+      frames.toLong * channels <= (1L << 26),
+      s"wav_pack: frames=$frames channels=$channels exceeds the 2^26-sample bound")
     val nSamples = frames * channels
     val dataLen = nSamples * 2
     val out = new Array[Byte](44 + dataLen)
@@ -395,10 +407,15 @@ object Multimodal {
     val n = i32(content, 24)
     val payloadLen = content.length - HeaderLen
     if (n <= 0 || payloadLen <= 0) return new GenericArrayData(Array.empty[Any])
-    val frameLen = math.max(1, payloadLen / n)
+    // a crafted header can claim n_frames ≫ payload bytes; at ≥1 byte per
+    // frame at most payloadLen frames exist, and every f ≥ payloadLen
+    // emits nothing anyway — capping keeps the loop (and f·frameLen)
+    // bounded by the payload instead of a hostile header field
+    val nEff = math.min(n, payloadLen)
+    val frameLen = math.max(1, payloadLen / nEff)
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var f = 0
-    while (f < n) {
+    while (f < nEff) {
       if (f % everyN == 0) {
         val from = HeaderLen + f * frameLen
         val until = math.min(HeaderLen + (f + 1) * frameLen, content.length)

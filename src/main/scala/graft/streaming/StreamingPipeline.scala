@@ -237,8 +237,14 @@ object StreamingPipeline {
               val replenished = bucket.tokens +
                 math.max(0L, nowMs - bucket.lastMs) / 1000.0 * limitPerSec
               val allowed = replenished >= 1.0
+              // the clock never rewinds: a late event (older than the
+              // stored high-water mark, possible across micro-batches)
+              // earns zero replenishment above AND must not reset lastMs
+              // backward, or the next in-order event would re-replenish
+              // the whole rewound interval and burst past the limit
               bucket = RateLimitBucket(
-                if (allowed) replenished - 1.0 else replenished, nowMs)
+                if (allowed) replenished - 1.0 else replenished,
+                math.max(bucket.lastMs, nowMs))
               if (allowed) out += t
             }
             state.update(bucket)

@@ -264,6 +264,69 @@ class MultimodalSpec extends SparkSpec {
       java.util.Arrays.equals(exprFrames.head, fr.getBinary(0)))
   }
 
+  test("rec-grouped interleaved AVI decodes identically to the flat layout") {
+    import graft.multimodal.Avi
+    val payloads = Array(
+      jpegFrame(6, 4, 0x808080), jpegFrame(6, 4, 0x000000), jpegFrame(6, 4, 0xffffff))
+    val flat = Avi.packFrames(6, 4, 10, payloads)
+    val rec = Avi.packFrames(6, 4, 10, payloads, recGroup = true)
+    val (mf, mr) = (Avi.metaKernel(flat), Avi.metaKernel(rec))
+    assert(mr != null)
+    // the movi census sees THROUGH the rec grouping: same chunks, same bytes
+    assert(mr.getInt(5) == mf.getInt(5) && mr.getLong(6) == mf.getLong(6))
+    val (ff, fr) = (Avi.framesKernel(flat, 1), Avi.framesKernel(rec, 1))
+    assert(fr.numElements() == ff.numElements())
+    payloads.indices.foreach(i =>
+      assert(java.util.Arrays.equals(fr.getBinary(i), payloads(i))))
+  }
+
+  test("hostile GRFT n_frames header cannot spin or overflow media_frames") {
+    val blob = Multimodal.pack(1L, 2, "hello world payload".getBytes)
+    blob(24) = 0x7f.toByte; blob(25) = 0xff.toByte // n_frames = Int.MaxValue
+    blob(26) = 0xff.toByte; blob(27) = 0xff.toByte
+    val t0 = System.nanoTime()
+    val fr = Multimodal.framesKernel(blob, 1)
+    assert(System.nanoTime() - t0 < 2e9, "must be payload-bounded, not header-bounded")
+    // at most one frame per payload byte; every slice is a real payload slice
+    val payloadLen = blob.length - Multimodal.HeaderLen
+    assert(fr.numElements() <= payloadLen)
+    assert((0 until fr.numElements()).forall(i => fr.getBinary(i).length >= 1))
+  }
+
+  test("AU with the spec-legal unknown data size recovers frames from the PCM decode") {
+    // hand-rolled big-endian AU: ".snd", dataOffset=24, dataSize=0xFFFFFFFF
+    // (unknown), encoding=3 (PCM16 BE), rate=8000, channels=1, 8 samples
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 7, -7, 1000)
+    val au = new Array[Byte](24 + samples.length * 2)
+    def be32(off: Int, v: Int): Unit = {
+      au(off) = (v >>> 24).toByte; au(off + 1) = (v >>> 16).toByte
+      au(off + 2) = (v >>> 8).toByte; au(off + 3) = v.toByte
+    }
+    au(0) = '.'; au(1) = 's'; au(2) = 'n'; au(3) = 'd'
+    be32(4, 24); be32(8, 0xffffffff); be32(12, 3); be32(16, 8000); be32(20, 1)
+    samples.indices.foreach { i =>
+      au(24 + 2 * i) = (samples(i) >> 8).toByte; au(24 + 2 * i + 1) = samples(i).toByte
+    }
+    val r = Multimodal.audioMetaKernel(au)
+    assert(r != null, "unknown-size AU must still decode")
+    assert(r.getLong(4) == 8L, s"frames=${r.getLong(4)} — never the -1 sentinel")
+    assert(r.getLong(5) == 1L) // 8 frames @ 8 kHz = 1 ms
+    assert(r.getDouble(6) ==
+      samples.map(s => math.abs(s.toLong)).sum.toDouble / (8 * 32768.0))
+  }
+
+  test("wav_pack guards the sample-count bound instead of wrapping negative") {
+    intercept[IllegalArgumentException] {
+      Multimodal.wavPackKernel(1L, 8000, 1 << 12, 1 << 20) // 2^32 samples
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.wavPackKernel(1L, 8000, 1, -1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.multimodal.Avi.packKernel(1L, 8, 8, 10, Int.MaxValue)
+    }
+  }
+
   test("video: corrupt, truncated, or non-AVI bytes dead-letter as null") {
     import graft.multimodal.Avi
     assert(Avi.metaKernel(Array[Byte](1, 2, 3)) == null)

@@ -227,6 +227,32 @@ class SnapshotTableSpec extends SparkSpec {
     assert(onDisk == live)
   }
 
+  test("expireSnapshots reclaims crashed writers' temp debris") {
+    val root = Files.createTempDirectory("graft-snaptbl").toString
+    val t = new SnapshotTable(root, spark)
+    t.append(Seq((1, "a")).toDF("id", "v"), None)
+    // plant the three crash shapes: a candidate-metadata temp (died before
+    // publishAtomic) and append/merge staging dirs (died before cleanup)
+    val staleMeta = new java.io.File(s"$root/metadata/.tmp-dead-writer-x")
+    java.nio.file.Files.write(staleMeta.toPath, "{}".getBytes)
+    val staleAppend = new java.io.File(s"$root/_tmp-append-dead-writer-y")
+    val staleMerge = new java.io.File(s"$root/_tmp-merge-dead-writer-z")
+    staleAppend.mkdirs(); staleMerge.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(staleAppend, "part-0.parquet").toPath, Array[Byte](1, 2, 3))
+    val old = System.currentTimeMillis() - 7200000L
+    Seq(staleMeta, staleAppend, staleMerge).foreach(_.setLastModified(old))
+    t.expireSnapshots(keepVersions = 1, orphanGraceMs = 3600000L)
+    assert(!staleMeta.exists() && !staleAppend.exists() && !staleMerge.exists(),
+      "aged temp debris must be reclaimed")
+    // a LIVE writer's fresh temp survives the grace window
+    val fresh = new java.io.File(s"$root/_tmp-append-live-writer")
+    fresh.mkdirs()
+    t.expireSnapshots(keepVersions = 1, orphanGraceMs = 3600000L)
+    assert(fresh.exists(), "fresh temp state is protected by the grace window")
+    assert(t.read().get.count() == 1)
+  }
+
   test("time travel window is bounded by expireSnapshots retention") {
     val t = tmpTable()
     t.append(Seq((1, "a")).toDF("id", "v"), None)

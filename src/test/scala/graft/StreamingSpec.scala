@@ -285,6 +285,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rate limit: a late event across batches cannot rewind the bucket clock") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def ev(idx: Int, tMs: Long) =
+      graft.model.TranscriptEvent("c1", idx, "user", s"line$idx", "",
+        new java.sql.Timestamp(1704067200000L + tMs))
+    val mem = MemoryStream[graft.model.TranscriptEvent]
+    val q = StreamingPipeline.rateLimitStream(mem.toDS(), limitPerSec = 1.0, depth = 2.0)
+      .writeStream.format("memory").queryName("rl_late")
+      .outputMode("append").trigger(Trigger.ProcessingTime("300 milliseconds"))
+      .start()
+    // processAllAvailable never latches on a ProcessingTimeTimeout stateful
+    // query (timer checks keep another batch always warranted) — so every
+    // stage below is designed to EMIT, and the waits poll the sink count;
+    // batch SEPARATION between addData groups is what exercises the rewind
+    def awaitCount(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("rl_late").count() < n &&
+        System.currentTimeMillis() < deadline) Thread.sleep(150)
+      assert(spark.table("rl_late").count() >= n, s"timed out waiting for $n rows")
+    }
+    try {
+      // batch 1: t=100s spends one of two tokens; high-water mark = 100s
+      mem.addData(ev(0, 100000)); awaitCount(1)
+      // batch 2: a LATE event (t=10s) earns nothing (admitted on the stored
+      // token) AND must not rewind lastMs — a rewind would let batch 3
+      // re-replenish the whole 90 s gap
+      mem.addData(ev(1, 10000)); awaitCount(2)
+      // batch 3: t=101s replenished exactly 1 token → admitted and spent;
+      // t=101.5s has 0.5 → rejected (the rewind bug banks ~90 tokens and
+      // admits it — the sink would then show 4 rows in this same batch)
+      mem.addData(ev(2, 101000), ev(3, 101500)); awaitCount(3)
+      val got = spark.table("rl_late").select("turn_idx").as[Int].collect().sorted.toSeq
+      assert(got == Seq(0, 1, 2), s"admitted: $got")
+    } finally q.stop()
+  }
+
   test("windowed metrics stream aggregates per window × sink") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
