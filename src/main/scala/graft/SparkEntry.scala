@@ -786,9 +786,10 @@ object SparkEntry {
       val tail = concat(col("event_type"), lit(" host-"),
         (col("user_id") % 5).cast("string"), lit(" evt="), col("event_type"),
         lit(" id="), e.cast("string"))
-      // e%7==0 → tabs replaced by spaces → malformed (ignore_malformed drop)
-      val line = when(e % 7 === 0,
-        concat(tstr(e), lit(" "), regexp_replace(tail, " ", " ")))
+      // e%7==0 → the space-built tail stays space-separated → malformed
+      // (ignore_malformed drop); the well-formed branch swaps those spaces
+      // for the tabs the parser requires
+      val line = when(e % 7 === 0, concat(tstr(e), lit(" "), tail))
         .otherwise(concat(tstr(e), lit("\t"),
           regexp_replace(tail, " ", "\t")))
       ev.select(e.as("event_id"),
@@ -1062,6 +1063,72 @@ object SparkEntry {
         |  coalesce(h.hits, 0) >= 1 AS contaminated
         | FROM (SELECT doc_id FROM nt WHERE doc_id % 17 <> 3) t
         | LEFT JOIN ng USING (doc_id) LEFT JOIN h USING (doc_id)""".stripMargin
+
+  /** shared by q_bpe_segment and q_bpe_segment_kernel — the kernel computes
+    * the IDENTICAL segmentation on the rank-consistent demonstrative table
+    * (the 1k-merge learned-table equivalence is spec-pinned in TextOpsSpec,
+    * where a generated 1k-deep replace chain would exceed what an oracle SQL
+    * string can reasonably carry). ONE definition so the two queries that
+    * must state the same contract can never drift. */
+  private val bpeSegmentOracle: String = {
+    val cells = "array_to_string(list_transform(regexp_extract_all(w, '.', 0)," +
+      " c -> chr(1)||c||chr(1)), '')"
+    val chain = BpeMerges.foldLeft(cells) { case (acc, (a, b)) =>
+      s"replace($acc, chr(1)||'$a'||chr(1)||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
+    }
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+       |  FROM documents
+       |), seg AS (
+       |  SELECT doc_id, list_transform(words, w ->
+       |    string_split(trim($chain, chr(1)), chr(1)||chr(1))) AS segs
+       |  FROM w
+       |)
+       | SELECT doc_id,
+       |  CAST(len(segs) AS INTEGER) AS n_words,
+       |  CAST(len(flatten(segs)) AS INTEGER) AS n_subwords,
+       |  array_to_string(segs[1], ' ') AS first_seg
+       | FROM seg""".stripMargin
+  }
+
+  /** shared by q_dedup_clusters and q_dedup_clusters_lsh — star-edge
+    * clustering resolves the SAME components as the all-pairs closure on
+    * this corpus (DedupSpec pins the set-equality), so the exact
+    * transitive-closure oracle applies to both. */
+  private val clustersOracle: String =
+    OracleCte.jaccardPairs.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, und AS (
+        |  SELECT a_id AS u, b_id AS v FROM jpairs
+        |  UNION SELECT b_id AS u, a_id AS v FROM jpairs
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM und
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u AND e.v <> r.u
+        |), comp AS (
+        |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+        |)
+        | SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+        |   COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
+        | FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin
+
+  /** shared by the four ANN queries — each runs an exact-degenerate config
+    * (brute force; full-probe LSH; IVF/IVF-PQ at nprobe=nlist with exact
+    * rerank), so all four state the same brute-force top-k contract. */
+  private val annBruteOracle: String =
+    OracleCte.cosinePairs.replace(", cpairs AS (", ", cpairs_unused AS (") +
+      """, q AS (SELECT * FROM e WHERE vec_id < 8),
+        | scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+        |  FROM e c JOIN q ON q.vec_id <> c.vec_id
+        | ), ranked AS (
+        |  SELECT query_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+        |    neighbor_id, round(cos, 4) AS cos
+        |  FROM scored)
+        | SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_transcripts" ->
@@ -1441,55 +1508,10 @@ object SparkEntry {
     // rewrite (chr(1)-fenced symbols, plain non-overlapping replace) from
     // the SAME merge table the Spark query uses — generated, so the two
     // sides cannot drift; char split is the regex `.` (a full code point
-    // in both Java and RE2)
-    "q_bpe_segment" -> {
-      val cells = "array_to_string(list_transform(regexp_extract_all(w, '.', 0)," +
-        " c -> chr(1)||c||chr(1)), '')"
-      val chain = BpeMerges.foldLeft(cells) { case (acc, (a, b)) =>
-        s"replace($acc, chr(1)||'$a'||chr(1)||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
-      }
-      s"""WITH w AS (
-         |  SELECT doc_id,
-         |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
-         |  FROM documents
-         |), seg AS (
-         |  SELECT doc_id, list_transform(words, w ->
-         |    string_split(trim($chain, chr(1)), chr(1)||chr(1))) AS segs
-         |  FROM w
-         |)
-         | SELECT doc_id,
-         |  CAST(len(segs) AS INTEGER) AS n_words,
-         |  CAST(len(flatten(segs)) AS INTEGER) AS n_subwords,
-         |  array_to_string(segs[1], ' ') AS first_seg
-         | FROM seg""".stripMargin
-    },
-
-    // the kernel plan computes the identical segmentation on this (rank-
-    // consistent) table, so the fold oracle above applies verbatim; the
-    // 1k-merge learned-table kernel-vs-fold equivalence is spec-pinned
-    // (TextOpsSpec), where a generated 1k-deep replace chain would exceed
-    // what an oracle SQL string can reasonably carry
-    "q_bpe_segment_kernel" -> {
-      val cells = "array_to_string(list_transform(regexp_extract_all(w, '.', 0)," +
-        " c -> chr(1)||c||chr(1)), '')"
-      val chain = BpeMerges.foldLeft(cells) { case (acc, (a, b)) =>
-        s"replace($acc, chr(1)||'$a'||chr(1)||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
-      }
-      s"""WITH w AS (
-         |  SELECT doc_id,
-         |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
-         |  FROM documents
-         |), seg AS (
-         |  SELECT doc_id, list_transform(words, w ->
-         |    string_split(trim($chain, chr(1)), chr(1)||chr(1))) AS segs
-         |  FROM w
-         |)
-         | SELECT doc_id,
-         |  CAST(len(segs) AS INTEGER) AS n_words,
-         |  CAST(len(flatten(segs)) AS INTEGER) AS n_subwords,
-         |  array_to_string(segs[1], ' ') AS first_seg
-         | FROM seg""".stripMargin
-    },
+    // in both Java and RE2). The kernel plan computes the identical
+    // segmentation on this rank-consistent table → ONE shared oracle.
+    "q_bpe_segment" -> bpeSegmentOracle,
+    "q_bpe_segment_kernel" -> bpeSegmentOracle,
 
     // perplexity buckets: the same cross-entropy mirror, then standard-SQL
     // ntile over the deterministic (ce_e4, doc_id) order per language —
@@ -1673,41 +1695,10 @@ object SparkEntry {
 
     // cluster resolution: the oracle computes true transitive closure over
     // the same verified pair set with a recursive CTE, then labels every
-    // document with min(component) (singletons label themselves)
-    "q_dedup_clusters" ->
-      (OracleCte.jaccardPairs.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """, und AS (
-          |  SELECT a_id AS u, b_id AS v FROM jpairs
-          |  UNION SELECT b_id AS u, a_id AS v FROM jpairs
-          |), reach(u, v) AS (
-          |  SELECT u, v FROM und
-          |  UNION
-          |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u AND e.v <> r.u
-          |), comp AS (
-          |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
-          |)
-          | SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
-          |   COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
-          | FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin),
-
-    // star-edge clustering resolves the SAME components as the all-pairs
-    // closure on this corpus (DedupSpec pins the set-equality), so the
-    // exact-transitive-closure oracle applies verbatim
-    "q_dedup_clusters_lsh" ->
-      (OracleCte.jaccardPairs.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """, und AS (
-          |  SELECT a_id AS u, b_id AS v FROM jpairs
-          |  UNION SELECT b_id AS u, a_id AS v FROM jpairs
-          |), reach(u, v) AS (
-          |  SELECT u, v FROM und
-          |  UNION
-          |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u AND e.v <> r.u
-          |), comp AS (
-          |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
-          |)
-          | SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
-          |   COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
-          | FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin),
+    // document with min(component); star-edge clustering resolves the SAME
+    // components (DedupSpec pins the set-equality) → ONE shared oracle
+    "q_dedup_clusters" -> clustersOracle,
+    "q_dedup_clusters_lsh" -> clustersOracle,
 
     // curation: each stage mirrored over the PREVIOUS stage's survivors —
     // quality keep = conjunction of the q_gopher_filter rule negations,
@@ -1898,51 +1889,12 @@ object SparkEntry {
           |  FROM fullr)
           | SELECT vec_id, cluster_id, cent_cos, rn = 1 AS keep FROM ranked""".stripMargin),
 
-    "q_ann_topk" ->
-      (OracleCte.cosinePairs.replace(", cpairs AS (", ", cpairs_unused AS (") +
-        """, q AS (SELECT * FROM e WHERE vec_id < 8),
-          | scored AS (
-          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-          |    list_dot_product(q.v, c.v) /
-          |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-          |  FROM e c JOIN q ON q.vec_id <> c.vec_id
-          | ), ranked AS (
-          |  SELECT query_id,
-          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
-          |    neighbor_id, round(cos, 4) AS cos
-          |  FROM scored)
-          | SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5""".stripMargin),
-
-    "q_ann_ivf" ->
-      (OracleCte.cosinePairs.replace(", cpairs AS (", ", cpairs_unused AS (") +
-        """, q AS (SELECT * FROM e WHERE vec_id < 8),
-          | scored AS (
-          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-          |    list_dot_product(q.v, c.v) /
-          |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-          |  FROM e c JOIN q ON q.vec_id <> c.vec_id
-          | ), ranked AS (
-          |  SELECT query_id,
-          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
-          |    neighbor_id, round(cos, 4) AS cos
-          |  FROM scored)
-          | SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5""".stripMargin),
-
-    // IVF-PQ at nprobe=nlist with an all-candidate exact rerank = brute force
-    "q_ann_ivfpq" ->
-      (OracleCte.cosinePairs.replace(", cpairs AS (", ", cpairs_unused AS (") +
-        """, q AS (SELECT * FROM e WHERE vec_id < 8),
-          | scored AS (
-          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-          |    list_dot_product(q.v, c.v) /
-          |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-          |  FROM e c JOIN q ON q.vec_id <> c.vec_id
-          | ), ranked AS (
-          |  SELECT query_id,
-          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
-          |    neighbor_id, round(cos, 4) AS cos
-          |  FROM scored)
-          | SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5""".stripMargin),
+    // the four ANN queries run exact-degenerate configs (brute force;
+    // full-probe LSH; IVF/IVF-PQ at nprobe=nlist with exact rerank), so all
+    // four share the ONE brute-force top-k oracle
+    "q_ann_topk" -> annBruteOracle,
+    "q_ann_ivf" -> annBruteOracle,
+    "q_ann_ivfpq" -> annBruteOracle,
 
     "q_sessions" ->
       (OracleCte.transcripts +
@@ -2611,19 +2563,6 @@ object SparkEntry {
         | WHERE len(list_filter(generate_series(1, 64), i -> a.bits[i] <> b.bits[i])) <= 3""".stripMargin,
 
     // full-probe LSH (probeHamming = planes) is exact → brute-force oracle
-    "q_ann_lsh" ->
-      (OracleCte.cosinePairs.replace(", cpairs AS (", ", cpairs_unused AS (") +
-        """, q AS (SELECT * FROM e WHERE vec_id < 8),
-          | scored AS (
-          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-          |    list_dot_product(q.v, c.v) /
-          |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-          |  FROM e c JOIN q ON q.vec_id <> c.vec_id
-          | ), ranked AS (
-          |  SELECT query_id,
-          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
-          |    neighbor_id, round(cos, 4) AS cos
-          |  FROM scored)
-          | SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5""".stripMargin)
+    "q_ann_lsh" -> annBruteOracle
   )
 }

@@ -84,20 +84,25 @@ object Dedup {
     * one shuffle on (band, bucket) — a 12-byte key — then verification joins
     * that rehydrate only candidate shingle sets by doc_id.
     */
-  def minhashPairs(docs: DataFrame, tauPct: Int, k: Int = 32, bands: Int = 16,
-                   maxBucket: Int = 64, lenBlock: Int = 40): DataFrame = {
-    require(k % bands == 0, "k must divide into bands")
-    // tokenize → shingle-hash → sign → band in ONE kernel pass
-    // (MinHashBandsTokens): no shingle strings materialize, nothing but
-    // (doc_id, band, bucket) ever leaves the task. The column-level
-    // formulation (shingle array → signature → per-band transform lambda)
-    // both allocated ~2k shingle strings per doc AND re-evaluated the
-    // signature per band after projection collapse — measured 16× the cost.
-    val banded = docs.select(
+  /** tokenize → shingle-hash → sign → band in ONE kernel pass
+    * (MinHashBandsTokens): no shingle strings materialize, nothing but
+    * (doc_id, band, bucket) ever leaves the task. The column-level
+    * formulation (shingle array → signature → per-band transform lambda)
+    * both allocated ~2k shingle strings per doc AND re-evaluated the
+    * signature per band after projection collapse — measured 16× the cost.
+    * Shared by [[minhashPairs]] and [[minhashClusters]] so the signing
+    * config can never drift between the pair and cluster paths. */
+  private def bandedBuckets(docs: DataFrame, k: Int, bands: Int): DataFrame =
+    docs.select(
       col("doc_id"),
       posexplode(minhash_bands_tokens(
         TextOps.tokens(TextOps.normalized(col("text"))), 3, k, bands))
         .as(Seq("band", "bucket")))
+
+  def minhashPairs(docs: DataFrame, tauPct: Int, k: Int = 32, bands: Int = 16,
+                   maxBucket: Int = 64, lenBlock: Int = 40): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val banded = bandedBuckets(docs, k, bands)
 
     // Degenerate-bucket guard (boilerplate shingles → mega-buckets → skew)
     // via the shared Lsh helper; minSize=2 drops pair-less singleton buckets
@@ -173,11 +178,7 @@ object Dedup {
     * [[dedupClusters]] contract. */
   def minhashClusters(docs: DataFrame, tauPct: Int, k: Int = 32,
                       bands: Int = 16, lenBlock: Int = 40): DataFrame = {
-    val banded = docs.select(
-      col("doc_id"),
-      posexplode(minhash_bands_tokens(
-        TextOps.tokens(TextOps.normalized(col("text"))), 3, k, bands))
-        .as(Seq("band", "bucket")))
+    val banded = bandedBuckets(docs, k, bands)
     val reps = banded.groupBy("band", "bucket").agg(min("doc_id").as("a_id"))
     val star = banded.join(reps, Seq("band", "bucket"))
       .filter(col("doc_id") =!= col("a_id"))
@@ -401,7 +402,7 @@ object Dedup {
       annotated.select("doc_id", "q_keep")
         .withColumn("is_contam", lit(null).cast("boolean")))(c =>
       annotated.select("doc_id", "q_keep").join(c, Seq("doc_id"), "left"))
-    lineage
+    val result = lineage
       .join(winners.withColumn("is_winner", lit(true)), Seq("doc_id"), "left")
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -411,6 +412,17 @@ object Dedup {
           .when(!col("nd_keep"), "dropped_neardup")
           .otherwise("kept").as("stage"))
       .withColumn("kept", col("stage") === "kept")
+      // materialize the per-doc verdict (two narrow columns — orders of
+      // magnitude smaller than `annotated`'s text copy) while the big
+      // intermediates are still cached, then FREE them: without this, every
+      // curate() call leaks a corpus-sized DISK_ONLY frame for the session
+      // lifetime, and a caller's later action would silently re-run the
+      // whole pipeline from source
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    result.count()
+    annotated.unpersist(blocking = false)
+    contam.foreach(_.unpersist(blocking = false))
+    result
   }
 
   /** Exact substring-duplication spans — the distributed shape of Lee et

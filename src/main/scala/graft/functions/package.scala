@@ -124,9 +124,12 @@ package object functions {
     * joined fields, hex-encoded — fingerprint/fingerprint.go:70-120).
     * `method` mirrors the reference's config values (fingerprint/hash.go).
     * The joined layout here is value-only `a|b|c`; for byte-parity with the
-    * reference's `|key|value|…|` encoding use [[fingerprint_fields]]. */
+    * reference's `|key|value|…|` encoding use [[fingerprint_fields]].
+    * Null fields encode as a U+0000 sentinel — concat_ws would silently SKIP
+    * them (with their separators), colliding `(a, null, c)` with `(a, c)`. */
   def fingerprint_cols(cols: Seq[Column], method: String = "sha256"): Column =
-    method_digest(concat_ws("|", cols: _*), method)
+    method_digest(concat_ws("|",
+      cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*), method)
 
   /** exact reference fingerprint: named fields, sorted+deduped by name
     * (fingerprint.go:55-58 MakeStringSet.ToSlice), encoded `|k|v` per field

@@ -34,9 +34,14 @@ object Actions {
     fields.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
 
   /** add_tags (actions/add_tags.go:75-82): append + dedup, order-stable via
-    * sort (common.AddTagsWithKey dedups; we sort for engine-independence). */
-  def addTags(tags: Column, added: Seq[String]): Column =
-    array_sort(array_union(tags, array(added.map(lit): _*)))
+    * sort (common.AddTagsWithKey dedups; we sort for engine-independence).
+    * A null tag set initializes to the added tags — the reference CREATES
+    * the list when the field is missing, so the configured tags are never
+    * lost to null propagation. */
+  def addTags(tags: Column, added: Seq[String]): Column = {
+    val addedArr = array(added.map(lit): _*)
+    array_sort(array_union(coalesce(tags, addedArr), addedArr))
+  }
 
   /** copy_fields (actions/copy_fields.go:71-100). */
   def copyField(df: DataFrame, src: String, dst: String): DataFrame =
@@ -121,25 +126,24 @@ object Actions {
     val decoded = df.withColumn(target, graft.functions.decode_wineventlog(col(field)))
     if (!mapEcsFields) decoded
     else {
-      // ecs carries "message" only when the rendered message is non-empty,
-      // and overwrite_keys writes only present keys — so an absent rendering
-      // keeps the prior message column (even when it was the decode input)
-      val msg =
-        if (df.columns.contains("message"))
-          coalesce(col(s"$target.message"), col("message"))
-        else col(s"$target.message")
+      // overwrite_keys writes only PRESENT keys, and the reference returns
+      // before writing ANY ecs field when the decode errors
+      // (processor.go:113-115) — so a null decode value keeps whatever
+      // column the frame already carried rather than clobbering it to null
+      def ecs(name: String, value: Column): Column =
+        if (df.columns.contains(name)) coalesce(value, col(name)) else value
       decoded
-        .withColumn("event_code", col(s"$target.event_id"))
-        // the reference returns before writing ANY ecs field when the decode
-        // errors (processor.go:113-115) — a failed row carries no event.kind
-        .withColumn("event_kind", when(col(target).isNotNull, lit("event")))
-        .withColumn("event_provider", col(s"$target.provider_name"))
-        .withColumn("event_action", col(s"$target.task"))
-        .withColumn("host_name", col(s"$target.computer_name"))
-        .withColumn("event_outcome", col(s"$target.outcome"))
-        .withColumn("log_level", col(s"$target.level"))
-        .withColumn("message", msg)
-        .withColumn("error_code", col(s"$target.error_code"))
+        .withColumn("event_code", ecs("event_code", col(s"$target.event_id")))
+        .withColumn("event_kind",
+          ecs("event_kind", when(col(target).isNotNull, lit("event"))))
+        .withColumn("event_provider",
+          ecs("event_provider", col(s"$target.provider_name")))
+        .withColumn("event_action", ecs("event_action", col(s"$target.task")))
+        .withColumn("host_name", ecs("host_name", col(s"$target.computer_name")))
+        .withColumn("event_outcome", ecs("event_outcome", col(s"$target.outcome")))
+        .withColumn("log_level", ecs("log_level", col(s"$target.level")))
+        .withColumn("message", ecs("message", col(s"$target.message")))
+        .withColumn("error_code", ecs("error_code", col(s"$target.error_code")))
     }
   }
 
@@ -159,8 +163,15 @@ object Actions {
     * model most sources arrive decoded; this is the operator for binary
     * ingest columns. Unknown charset fails at plan time. */
   def decodeCharset(bin: Column, charset: String): Column = {
-    java.nio.charset.Charset.forName(charset) // plan-time config validation
-    decode(bin, charset)
+    // plan-time config validation against the set Spark's decode() actually
+    // supports (Charset.forName alone accepts ~170 JVM charsets that would
+    // then throw per-task at runtime, killing the job mid-run)
+    val canonical = java.nio.charset.Charset.forName(charset).name()
+    val supported = Set("US-ASCII", "ISO-8859-1", "UTF-8", "UTF-16BE",
+      "UTF-16LE", "UTF-16")
+    require(supported.contains(canonical),
+      s"decode supports ${supported.mkString(", ")}; got $canonical")
+    decode(bin, canonical)
   }
 
   /** include/exclude line filters (filebeat harvester.go:498-518). */
@@ -398,10 +409,15 @@ object Actions {
         case Some((go, j)) => sb.append(j); i += go.length
         case None =>
           val ch = layout.charAt(i)
-          // quote pattern-letter literals for the Java formatter
-          if (ch.isLetter) sb.append('\'').append(ch).append('\'')
-          else sb.append(ch)
-          i += 1
+          // quote literal letters for the Java formatter — as ONE quoted
+          // run per stretch: per-letter quoting would emit 'U''T''C', whose
+          // '' the formatter reads as an ESCAPED quote (literal U'T'C)
+          if (ch.isLetter) {
+            val start = i
+            while (i < layout.length && layout.charAt(i).isLetter &&
+              !subs.exists { case (go, _) => layout.startsWith(go, i) }) i += 1
+            sb.append('\'').append(layout.substring(start, i)).append('\'')
+          } else { sb.append(ch); i += 1 }
       }
     }
     sb.toString

@@ -234,12 +234,17 @@ object TextOps {
     * seconds (spec-pinned). Stops early when no pair reaches `minCount`. */
   def trainBpe(docs: DataFrame, numMerges: Int, minCount: Long = 2L,
                textCol: String = "text", maxVocab: Int = 1 << 22): Seq[(String, String)] = {
+    // limit(maxVocab + 1) makes the guard run BEFORE the driver holds the
+    // full histogram: a valid sample (≤ maxVocab distinct words) collects
+    // completely, an oversized corpus collects one row past the bound and
+    // fails fast instead of OOM-ing the driver first
     val hist = docs
       .select(explode(tokens(normalized(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
+      .limit(maxVocab + 1)
       .collect()
     require(hist.length <= maxVocab,
-      s"distinct-word histogram (${hist.length}) exceeds maxVocab=$maxVocab — " +
+      s"distinct-word histogram exceeds maxVocab=$maxVocab — " +
         "train the tokenizer on a sample, not the corpus")
     BpeTrainer.learn(hist.map(r => r.getString(0) -> r.getLong(1)),
       numMerges, minCount)

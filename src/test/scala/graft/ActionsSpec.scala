@@ -167,6 +167,44 @@ class ActionsSpec extends SparkSpec {
     assert(lens.filter(col("ts").isNotNull).count() == 3)
     assert(lens.select(date_format(col("ts"), "SSSSSS")).as[String].collect()
       .toSeq == Seq("100000", "123456", "123456")) // micros kept (ns truncated)
+    // adjacent literal letters share ONE quote pair — per-letter quoting
+    // emitted 'U''T''C', which the Java formatter reads as an escaped quote
+    // (literal U'T'C) and which therefore nulled every row of the layout
+    assert(Actions.goLayoutToPattern("2006-01-02 15:04:05 UTC") ==
+      "yyyy-MM-dd HH:mm:ss 'UTC'")
+    val utc = Seq("2024-01-02 03:04:05 UTC", "junk").toDF("s")
+      .select(Actions.parseTimestampGoLayouts(col("s"),
+        Seq("2006-01-02 15:04:05 UTC")).as("ts"))
+    assert(utc.filter(col("ts").isNotNull).count() == 1)
+    // a literal run still stops where a vocabulary token starts
+    assert(Actions.goLayoutToPattern("atJan") == "'at'MMM")
+  }
+
+  test("hardening: charset set, null tags, null fingerprint fields, ECS keep-prior") {
+    // decodeCharset rejects JVM charsets Spark's decode() cannot execute —
+    // at PLAN time, not as a per-task runtime failure
+    intercept[IllegalArgumentException] {
+      Actions.decodeCharset(col("b"), "windows-1252")
+    }
+    Actions.decodeCharset(col("b"), "utf8") // alias canonicalizes, supported
+    // a null tag set initializes to the added tags (the reference CREATES
+    // the list when the field is missing) instead of null-propagating
+    val nulled = Seq((1, null: Array[String])).toDF("id", "tags")
+      .select(Actions.addTags(col("tags"), Seq("b", "a")).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(nulled == Seq("a", "b"))
+    // null fields fingerprint distinctly from absent fields — concat_ws
+    // alone would hash (a, null, c) and (a, c) identically
+    val fp = Seq(("a", null: String, "c")).toDF("x", "y", "z")
+      .select(Actions.fingerprint(Seq(col("x"), col("y"), col("z"))).as("h1"),
+        Actions.fingerprint(Seq(col("x"), col("z"))).as("h2")).collect()(0)
+    assert(fp.getString(0) != fp.getString(1))
+    // a failed wineventlog decode keeps EVERY pre-existing ECS column, not
+    // just message (the reference returns before writing any field on error)
+    val prior = Seq(("not xml", "keep-me", "warn")).toDF("xml", "host_name", "log_level")
+    val kept = Actions.decodeXmlWineventlog(prior, "xml")
+      .select("host_name", "log_level").collect()(0)
+    assert(kept.getString(0) == "keep-me" && kept.getString(1) == "warn")
   }
 
   test("kafka round_robin rotates through partitions per group") {

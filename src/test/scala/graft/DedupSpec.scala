@@ -387,27 +387,38 @@ class DedupSpec extends SparkSpec {
       5L -> "dropped_quality"))
   }
 
-  test("curate materializes ONLY (doc_id, text, q_keep), on disk — never the full row") {
+  test("curate caches only the verdict frame after return; corpus cache is freed") {
     import spark.implicits._
     val base = "the quick brown fox jumps over a lazy sleeping dog while " +
       "many birds watch from tall green trees and several cats hide under " +
       "old wooden fences near quiet village roads today"
-    // wide input: the persisted frame must NOT carry the payload columns
+    // wide input: nothing cached may carry the payload columns — and since
+    // curate now frees its corpus-sized (doc_id, text, q_keep) intermediate
+    // after materializing the verdict, the ONLY surviving cache is the
+    // two-narrow-column verdict frame itself (no session-lifetime leak of
+    // a text copy per curate() call)
     val wide = Seq(
       (1L, base, "payload-a", 42L),
       (2L, base + " extra tail words here", "payload-b", 43L)
     ).toDF("doc_id", "text", "blob", "meta")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = Dedup.curate(wide)
     out.collect()
     val cached = out.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
     }
-    assert(cached.nonEmpty, "curate no longer persists the annotated corpus")
+    assert(cached.nonEmpty, "curate no longer persists its result")
     cached.foreach { r =>
-      assert(r.output.map(_.name).toSet == Set("doc_id", "text", "q_keep"),
+      assert(r.output.map(_.name).toSet == Set("doc_id", "stage", "kept"),
         s"persisted width grew: ${r.output.map(_.name)}")
       assert(r.cacheBuilder.storageLevel ==
         org.apache.spark.storage.StorageLevel.DISK_ONLY)
     }
+    // freeing the returned frame must leave NOTHING new cached — proving
+    // the corpus-sized (doc_id, text, q_keep) intermediate was already
+    // unpersisted inside curate, not leaked for the session lifetime
+    out.unpersist(blocking = true)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"curate left caches beyond its returned frame: $leaked")
   }
 }
