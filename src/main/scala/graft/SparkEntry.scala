@@ -942,6 +942,23 @@ object SparkEntry {
           array_join(transform(col("raw"), _.cast("string")), ",").as("samples"))
     }),
 
+    // --- multimodal: linear PCM RESAMPLE through the same real JDK decode
+    //     (the 16 kHz-normalization training-pipeline step) — the kernel
+    //     interpolates in exact unsigned-integer arithmetic, so the oracle
+    //     states every resampled sample closed-form; 8 kHz sources upsample
+    //     to a fixed 12 kHz target (m = ⌊(n−1)·3/2⌋ + 1 output frames) ---
+    "q_audio_resample" -> ((s, dir) => {
+      import graft.multimodal.functions.{audio_resample, wav_pack}
+      docs(s, dir)
+        .select(col("doc_id"),
+          audio_resample(
+            wav_pack(col("doc_id"), lit(8000), lit(1),
+              lit(4) + pmod(col("doc_id"), lit(5)).cast("int")), 12000).as("sm"))
+        .select(col("doc_id"), size(col("sm")).as("n"),
+          array_join(transform(col("sm"),
+            x => (x * 32768.0).cast("int").cast("string")), ",").as("samples"))
+    }),
+
     // --- multimodal: every-Nth frame sampling → exploded frames table;
     //     frames are byte slices of the deterministic payload, so the
     //     oracle reconstructs them as hex-string slices (byte-exact, no
@@ -2310,6 +2327,33 @@ object SparkEntry {
         |     ',' ORDER BY j)
         |   FROM unnest(generate_series(0, n - 1)) AS t(j)) AS samples
         | FROM p""".stripMargin,
+
+    // linear resample 8 kHz → 12 kHz: output frame k interpolates source
+    // position k·8000/12000 over the biased-unsigned closed-form samples
+    // u_j = (doc_id·31 + j·7919) mod 65536, ONE floor division of
+    // non-negative integers — every output sample stated exactly
+    "q_audio_resample" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS INTEGER) AS nf FROM documents
+        |), ks AS (
+        |  SELECT doc_id, nf, ((nf - 1) * 12000) // 8000 + 1 AS m,
+        |    unnest(generate_series(0, ((nf - 1) * 12000) // 8000)) AS k
+        |  FROM p
+        |), interp AS (
+        |  SELECT doc_id, m, k,
+        |    (k * 8000) // 12000 AS j,
+        |    least((k * 8000) // 12000 + 1, nf - 1) AS j1,
+        |    (k * 8000) % 12000 AS rem
+        |  FROM ks
+        |), outs AS (
+        |  SELECT doc_id, m, k,
+        |    (((doc_id * 31 + j * 7919) % 65536) * (12000 - rem) +
+        |     ((doc_id * 31 + j1 * 7919) % 65536) * rem) // 12000 - 32768 AS v
+        |  FROM interp
+        |)
+        | SELECT doc_id, CAST(max(m) AS INTEGER) AS n,
+        |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY k) AS samples
+        | FROM outs GROUP BY doc_id""".stripMargin,
 
     // frame sampling: payload = first ≤256 BYTES of text; n_frames and the
     // slice geometry are closed-form in doc_id; frames compared as hex

@@ -302,6 +302,66 @@ object Multimodal {
     finally ais.close()
   }
 
+  /** Linear-interpolation PCM resample through the REAL JDK decode — the
+    * audio analogue of [[resizeKernel]] (rate normalization, e.g. to
+    * 16 kHz, is the standard audio-training-pipeline step). Output frame k
+    * of each channel sits at source position k·srcRate/dstRate; the
+    * interpolation runs in EXACT unsigned-integer arithmetic (bias samples
+    * to [0, 65535], weight by the rational remainder, ONE floor division
+    * of non-negative integers) so any ANSI engine states every output
+    * sample bit-for-bit — and dstRate == srcRate reproduces the input
+    * exactly. Output frames = ⌊(n−1)·dst/src⌋ + 1 (every output position
+    * lies inside the source), `maxFrames`-bounded like
+    * [[audioSamplesKernel]]'s row-width cap. Channel-interleaved
+    * normalized doubles out. 16-bit PCM at either endianness/signedness;
+    * null on undecodable bytes or other depths (dead-letter). */
+  def audioResampleKernel(content: Array[Byte], dstRate: Int,
+                          maxFrames: Int): GenericArrayData = {
+    require(dstRate > 0 && maxFrames > 0)
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => return null }
+    try {
+      val fmt = ais.getFormat
+      val pcmSigned = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val pcmUnsigned = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      if (!(pcmSigned || pcmUnsigned) || fmt.getSampleSizeInBits != 16) return null
+      val srcRate = fmt.getSampleRate.toInt
+      val ch = fmt.getChannels
+      if (srcRate <= 0 || ch <= 0) return null
+      val data = ais.readAllBytes()
+      val n = data.length / (2 * ch)
+      if (n == 0) return new GenericArrayData(Array.empty[Any])
+      val be = fmt.isBigEndian
+      def u(frame: Int, c: Int): Long = {
+        val off = (frame * ch + c) * 2
+        val raw =
+          if (be) (data(off) << 8) | (data(off + 1) & 0xff)
+          else (data(off + 1) << 8) | (data(off) & 0xff)
+        if (pcmUnsigned) (raw & 0xffff).toLong else raw.toShort.toLong + 32768L
+      }
+      val m = math.min((n - 1).toLong * dstRate / srcRate + 1L, maxFrames.toLong).toInt
+      val out = new Array[Any](m * ch)
+      var k = 0
+      while (k < m) {
+        val num = k.toLong * srcRate
+        val j = (num / dstRate).toInt
+        val rem = num % dstRate
+        val j1 = math.min(j + 1, n - 1)
+        var c = 0
+        while (c < ch) {
+          val uv = (u(j, c) * (dstRate - rem) + u(j1, c) * rem) / dstRate
+          out(k * ch + c) = (uv - 32768L) / 32768.0
+          c += 1
+        }
+        k += 1
+      }
+      new GenericArrayData(out)
+    } catch { case scala.util.control.NonFatal(_) => null }
+    finally ais.close()
+  }
+
   /** deterministic RIFF/WAVE synthesizer for the oracle path: a HAND-ROLLED
     * canonical 44-byte-header PCM16-LE WAV (independent of AudioSystem, so
     * the [[audioMetaKernel]] decode of it exercises the real JDK parser
@@ -536,6 +596,30 @@ case class AudioSamples(child: Expression, maxSamples: Int) extends UnaryExpress
     copy(child = newChild)
 }
 
+/** `audio_resample(content, dstRate)` → array<double> channel-interleaved
+  * normalized samples linearly resampled to `dstRate` through the real JDK
+  * decode (exact-integer interpolation — see
+  * [[Multimodal.audioResampleKernel]]); null on undecodable bytes. */
+case class AudioResample(child: Expression, dstRate: Int, maxFrames: Int)
+  extends UnaryExpression {
+  require(dstRate > 0 && dstRate <= 768000, s"dstRate out of range: $dstRate")
+  require(maxFrames > 0 && maxFrames <= (1 << 26),
+    s"maxFrames out of range: $maxFrames")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_resample"
+  override protected def nullSafeEval(input: Any): Any =
+    Multimodal.audioResampleKernel(input.asInstanceOf[Array[Byte]], dstRate, maxFrames)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData)
+        graft.multimodal.Multimodal.audioResampleKernel($c, $dstRate, $maxFrames);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): AudioResample =
+    copy(child = newChild)
+}
+
 object functions {
   import org.apache.spark.sql.graft.{interop => I}
   def media_meta(content: Column): Column = I.column(MediaMeta(I.expression(content)))
@@ -546,6 +630,9 @@ object functions {
   def audio_meta(content: Column): Column = I.column(AudioMeta(I.expression(content)))
   def audio_samples(content: Column, maxSamples: Int = 1 << 20): Column =
     I.column(AudioSamples(I.expression(content), maxSamples))
+  def audio_resample(content: Column, dstRate: Int,
+                     maxFrames: Int = 1 << 20): Column =
+    I.column(AudioResample(I.expression(content), dstRate, maxFrames))
   def wav_pack(seed: Column, sampleRate: Column, channels: Column,
                frames: Column): Column =
     I.column(WavPack(I.expression(org.apache.spark.sql.functions.struct(

@@ -202,5 +202,11 @@ class CodegenParitySpec extends SparkSpec {
       Seq("", "RIFF", "RIFFxxxxAVI x").toDF("s")
         .select(video_meta(encode(col("s"), "UTF-8")).isNull.as("r"))
     }
+    import graft.multimodal.functions.{audio_resample, wav_pack}
+    check("audio_resample") {
+      Seq(0L, 3L, 11L).toDF("seed")
+        .select(audio_resample(
+          wav_pack(col("seed"), lit(8000), lit(1), lit(6)), 12000).as("r"))
+    }
   }
 }

@@ -186,6 +186,40 @@ class MultimodalSpec extends SparkSpec {
       viaExpr.getDouble(2) == r.getDouble(6))
   }
 
+  test("REAL audio resample: exact-integer linear interpolation, identity at src rate") {
+    // hand-computed upsample 2×: samples [0, 100] → positions 0, 0.5, 1 →
+    // [0, (0+100)/2, 100] (exact: biased u = [32768, 32868], midpoint 32818)
+    val up = jdkWav(Array[Short](0, 100), 8000f,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE)
+    val got = Multimodal.audioResampleKernel(up, 16000, 1 << 20)
+    assert(got.toDoubleArray().toSeq == Seq(0.0, 50 / 32768.0, 100 / 32768.0))
+    // downsample 2×: every 2nd source frame, exactly (rem = 0 at all k)
+    val down = jdkWav(Array[Short](0, 100, -100, 32767), 8000f,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE)
+    assert(Multimodal.audioResampleKernel(down, 4000, 1 << 20)
+      .toDoubleArray().toSeq == Seq(0.0, -100 / 32768.0))
+    // identity: dst == src reproduces the decode bit-for-bit, channels kept
+    val stereo = Multimodal.wavPackKernel(9L, 12000, 2, 40)
+    assert(Multimodal.audioResampleKernel(stereo, 12000, 1 << 20)
+      .toDoubleArray().toSeq ==
+      Multimodal.audioSamplesKernel(stereo, 1 << 20).toDoubleArray().toSeq)
+    // big-endian AIFF rides the same path
+    val aiff = jdkWav(Array[Short](1000, 3000), 8000f,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF)
+    assert(Multimodal.audioResampleKernel(aiff, 16000, 1 << 20)
+      .toDoubleArray().toSeq ==
+      Seq(1000 / 32768.0, 2000 / 32768.0, 3000 / 32768.0))
+    // corrupt bytes dead-letter as null; maxFrames caps the row width
+    assert(Multimodal.audioResampleKernel(Array[Byte](1, 2, 3), 16000, 10) == null)
+    assert(Multimodal.audioResampleKernel(up, 16000, 2).numElements() == 2)
+    // the expression path agrees with the kernel
+    import graft.multimodal.functions.{audio_resample, wav_pack}
+    val viaExpr = Seq(1L).toDF("doc_id")
+      .select(audio_resample(wav_pack(lit(9L), lit(12000), lit(2), lit(40)), 12000).as("r"))
+      .collect()(0).getSeq[Double](0)
+    assert(viaExpr == Multimodal.audioSamplesKernel(stereo, 1 << 20).toDoubleArray().toSeq)
+  }
+
   test("audio: corrupt or non-audio bytes return null meta, not a crash") {
     assert(Multimodal.audioMetaKernel(Array[Byte](1, 2, 3)) == null)
     assert(Multimodal.audioMetaKernel("RIFFxxxxWAVEfmt ".getBytes) == null)
