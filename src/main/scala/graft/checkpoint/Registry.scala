@@ -133,6 +133,16 @@ final class Registry(root: String, spark: SparkSession,
     sinkTable(sink).snapshotForTxn(txnKey(group))
       .map(s => (s.added.map(_.size).sum, s.added.size.toLong))
       .getOrElse((0L, 0L))
+
+  /** per-group (bytes, files) for one sink in ONE metadata read — the
+    * metrics roll-up shape; [[sinkGroupStats]]'s per-(sink, group) form
+    * would re-read and re-resolve the table state once per pair. */
+  def sinkGroupStatsAll(sink: String): Map[Int, (Long, Long)] =
+    sinkTable(sink).state().snapshots.flatMap { s =>
+      s.txn.filter(_.startsWith("group-")).map(t =>
+        t.stripPrefix("group-").toInt ->
+          (s.added.map(_.size).sum, s.added.size.toLong))
+    }.toMap
 }
 
 object Registry {

@@ -44,9 +44,13 @@ object PipelineRunner {
                                writeBytes: Map[String, Long] = Map.empty)
 
   /** deterministic conv bucket in [0, groups) — NOT Spark's hash() so the
-    * assignment is engine-independent and replay-stable. */
+    * assignment is engine-independent and replay-stable. A null conv_id
+    * buckets like the empty string: crc32(null) would null the bucket,
+    * match NO group filter, and silently drop the row from every sink AND
+    * every counter — the one failure mode an effectively-once pipeline
+    * must not have. */
   private def bucketCol(groups: Int) =
-    pmod(abs(crc32(col("conv_id"))), lit(groups.toLong)).cast("int")
+    pmod(abs(crc32(coalesce(col("conv_id"), lit("")))), lit(groups.toLong)).cast("int")
 
   /** Run (or resume) the pipeline over `input`, writing under `root`.
     * Returns per-group sink counts for groups executed in THIS invocation. */
@@ -147,13 +151,20 @@ object PipelineRunner {
     def cnt(s: String): Long = reg.readSink(s).map(_.count()).getOrElse(0L)
     val published = cnt(Sinks.Es) + cnt(Sinks.Ls)
     val dropped = cnt(Sinks.Dropped)
-    val r = reg.registry().agg(sum("row_count"), sum("filtered")).collect()(0)
-    val total = r.getLong(0)
-    val filtered = r.getLong(1)
-    val writeBytes = (for {
-      s <- Sinks.All
-      g <- reg.committedGroups()
-    } yield reg.sinkGroupStats(s, g)._1).sum
+    // a monitoring caller may arrive before the first group commits (or on
+    // a fresh root): report zeros, never throw — registry() requires
+    // committed offsets and an empty filter sums to NULL
+    val committed = reg.committedGroups().toSet
+    val (total, filtered) =
+      if (committed.isEmpty) (0L, 0L)
+      else {
+        val r = reg.registry().agg(sum("row_count"), sum("filtered")).collect()(0)
+        (if (r.isNullAt(0)) 0L else r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+    val writeBytes = Sinks.All.map(s =>
+      reg.sinkGroupStatsAll(s)
+        .collect { case (g, (bytes, _)) if committed(g) => bytes }.sum).sum
     Map(
       "events.total" -> total,
       "events.published" -> published,

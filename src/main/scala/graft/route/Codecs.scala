@@ -26,7 +26,12 @@ object Codecs {
     df.select(to_json(struct(fields: _*), opts).as("value"))
   }
 
-  /** format codec: render each event through an fmtstr pattern. */
+  /** format codec: render each event through an fmtstr pattern. An event
+    * whose render null-propagates (a referenced field is null) is DROPPED,
+    * like the reference codec's encode-error path
+    * (libbeat/outputs/codec/format) — a newline-framed sink must never
+    * emit a phantom empty record. */
   def format(df: DataFrame, pattern: String, tsCol: Column = col("ts")): DataFrame =
     df.select(FmtStr.compile(pattern, tsCol = tsCol).as("value"))
+      .filter(col("value").isNotNull)
 }

@@ -39,7 +39,10 @@ final case class Range(field: String, gt: Option[Double] = None, gte: Option[Dou
   }
 }
 final case class HasFields(fields: Seq[String]) extends Cond {
-  def toColumn: Column = fields.map(f => col(f).isNotNull).reduce(_ && _)
+  def toColumn: Column = {
+    require(fields.nonEmpty, "has_fields condition needs at least one field")
+    fields.map(f => col(f).isNotNull).reduce(_ && _)
+  }
 }
 /** network condition: every (field → networks) entry must match — an IP
   * string field contained in ANY of its named networks / CIDRs
@@ -50,10 +53,16 @@ final case class Network(fields: Map[String, Seq[String]]) extends Cond {
   }.reduce(_ && _)
 }
 final case class And(conds: Seq[Cond]) extends Cond {
-  def toColumn: Column = conds.map(_.toColumn).reduce(_ && _)
+  def toColumn: Column = {
+    require(conds.nonEmpty, "and condition needs at least one operand")
+    conds.map(_.toColumn).reduce(_ && _)
+  }
 }
 final case class Or(conds: Seq[Cond]) extends Cond {
-  def toColumn: Column = conds.map(_.toColumn).reduce(_ || _)
+  def toColumn: Column = {
+    require(conds.nonEmpty, "or condition needs at least one operand")
+    conds.map(_.toColumn).reduce(_ || _)
+  }
 }
 final case class Not(cond: Cond) extends Cond {
   def toColumn: Column = !cond.toColumn

@@ -58,12 +58,17 @@ object Ann {
     * keeps the bundled benchmarks cheap; production passes iters≈10–25. */
   def ivfCentroids(corpus: DataFrame, nlist: Int,
                    iters: Int = 1): Array[Array[Float]] = {
-    var cents: Array[Array[Float]] = corpus.orderBy("vec_id").limit(nlist)
+    // train on rows of the corpus dimension only: a null embedding would
+    // null the cell assignment (driver getInt NPE) and a longer vector
+    // would index refinement means past the centroid length — irregular
+    // rows are dead-lettered from TRAINING (search joins drop them anyway)
+    val clean = cleanEmbeddings(corpus)
+    var cents: Array[Array[Float]] = clean.orderBy("vec_id").limit(nlist)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
     var it = 0
     while (it < iters) {
-      val assigned = corpus.select(
+      val assigned = clean.select(
         element_at(nearest_centroids(col("embedding"), cents, 1), 1).as("cell"),
         posexplode(col("embedding")).as(Seq("dim", "v")))
       val means = assigned.groupBy("cell", "dim").agg(avg("v").as("m"))
@@ -102,9 +107,21 @@ object Ann {
     * output is only ksub × dim rows, and only the (tiny) codebook matrix is
     * collected to the driver per iteration. Deterministic for any `iters`;
     * a codeword that loses all members keeps its previous value. */
+  /** corpus rows whose embedding is non-null AND carries the corpus
+    * dimension (the first non-null row defines it) — the training-input
+    * contract shared by [[ivfCentroids]] and [[pqCodebooks]]. */
+  private def cleanEmbeddings(corpus: DataFrame): DataFrame = {
+    val probe = corpus.filter(col("embedding").isNotNull)
+      .orderBy("vec_id").limit(1).select(size(col("embedding"))).collect()
+    require(probe.nonEmpty, "corpus has no embeddings to train on")
+    corpus.filter(col("embedding").isNotNull &&
+      size(col("embedding")) === probe(0).getInt(0))
+  }
+
   def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
                   iters: Int = 1): Array[Array[Array[Float]]] = {
-    val seedVecs = corpus.orderBy("vec_id").limit(ksub).select("embedding")
+    val clean = cleanEmbeddings(corpus)
+    val seedVecs = clean.orderBy("vec_id").limit(ksub).select("embedding")
       .collect().map(_.getSeq[Float](0).toArray)
     require(seedVecs.length == ksub,
       s"corpus has only ${seedVecs.length} vectors — fewer than ksub=$ksub codewords")
@@ -115,7 +132,7 @@ object Ann {
       Array.tabulate(m)(j => seedVecs.map(v => v.slice(j * dsub, (j + 1) * dsub)))
     var it = 0
     while (it < iters) {
-      val means = corpus
+      val means = clean
         .select(pq_encode(col("embedding"), cbs).as("codes"),
           posexplode(col("embedding")).as(Seq("d", "v")))
         .select(element_at(col("codes"), (col("d") / dsub).cast("int") + 1).as("code"),

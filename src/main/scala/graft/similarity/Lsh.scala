@@ -33,13 +33,25 @@ object Lsh {
   private[graft] def multiprobe(banded: DataFrame, keep: Seq[String],
                                 planes: Int, probeHamming: Int): DataFrame =
     if (probeHamming <= 0) banded
-    else banded
-      .withColumnRenamed("bucket", "bucket0")
-      .select(keep.map(col) ++ Seq(col("table"),
-        explode(filter(
-          sequence(lit(0), lit((1 << planes) - 1)),
-          b => bit_count(b.bitwiseXOR(col("bucket0"))) <= probeHamming))
-          .as("bucket")): _*)
+    else if (probeHamming >= planes)
+      // full probe (the exact-oracle degenerate): every bucket — enumerate
+      // the bucket space directly (only sensible at small `planes`)
+      banded.withColumnRenamed("bucket", "bucket0")
+        .select(keep.map(col) ++ Seq(col("table"),
+          explode(sequence(lit(0), lit((1 << planes) - 1))).as("bucket")): _*)
+    else {
+      // enumerate only the C(planes, ≤h) flip masks, driver-side — the
+      // former per-row sequence(0, 2^planes − 1) + filter materialized the
+      // WHOLE bucket space per banded row (64 MB/row at planes = 24) to
+      // keep a handful of neighbors
+      val masks = (0 to probeHamming)
+        .flatMap(h => (0 until planes).combinations(h))
+        .map(_.foldLeft(0)((m, b) => m | (1 << b)))
+      banded.withColumnRenamed("bucket", "bucket0")
+        .select(keep.map(col) ++ Seq(col("table"),
+          explode(array(masks.map(m =>
+            col("bucket0").bitwiseXOR(lit(m))): _*)).as("bucket")): _*)
+    }
 
   /** Degenerate-bucket guard (boilerplate keys → mega-buckets → skew):
     * bucket sizes come from a COUNT aggregation (constant-size buffer,

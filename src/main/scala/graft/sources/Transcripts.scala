@@ -105,15 +105,23 @@ object Transcripts {
                  hotFraction: Double = 0.2, partitions: Int = 0): DataFrame = {
     val base = if (partitions > 0) spark.range(0L, nRows, 1L, partitions) else spark.range(nRows)
     val e = col("id")
-    // hot key: first hotFraction of the hash space → conv 0
+    // hot key: first hotFraction of the hash space → conv 0. The cold-path
+    // conv id comes from an INDEPENDENT hash: reusing `hash` would make the
+    // hot-gate residue and the conv residue correlated, leaving entire conv
+    // classes empty whenever gcd(nConvs, 1000) > 1 (e.g. nConvs=1000 would
+    // never produce convs 1..hotFraction·1000)
     val hash = pmod(e * 2654435761L + 123456789L, lit(1000000007L))
+    val hash2 = pmod(e * 1103515245L + 987654321L, lit(998244353L))
     val convNum = when(hash % 1000 < (hotFraction * 1000).toLong, lit(0L))
-      .otherwise(pmod(hash, lit(nConvs)))
+      .otherwise(pmod(hash2, lit(nConvs)))
     val et = expr("CASE CAST(id % 5 AS INT) WHEN 0 THEN 'click' WHEN 1 THEN 'view' " +
       "WHEN 2 THEN 'signup' WHEN 3 THEN 'purchase' ELSE 'error' END")
     base.select(
       concat(lit("conv-"), lpad(convNum.cast("string"), 8, "0")).as("conv_id"),
-      (e % 1000L).cast("int").as("turn_idx"),
+      // globally unique below 2^30 rows, hence unique per conversation —
+      // the real table contract (a % 1000 index collided ~2000× per
+      // (conv, turn) pair inside the hot conversation at 64 M rows)
+      (e % (1L << 30)).cast("int").as("turn_idx"),
       expr("CASE CAST(id % 5 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'user' " +
         "WHEN 2 THEN 'system' WHEN 3 THEN 'assistant' ELSE 'tool' END").as("role"),
       textCol(e, convNum, et).as("text"),

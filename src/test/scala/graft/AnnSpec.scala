@@ -90,6 +90,27 @@ class AnnSpec extends SparkSpec {
     assert(recallPq > 0.7, s"converged-codebook recall regressed: $recallPq")
   }
 
+  test("index training dead-letters irregular embeddings instead of crashing") {
+    import spark.implicits._
+    // a null embedding and a dimension-mismatched one: both would have
+    // crashed the distributed Lloyd refinement on the driver (NPE from a
+    // null cell/code group; AIOOBE from dims past the centroid length)
+    val base = embeds.select("vec_id", "embedding")
+    val irregular = base.unionByName(Seq(
+      (900001L, null.asInstanceOf[Array[Float]]),
+      (900002L, Array.fill(128)(0.5f))
+    ).toDF("vec_id", "embedding"))
+    val cents = Ann.ivfCentroids(irregular, nlist = 8, iters = 2)
+    assert(cents.length == 8 && cents.forall(_.length == 64))
+    assert(cents.toSeq.map(_.toSeq) ==
+      Ann.ivfCentroids(base, nlist = 8, iters = 2).toSeq.map(_.toSeq),
+      "irregular rows must not perturb training")
+    val cbs = Ann.pqCodebooks(irregular, m = 8, ksub = 16, iters = 2)
+    assert(cbs.map(_.map(_.toSeq).toSeq).toSeq ==
+      Ann.pqCodebooks(base, m = 8, ksub = 16, iters = 2)
+        .map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("PQ kernels: codes in range, ADC score tracks exact cosine") {
     import graft.functions.PqKernel
     val cbs = Ann.pqCodebooks(embeds, m = 8, ksub = 16)

@@ -71,6 +71,12 @@ class FmtStrSpec extends SparkSpec {
     assert(js(0).contains("\"service\":\"svc-a\"") && js(0).contains("\"status\":\"ok\""))
     val lines = Codecs.format(df, "%{[status]}@%{+yyyy.MM.dd}").as[String].collect()
     assert(lines.toSeq == Seq("ok@2024.03.05", "short@2024.03.05", "bad_service@2024.03.05"))
+    // a null-rendering event is DROPPED (reference encode-error path), so a
+    // newline-framed sink never emits a phantom empty record
+    val nulled = Codecs.format(
+      df.withColumn("service", lit(null).cast("string")),
+      "%{[service]}@%{[status]}").as[String].collect()
+    assert(nulled.isEmpty, s"null renders must drop the event: ${nulled.toSeq}")
   }
 
   test("selector: lowercase + empty-selector returns empty string (Select contract)") {

@@ -40,6 +40,24 @@ class PipelineRunnerSpec extends SparkSpec {
       expected.getOrElse(Sinks.Dropped, 0L))
   }
 
+  test("a null conv_id row is routed and counted, never silently lost") {
+    import spark.implicits._
+    val root = tmpDir()
+    val withNull = input.limit(10).union(
+      Seq(graft.model.TranscriptEvent(null, 1, "user", "evt=click id=1", "",
+        new java.sql.Timestamp(1704067200000L))).toDS().toDF())
+    PipelineRunner.run(withNull, root, groups = 4)
+    val m = PipelineRunner.observedMetrics(root, spark)
+    assert(m("events.total") == 11,
+      s"the null-conv row must reach a group and be counted: $m")
+    assert(m("events.published") + m("events.filtered") + m("events.dropped") == 11)
+  }
+
+  test("observedMetrics on a fresh (never-run) root reports zeros, not a throw") {
+    val m = PipelineRunner.observedMetrics(tmpDir(), spark)
+    assert(m.values.forall(_ == 0L), s"fresh root must be all-zero: $m")
+  }
+
   test("kill between group commits → resume is exactly-once (no dupes, no loss)") {
     val rootCrash = tmpDir()
     // crash after the first group commits

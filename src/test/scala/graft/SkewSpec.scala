@@ -19,6 +19,20 @@ class SkewSpec extends SparkSpec {
     assert(hot.getLong(1) > 3000L, s"expected a hot conv, got $hot")
   }
 
+  test("synthesize covers the whole conv space and keeps turn_idx unique per conv") {
+    // conv assignment must use a hash INDEPENDENT of the hot-key gate —
+    // a shared hash left whole residue classes empty when gcd(nConvs,
+    // 1000) > 1 (nConvs=1000 never produced convs 1..199)
+    val df = Transcripts.synthesize(spark, 50000L, 1000L).cache()
+    val distinct = df.select("conv_id").distinct().count()
+    assert(distinct > 950L, s"cold convs must spread over all 1000, got $distinct")
+    // (conv_id, turn_idx) is the real table's identity — no collisions
+    val dupes = df.groupBy("conv_id", "turn_idx").count()
+      .filter(col("count") > 1).count()
+    assert(dupes == 0L, s"$dupes colliding (conv, turn) pairs")
+    df.unpersist(blocking = false)
+  }
+
   test("repartition by conv_id alone concentrates the hot key in one partition") {
     val df = Transcripts.synthesize(spark, 20000L, 400L)
     val plain = df.repartition(8, col("conv_id"))
