@@ -52,7 +52,10 @@ object Bench {
     * the measured job is read → parse → enrich → route → aggregate — the
     * north-rule shape — and generator cost/codegen never pollutes it. */
   private def inputPath(rows: Long): String = {
-    val path = s"/tmp/graft_bench_input_$rows"
+    // v2: synthesize's conv-id hash and turn_idx width changed (independent
+    // cold-path hash, collision-free (conv, turn) identity) — the version
+    // segment forces stale caches from the old generator to regenerate
+    val path = s"/tmp/graft_bench_input_v2_$rows"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       val s = session(32)
       sources.Transcripts.synthesize(s, rows, nConvs = rows / 50,

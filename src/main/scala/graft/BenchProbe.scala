@@ -67,7 +67,7 @@ object BenchProbe {
 
   def main(args: Array[String]): Unit = {
     val rows = if (args.nonEmpty) args(0).toLong else 64000000L
-    val path = s"/tmp/graft_bench_input_$rows"
+    val path = s"/tmp/graft_bench_input_v2_$rows" // versioned with Bench.inputPath
     require(new java.io.File(s"$path/_SUCCESS").exists(), s"run Bench first: $path")
 
     if (args.length > 1 && args(1) == "sessions") {
