@@ -142,15 +142,25 @@ object Dissect {
           if (end < 0) return null
         }
         off = end
-        // greedy: consume adjacent repeats of the following delimiter
-        // (dissect.go:150-161; value end is NOT extended)
+        // greedy: consume adjacent repeats of the following delimiter in
+        // WHOLE-delimiter steps (dissect.go:150-161; value end is NOT
+        // extended) — byte-stepping only equals this when the delimiter is
+        // a run of one repeated byte ("%{a->}ab%{b}" on "xababy" must give
+        // b="y", not "aby")
         if (p.greedy && p.delimAfter.length > 0) {
-          while (off + 1 + p.delimAfter.length <= n &&
-            regionMatches(b, base, n, off + 1, p.delimAfter)) off += 1
+          while (regionMatches(b, base, n, off + p.delimAfter.length, p.delimAfter))
+            off += p.delimAfter.length
         }
         pos(2 * i) = start
         pos(2 * i + 1) = end
-        if (!terminal) off += p.delimAfter.length
+        if (!terminal) {
+          // a fixed-length field's end is positional, so the following
+          // literal must be VERIFIED before skipping it — otherwise a
+          // structurally mismatching row parses as success with garbage
+          // alignment instead of the null (dead-letter) contract
+          if (p.isFixed && !regionMatches(b, base, n, off, p.delimAfter)) return null
+          off += p.delimAfter.length
+        }
         i += 1
       }
       pos

@@ -73,6 +73,11 @@ object ServerlogKernel {
     * (parser.go:138-151); null for non-objects / parse errors (json_error). */
   private[functions] def jacksonExtra(b: Array[Byte], from: Int,
                                       until: Int): (Array[UTF8String], Array[UTF8String]) = {
+    // overlapping markers (##JIDU##JIDU## — the 8-byte marker self-overlaps
+    // at shift 6) make the caller's second index land BEFORE from: a
+    // negative length here threw an uncaught StringIndexOutOfBoundsException
+    // and killed the task on one hostile line — treat as json_error instead
+    if (until <= from) return null
     val data = new String(b, from, until - from, java.nio.charset.StandardCharsets.UTF_8)
     try {
       val node = mapper.readTree(data)
@@ -115,7 +120,14 @@ object ServerlogKernel {
     (c >= '1' && c <= '9') || (c >= 'a' && c <= 'f')
   }
 
-  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  // per-thread mapper (the ContainerKernel pattern): the jackson fallback is
+  // off the hot path, but a SHARED factory's buffer pool still serializes
+  // non-flat-envelope workloads at 32 threads — exactly the contention the
+  // byte-slicing rewrite of this kernel was built to avoid
+  private val mappers =
+    ThreadLocal.withInitial[com.fasterxml.jackson.databind.ObjectMapper](
+      () => new com.fasterxml.jackson.databind.ObjectMapper())
+  private def mapper = mappers.get()
 
   /** Allocation-lean parse: ONE defensive byte copy of the row, then every
     * output string is a zero-copy `UTF8String.fromBytes` slice of it. The

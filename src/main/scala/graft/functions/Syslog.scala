@@ -133,6 +133,22 @@ object SyslogKernel {
     v
   }
 
+  /** digit run → Int, or -1 (the unset sentinel) when the value exceeds
+    * Int.MaxValue — Go strconv.Atoi errors with ErrRange and the reference
+    * leaves the field unset; unbounded accumulation would WRAP
+    * ("4294967297" → 1), emitting garbage indistinguishable from real
+    * values. For the unbounded-width fields (pid, sequence); the ≤4-digit
+    * grammar fields keep the unchecked fast path. */
+  @inline private def toIntBounded(b: Array[Byte], s: Int, e: Int): Int = {
+    var v = 0L; var i = s
+    while (i < e) {
+      v = v * 10 + (b(i) - '0')
+      if (v > Int.MaxValue) return -1
+      i += 1
+    }
+    v.toInt
+  }
+
   /** event.go:302-316 — right-pad short fractions to 9 digits; fractions
     * longer than 9 digits keep their first 9 (Go would overflow-adjacent;
     * sub-nanosecond digits carry no information). */
@@ -367,7 +383,7 @@ object SyslogKernel {
       while (q < n && digit(b(q))) q += 1
       if (q > ds && q + 2 < n && b(q) == ']' && b(q + 1) == ':' && b(q + 2) == ' ') {
         s.progS = p; s.progE = t
-        s.pid = toInt(b, ds, q)
+        s.pid = toIntBounded(b, ds, q)
         setMessage(b, q + 3, n, s)
         return
       }
@@ -411,7 +427,7 @@ object SyslogKernel {
       var q = p
       while (q < n && digit(b(q))) q += 1
       if (q + 1 < n && b(q) == ':' && b(q + 1) == ' ') {
-        val seqVal = toInt(b, p, q)
+        val seqVal = toIntBounded(b, p, q)
         val e = parseTimestamp3164(b, q + 2, n, s, defaultYear)
         if (e >= 0) {
           s.sequence = seqVal

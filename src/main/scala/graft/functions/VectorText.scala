@@ -425,6 +425,15 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Float]],
         if (!taken(j) && sims(j) > bestSim) { best = j; bestSim = sims(j) }
         j += 1
       }
+      if (best < 0) {
+        // every remaining sim is NaN (a NaN component poisons all dot
+        // products; NaN > x is always false) — fall back to the first
+        // untaken cell deterministically instead of crashing on taken(-1);
+        // downstream cosine scoring yields NaN for such a vector and ranks
+        // it out anyway
+        var k = 0
+        while (best < 0 && k < n) { if (!taken(k)) best = k; k += 1 }
+      }
       taken(best) = true
       out(p) = best
       p += 1

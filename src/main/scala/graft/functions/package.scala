@@ -91,7 +91,9 @@ package object functions {
   def level_translate(level: Column): Column = {
     val entries = graft.model.Lookups.LevelMap.toSeq.sortBy(_._1)
       .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
-    coalesce(element_at(map(entries: _*), level), level)
+    // try_element_at: strict element_at THROWS on a missing map key under
+    // ANSI mode, breaking the documented unknown-letter pass-through
+    coalesce(try_element_at(map(entries: _*), level), level)
   }
 
   /** sha2(s, 256) drop-in with a thread-local digest (no per-row

@@ -143,7 +143,10 @@ object CorpusOps {
     val probed = train.select(col("doc_id"), col("text"),
       graft.functions.ngram_bloom_hits(
         ngramHashes(col("text"), n), bos.toByteArray).as("_b"))
-    val clean = probed.filter(col("_b.bloom_hits") === 0)
+    // a null text gives a null probe — such docs must still appear in the
+    // output (hits=0, like [[decontaminate]]'s left join keeps them), not
+    // silently vanish because they match neither bloom_hits branch
+    val clean = probed.filter(col("_b").isNull || col("_b.bloom_hits") === 0)
       .select(col("doc_id"), col("_b.n_grams").as("n_grams"),
         lit(0L).as("hits"), lit(false).as("contaminated"))
     val candidates = probed.filter(col("_b.bloom_hits") > 0)
